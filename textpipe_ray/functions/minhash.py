@@ -1,0 +1,118 @@
+"""MinHash / SimHash sketches + LSH banding for near-duplicate detection.
+
+The MinHash here is digest-compatible with the ``datasketch`` library's
+default configuration, which the reference uses (``Doc.find_minhash``,
+/root/reference/textpipe/doc.py:456-497: 128 permutations, seed 1,
+sha1-32 token hashing).  Golden check: the reference doctest digests
+``[407326892, 814360600, 1099082245, 1176349439, 1735256]`` for
+'Sentence for computing the minhash' and pairwise Jaccard 0.7265625
+(doc.py:462-489) — pinned in tests/test_minhash.py.
+
+The datasketch scheme is public: h'(x) = ((a*h(x)+b) mod p) & 0xFFFFFFFF
+with p = 2^61-1, (a, b) drawn from numpy RandomState(seed), h = first 4
+little-endian bytes of SHA1.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+_MERSENNE_PRIME = np.uint64((1 << 61) - 1)
+_MAX_HASH = np.uint64((1 << 32) - 1)
+DEFAULT_NUM_PERM = 128
+DEFAULT_SEED = 1
+
+
+def _permutations(num_perm: int = DEFAULT_NUM_PERM, seed: int = DEFAULT_SEED):
+    gen = np.random.RandomState(seed)
+    return np.array(
+        [
+            (
+                gen.randint(1, _MERSENNE_PRIME, dtype=np.uint64),
+                gen.randint(0, _MERSENNE_PRIME, dtype=np.uint64),
+            )
+            for _ in range(num_perm)
+        ],
+        dtype=np.uint64,
+    ).T
+
+
+# Module-level: computed once per worker process, shared by every batch.
+_PERM_A, _PERM_B = _permutations()
+
+
+def sha1_hash32(data: bytes) -> int:
+    return struct.unpack("<I", hashlib.sha1(data).digest()[:4])[0]
+
+
+def minhash_signature(tokens: list[str], num_perm: int = DEFAULT_NUM_PERM) -> np.ndarray:
+    """uint64[num_perm] signature over the token multiset (set semantics)."""
+    if num_perm == DEFAULT_NUM_PERM:
+        a, b = _PERM_A, _PERM_B
+    else:
+        a, b = _permutations(num_perm)
+    if not tokens:
+        return np.full(num_perm, _MAX_HASH, dtype=np.uint64)
+    hvs = np.array(
+        sorted({sha1_hash32(t.encode("utf8")) for t in tokens}), dtype=np.uint64
+    )
+    # (T, P) permuted hashes → column-min; uint64 mul wraps mod 2^64 which
+    # matches datasketch (operands < 2^61 so a*hv < 2^93 — datasketch
+    # relies on the same numpy wrap, making digests identical).
+    phv = np.bitwise_and((hvs[:, None] * a[None, :] + b[None, :]) % _MERSENNE_PRIME, _MAX_HASH)
+    return phv.min(axis=0)
+
+
+def jaccard(sig1: np.ndarray, sig2: np.ndarray) -> float:
+    """Estimated Jaccard similarity of two equal-length signatures."""
+    return float(np.count_nonzero(sig1 == sig2)) / float(len(sig1))
+
+
+def lsh_band_hashes(sig: np.ndarray, num_bands: int = 32) -> list[int]:
+    """Split the signature into ``num_bands`` rows-per-band groups and
+    hash each band to an int64 bucket key.  Docs sharing any band key
+    are near-dup candidates (classic MinHash-LSH)."""
+    rows = len(sig) // num_bands
+    out = []
+    for i in range(num_bands):
+        band = sig[i * rows : (i + 1) * rows]
+        digest = hashlib.blake2b(band.tobytes(), digest_size=8).digest()
+        out.append(struct.unpack("<q", digest)[0])
+    return out
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token frequency weights."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    from collections import Counter
+
+    for tok, cnt in Counter(tokens).items():
+        h = int.from_bytes(hashlib.blake2b(tok.encode("utf8"), digest_size=8).digest(), "little")
+        bits = (h >> np.arange(64)) & 1
+        acc += np.where(bits == 1, cnt, -cnt)
+    return int((acc > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def char_ngrams(text: str, n: int = 5) -> set[str]:
+    """Character shingles (for n-gram Jaccard dedup)."""
+    if len(text) < n:
+        return {text} if text else set()
+    return {text[i : i + n] for i in range(len(text) - n + 1)}
+
+
+def ngram_jaccard(text1: str, text2: str, n: int = 5) -> float:
+    """Exact Jaccard over character n-gram shingle sets."""
+    s1, s2 = char_ngrams(text1, n), char_ngrams(text2, n)
+    if not s1 and not s2:
+        return 1.0
+    inter = len(s1 & s2)
+    return inter / (len(s1) + len(s2) - inter)

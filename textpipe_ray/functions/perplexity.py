@@ -1,0 +1,115 @@
+"""KenLM-style character n-gram perplexity scorer (self-trained).
+
+The north rule calls for a perplexity quality signal (the reference's
+only text-quality score is Flesch complexity, doc.py:356-372; the
+perplexity stage is a new-engine addition per SURVEY.md §2.4).  This is
+an interpolated order-3 character LM:
+
+    P(c | h2 h1) = l3*P3 + l2*P2 + l1*P1 + l0*U
+
+with fixed interpolation weights and add-alpha smoothed maximum
+likelihood tables, trained per language on the deterministic seed
+corpora and committed to ``models/lm.json``.  Perplexity is
+``exp(-mean log P)`` over the characters of the (lowercased, truncated)
+text.  Natural in-language text scores low; shuffled-character
+gibberish scores high — that separation is what the keep/drop rule
+thresholds (models/quality_thresholds.json) rely on.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from pathlib import Path
+
+DEFAULT_MODEL_PATH = Path(__file__).resolve().parents[2] / "models" / "lm.json"
+MAX_CHARS = 2000
+LAMBDAS = (0.55, 0.25, 0.15, 0.05)  # trigram, bigram, unigram, uniform
+UNIFORM = 1.0 / 10000.0
+ALPHA = 0.1
+
+
+def _norm(text: str) -> str:
+    return " ".join(text.lower().split())[:MAX_CHARS]
+
+
+def train(corpora: dict[str, str]) -> dict:
+    out: dict[str, dict] = {}
+    for lang, text in sorted(corpora.items()):
+        t = _norm(text)
+        padded = "  " + t + " "
+        tri: dict[str, int] = {}
+        bi: dict[str, int] = {}
+        uni: dict[str, int] = {}
+        for i in range(2, len(padded)):
+            tri_key = padded[i - 2 : i + 1]
+            bi_key = padded[i - 1 : i + 1]
+            tri[tri_key] = tri.get(tri_key, 0) + 1
+            bi[bi_key] = bi.get(bi_key, 0) + 1
+            uni[padded[i]] = uni.get(padded[i], 0) + 1
+        out[lang] = {"tri": tri, "bi": bi, "uni": uni}
+    return {"version": 1, "tables": out}
+
+
+class PerplexityModel:
+    """Per-language char-LM scorer; built once per actor in ``__init__``."""
+
+    def __init__(self, model: dict):
+        self.tables = {}
+        for lang, t in model["tables"].items():
+            tri, bi, uni = t["tri"], t["bi"], t["uni"]
+            # context totals for conditional probabilities
+            tri_ctx: dict[str, int] = {}
+            for k, c in tri.items():
+                tri_ctx[k[:2]] = tri_ctx.get(k[:2], 0) + c
+            bi_ctx: dict[str, int] = {}
+            for k, c in bi.items():
+                bi_ctx[k[:1]] = bi_ctx.get(k[:1], 0) + c
+            uni_total = sum(uni.values())
+            vocab = len(uni) + 1
+            self.tables[lang] = (tri, tri_ctx, bi, bi_ctx, uni, uni_total, vocab)
+        self.langs = sorted(self.tables)
+
+    @classmethod
+    def load(cls, path: str | Path = DEFAULT_MODEL_PATH) -> "PerplexityModel":
+        with open(path, "r", encoding="utf8") as f:
+            return cls(json.load(f))
+
+    def _char_logprob(self, lang_t, h2: str, h1: str, c: str) -> float:
+        tri, tri_ctx, bi, bi_ctx, uni, uni_total, vocab = lang_t
+        l3, l2, l1, l0 = LAMBDAS
+        p3 = (tri.get(h2 + h1 + c, 0) + ALPHA) / (tri_ctx.get(h2 + h1, 0) + ALPHA * vocab)
+        p2 = (bi.get(h1 + c, 0) + ALPHA) / (bi_ctx.get(h1, 0) + ALPHA * vocab)
+        p1 = (uni.get(c, 0) + ALPHA) / (uni_total + ALPHA * vocab)
+        return math.log(l3 * p3 + l2 * p2 + l1 * p1 + l0 * UNIFORM)
+
+    def perplexity(self, text: str, lang: str) -> float:
+        """Per-char perplexity under ``lang``'s LM (fallback: 'en')."""
+        lang_t = self.tables.get(lang) or self.tables.get("en")
+        if lang_t is None:
+            lang_t = self.tables[self.langs[0]]
+        t = _norm(text)
+        if not t:
+            return float(1.0 / UNIFORM)  # empty = maximally surprising
+        padded = "  " + t
+        logp = 0.0
+        for i in range(2, len(padded)):
+            logp += self._char_logprob(lang_t, padded[i - 2], padded[i - 1], padded[i])
+        return math.exp(-logp / (len(padded) - 2))
+
+
+def main() -> None:  # pragma: no cover
+    import sys
+
+    from textpipe_ray.data.seed_corpora import SEED_CORPORA
+
+    model = train(SEED_CORPORA)
+    out = sys.argv[1] if len(sys.argv) > 1 else str(DEFAULT_MODEL_PATH)
+    Path(out).parent.mkdir(parents=True, exist_ok=True)
+    with open(out, "w", encoding="utf8") as f:
+        json.dump(model, f, ensure_ascii=False, sort_keys=True)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

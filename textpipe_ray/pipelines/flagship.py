@@ -1,0 +1,164 @@
+"""The flagship pages pipeline: extract → langid → perplexity → quality
+rules → PII/toxicity scrub → keep/drop.
+
+Dataset-native (SURVEY.md §3/§7): every stage is a ``map_batches`` over
+Arrow batches; langid/perplexity are actor pools (models loaded once
+per actor); the whole thing streams with backpressure — nothing
+materializes the full input.
+
+Scale notes (designed for ~100 TB on a multi-node cluster):
+* ``text`` is pruned at the read — the pipeline re-extracts from
+  ``html``, the byte-identity invariant makes ``text`` redundant.
+* ``html`` is dropped right after extraction, BEFORE the optional
+  skew-breaking shuffle, so the all-to-all exchange moves clean text
+  (~5-10× smaller than raw html), not page bytes.
+* The url-hash ``part_id`` column is the one partitioning key reused
+  everywhere: skew spreading, output layout, downstream dedup
+  bucketing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from textpipe_ray import schema as S
+from textpipe_ray.functions.quality import load_thresholds
+from textpipe_ray.functions.scrub import load_rules
+from textpipe_ray.stages.actors import LangIdStage, PerplexityStage
+from textpipe_ray.stages.text import (
+    clean_batch,
+    complexity_batch,
+    content_hash_batch,
+    quality_batch,
+    scrub_batch,
+    stopword_counts_by_lang,
+)
+
+DEFAULT_NUM_PARTS = 64
+
+
+def add_part_id(batch: pa.Table, num_parts: int = DEFAULT_NUM_PARTS) -> pa.Table:
+    """Stable url-hash partition id (blake2b, process-independent)."""
+    urls = batch.column(S.URL).to_pylist()
+    pids = [
+        int.from_bytes(hashlib.blake2b((u or "").encode(), digest_size=8).digest(), "little")
+        % num_parts
+        for u in urls
+    ]
+    return batch.append_column(S.PART_ID, pa.array(pids, pa.int32()))
+
+
+def extract_stage(batch: pa.Table, num_parts: int = DEFAULT_NUM_PARTS) -> pa.Table:
+    """clean + content_hash + part_id, then DROP html (shrink the stream
+    before any shuffle)."""
+    batch = clean_batch(batch)
+    batch = content_hash_batch(batch)
+    batch = add_part_id(batch, num_parts)
+    keep_cols = [c for c in batch.column_names if c != S.HTML]
+    return batch.select(keep_cols)
+
+
+def finalize_stage(batch: pa.Table, thresholds: dict) -> pa.Table:
+    """Text-rule features + lang/perplexity/toxicity conjuncts →
+    final ``keep`` + first-failure ``drop_reason``."""
+    t = thresholds
+    stop = stopword_counts_by_lang(batch)
+    batch = quality_batch(batch, thresholds=t, stopword_counts=stop)
+    batch = complexity_batch(batch)
+    batch = scrub_batch(batch)
+
+    keep = np.asarray(batch.column(S.KEEP))
+    reason = np.asarray(batch.column(S.DROP_REASON)).astype(object)
+
+    model_rules = []
+    if t.get("require_reliable_lang", True):
+        model_rules.append(
+            ("lang_unreliable", ~np.asarray(batch.column(S.LANG_RELIABLE)))
+        )
+    allowed = set(t.get("allowed_langs", []))
+    if allowed:
+        resolved = np.asarray(batch.column(S.RESOLVED_LANG))
+        model_rules.append(
+            ("lang_not_allowed", ~np.isin(resolved, list(allowed)))
+        )
+    model_rules.append(
+        ("high_perplexity", np.asarray(batch.column(S.PERPLEXITY)) > t["max_perplexity"])
+    )
+    model_rules.append(
+        ("toxic", np.asarray(batch.column("scrub_toxic")) > t["max_toxic_hits"])
+    )
+    for name, violated in model_rules:
+        newly = violated & keep
+        reason[newly] = name
+        keep = keep & ~violated
+
+    batch = batch.set_column(
+        batch.column_names.index(S.KEEP), S.KEEP, pa.array(keep.tolist(), pa.bool_())
+    )
+    batch = batch.set_column(
+        batch.column_names.index(S.DROP_REASON),
+        S.DROP_REASON,
+        pa.array([str(r) for r in reason], pa.string()),
+    )
+    return batch
+
+
+def build_pages_pipeline(
+    ds: "ray.data.Dataset",
+    hint_language: str = "en",
+    num_parts: int = DEFAULT_NUM_PARTS,
+    batch_size: int = 512,
+    langid_concurrency=(1, 8),
+    ppl_concurrency=(1, 8),
+    shuffle_before_scoring: bool = False,
+    shuffle_blocks: int | None = None,
+    thresholds: dict | None = None,
+) -> "ray.data.Dataset":
+    """Assemble the lazy Dataset pipeline (call .write_parquet / iterate
+    to execute)."""
+    t = thresholds if thresholds is not None else load_thresholds()
+    # stateless extraction; html-heavy input → moderate batch size
+    ds = ds.map_batches(
+        extract_stage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        fn_kwargs={"num_parts": num_parts},
+    )
+    if shuffle_before_scoring:
+        # break host-domain skew before the actor pools; the stream at
+        # this point is clean text (html already dropped)
+        ds = ds.repartition(shuffle_blocks or num_parts, shuffle=True)
+    ds = ds.map_batches(
+        LangIdStage,
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=langid_concurrency,
+        num_cpus=1,
+        fn_constructor_kwargs={"hint_language": hint_language},
+    )
+    ds = ds.map_batches(
+        PerplexityStage,
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=ppl_concurrency,
+        num_cpus=1,
+    )
+    ds = ds.map_batches(
+        finalize_stage,
+        batch_format="pyarrow",
+        batch_size=1024,
+        fn_kwargs={"thresholds": t},
+    )
+    return ds
+
+
+def read_pages(paths, columns=(S.URL, S.WARC_TS, S.HTML, S.LANG)) -> "ray.data.Dataset":
+    """Column-pruned read: ``text`` is never loaded (north-rule invariant
+    makes it redundant with the extraction output)."""
+    return ray.data.read_parquet([str(p) for p in (paths if isinstance(paths, (list, tuple)) else [paths])], columns=list(columns))

@@ -1,0 +1,68 @@
+"""Stateful actor-pool stages (callable classes for ``map_batches``).
+
+This is the Ray idiom that replaces all three of the reference's
+model-cache patterns (``Pipeline._spacy_nlps``/``_gensim_vectors``
+injection, pipeline.py:32-33,70-71, and the Redis vector side-channel,
+wrappers.py:20-125): a model is loaded ONCE per actor in ``__init__``
+and reused for every batch.  Use as::
+
+    ds.map_batches(LangIdStage, batch_format="pyarrow",
+                   batch_size=1024, concurrency=(2, 8), num_cpus=1)
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from textpipe_ray import schema as S
+from textpipe_ray.functions.langid import LangIdModel
+from textpipe_ray.functions.perplexity import PerplexityModel
+
+
+class LangIdStage:
+    """Language identification: appends pred_lang / lang_reliable /
+    lang_margin / resolved_lang (the doc.py:146 resolution rule)."""
+
+    def __init__(self, hint_language: str = "en", model_path: str | None = None):
+        self.model = LangIdModel.load(model_path) if model_path else LangIdModel.load()
+        self.hint = hint_language
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(S.CLEAN).to_pylist()
+        # per-row hint: a provided `lang` column acts as the hint when present
+        hints = (
+            batch.column(S.LANG).to_pylist()
+            if S.LANG in batch.column_names
+            else [self.hint] * len(texts)
+        )
+        langs, reliable, margins, resolved = [], [], [], []
+        for text, hint in zip(texts, hints):
+            hint = hint or self.hint
+            ok, lang, margin = self.model.detect(text or "", hint)
+            langs.append(lang)
+            reliable.append(ok)
+            margins.append(margin)
+            resolved.append(lang if ok else hint)
+        return (
+            batch.append_column(S.PRED_LANG, pa.array(langs, pa.string()))
+            .append_column(S.LANG_RELIABLE, pa.array(reliable, pa.bool_()))
+            .append_column(S.LANG_MARGIN, pa.array(margins, pa.float64()))
+            .append_column(S.RESOLVED_LANG, pa.array(resolved, pa.string()))
+        )
+
+
+class PerplexityStage:
+    """Char-LM perplexity under the doc's resolved language."""
+
+    def __init__(self, model_path: str | None = None, lang_col: str = S.RESOLVED_LANG):
+        self.model = PerplexityModel.load(model_path) if model_path else PerplexityModel.load()
+        self.lang_col = lang_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(S.CLEAN).to_pylist()
+        if self.lang_col in batch.column_names:
+            langs = batch.column(self.lang_col).to_pylist()
+        else:
+            langs = ["en"] * len(texts)
+        ppl = [self.model.perplexity(t or "", lang or "en") for t, lang in zip(texts, langs)]
+        return batch.append_column(S.PERPLEXITY, pa.array(ppl, pa.float64()))
