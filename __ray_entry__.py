@@ -4,13 +4,10 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+No ``ray.init``/``ray.shutdown`` here or anywhere these callables
+reach — the driver owns the session.
 """
 
 from __future__ import annotations
@@ -20,25 +17,44 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship quality-filter pipeline over the synthetic north-rule
+    pages table at sf0.001 scale (extract → langid → perplexity →
+    quality rules → PII/toxicity scrub → keep/drop)."""
+    from textpipe_ray.pipelines import queries as Q
+
+    return Q.q_pages_flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from textpipe_ray.pipelines import queries as Q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # oracle-checked (DuckDB parity, exact values)
+        "q_clean": Q.q_clean,
+        "q_quality": Q.q_quality,
+        "q_complexity": Q.q_complexity,
+        "q_scrub": Q.q_scrub,
+        "q_fingerprint": Q.q_fingerprint,
+        "q_exact_dedup": Q.q_exact_dedup,
+        "q_token_freq": Q.q_token_freq,
+        "q_lang_metrics": Q.q_lang_metrics,
+        "q_topk_docs": Q.q_topk_docs,
+        "q_events_window": Q.q_events_window,
+        "q_agg_lineitem": Q.q_agg_lineitem,
+        "q_segment_orders": Q.q_segment_orders,
+        "q_ann_topk": Q.q_ann_topk,
+        # model-scored / non-SQL-expressible (rows-only check)
+        "q_langid": Q.q_langid,
+        "q_perplexity": Q.q_perplexity,
+        "q_minhash": Q.q_minhash,
+        "q_simhash": Q.q_simhash,
+        "q_embedding_neardup": Q.q_embedding_neardup,
+        "q_pages_flagship": Q.q_pages_flagship,
+        "q_pages_neardup": Q.q_pages_neardup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from textpipe_ray.pipelines.oracle import build_oracle_sql
+
+    return build_oracle_sql()

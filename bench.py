@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Plain run: executes the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(num_cpus=$RAY_GRAFT_CPUS or 32) and
+prints ONE JSON line.
+
+--scaling: runs the headline flagship job twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and prints throughput at
+both plus scaling efficiency = (t8/t32)/(32/8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "q_pages_flagship",
+    "q_clean",
+    "q_quality",
+    "q_scrub",
+    "q_token_freq",
+    "q_lang_metrics",
+    "q_exact_dedup",
+    "q_agg_lineitem",
+    "q_events_window",
+    "q_segment_orders",
+    "q_ann_topk",
+    "q_pages_neardup",
+]
+
+
+def consume(result) -> int:
+    """Execute a lazy result fully (streaming, no driver materialize of
+    big data) and return its row count."""
+    import ray.data as rd
+
+    if isinstance(result, rd.Dataset):
+        n = 0
+        for b in result.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            n += b.num_rows
+        return n
+    return len(result)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+    from textpipe_ray.pipelines.queries import pages_dir_for
+
+    # untimed: generate/caches the synthetic pages + warm the page cache
+    pages_dir = pages_dir_for(SF_DIR)
+    for root, _, files in os.walk(pages_dir):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                fh.read()
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        rows[name] = consume(queries[name](SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    headline = timings["q_pages_flagship"]
+    out = {
+        "metric": "flagship quality-filter pipeline wall time (extract+langid+perplexity+rules+scrub) over synthetic pages",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "docs_per_sec": round(rows["q_pages_flagship"] / headline, 1) if headline else None,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (flagship pipeline, fresh ray sessions)",
+        "cpus": [lo, hi],
+        "sec": {str(lo): t_lo, str(hi): t_hi},
+        "docs_per_sec": {str(lo): r_lo["docs_per_sec"], str(hi): r_hi["docs_per_sec"]},
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

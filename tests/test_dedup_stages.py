@@ -1,0 +1,83 @@
+"""Dedup operator tests over small in-memory datasets."""
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture()
+def docs_ds(ray_session):
+    import ray.data
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and runs far away today"),
+        (1, "the quick brown fox jumps over the lazy dog and runs far away today"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat and runs far away today"),  # near dup of 0
+        (3, "completely unrelated text about astronomy planets stars and galaxies tonight"),
+        (4, "another unique document mentioning databases indexes transactions and logs"),
+    ]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+            }
+        )
+    )
+
+
+def test_exact_dedup(docs_ds):
+    import hashlib
+
+    from textpipe_ray.stages.dedup import dedup_exact
+
+    def key(batch):
+        k = [hashlib.md5(t.encode()).hexdigest() for t in batch.column("text").to_pylist()]
+        return batch.append_column("k", pa.array(k))
+
+    out = dedup_exact(docs_ds.map_batches(key, batch_format="pyarrow"), "k", "doc_id")
+    ids = sorted(out.to_pandas()["doc_id"])
+    assert ids == [0, 2, 3, 4]  # row 1 collapsed into row 0
+
+
+def test_near_dup_minhash(docs_ds):
+    from textpipe_ray.stages.dedup import near_dup_minhash
+
+    pairs = near_dup_minhash(docs_ds, threshold=0.7).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got  # exact dup
+    assert (0, 2) in got or (1, 2) in got  # near dup
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_minhash_simhash_batches(docs_ds):
+    from textpipe_ray.stages.dedup import minhash_batch, simhash_batch
+
+    t = docs_ds.map_batches(minhash_batch, batch_format="pyarrow").map_batches(
+        simhash_batch, batch_format="pyarrow"
+    ).to_pandas()
+    assert len(t["minhash"][0]) == 128
+    assert list(t["minhash"][0]) == list(t["minhash"][1])  # exact dups → same sig
+    assert t["simhash"][0] == t["simhash"][1]
+
+
+def test_near_dup_embeddings(ray_session):
+    import numpy as np
+    import ray.data
+
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal(64)
+    vecs = [base, base + rng.standard_normal(64) * 0.01, rng.standard_normal(64), rng.standard_normal(64)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": list(range(4)),
+                "embedding": pa.array([v.astype("float32").tolist() for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+    )
+    from textpipe_ray.stages.dedup import near_dup_embeddings
+
+    pairs = near_dup_embeddings(ds, threshold=0.95).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got
+    assert all(p == (0, 1) for p in got)

@@ -1,0 +1,56 @@
+"""Language-ID contract tests (output contract of the reference's
+detect_language, doc.py:103-134) + perplexity separation tests."""
+
+from textpipe_ray.functions.langid import LangIdModel, strip_mc_categories
+from textpipe_ray.functions.perplexity import PerplexityModel
+
+MODEL = LangIdModel.load()
+PPL = PerplexityModel.load()
+
+
+def test_un_contract():
+    # (False, 'un') for empty / punctuation / digits (doc.py:121-122,131-132)
+    for text in ["", "...", "12 34 56", "!!! ???"]:
+        ok, lang, _ = MODEL.detect(text)
+        assert (ok, lang) == (False, "un"), text
+
+
+def test_languages():
+    cases = {
+        "en": "The history of science shows that simple models are often the most useful ones.",
+        "nl": "De geschiedenis van de wetenschap laat zien dat eenvoudige modellen vaak nuttig zijn.",
+        "fr": "L'histoire des sciences montre que les modèles simples sont souvent les plus utiles.",
+        "es": "La historia de la ciencia muestra que los modelos simples suelen ser los más útiles.",
+        "de": "Die Geschichte der Wissenschaft zeigt, dass einfache Modelle oft die nützlichsten sind.",
+        "zh": "科学的历史表明简单的模型往往是最有用的。",
+    }
+    for expect, text in cases.items():
+        ok, lang, _ = MODEL.detect(text)
+        assert ok and lang == expect, (expect, lang, ok)
+
+
+def test_hint_bias():
+    # ambiguous short text resolves to the hint (cld2 hintLanguage behavior)
+    assert MODEL.detect("Test", "nl")[1] == "nl"
+    assert MODEL.detect("Test", "en")[1] == "en"
+
+
+def test_unknown_script_and_gibberish():
+    assert MODEL.detect("မြန်မာဘာသာစကား")[:2] == (False, "un")
+    assert MODEL.detect("xqzt vplk wjfh qqq")[:2] == (False, "un")
+
+
+def test_mc_strip():
+    # control/format chars are stripped before detection (doc.py:125-126)
+    assert strip_mc_categories("a\x03b‍c") == "abc"
+    ok, lang, _ = MODEL.detect("Hi \x03 this is filler text \xa325 more filler.\x03", "en")
+    assert lang == "en"
+
+
+def test_perplexity_separation():
+    nat = PPL.perplexity("The history of science shows that simple models are useful.", "en")
+    gib = PPL.perplexity("xq ztvp lkwj fhqq zzxj kkqv wwpt", "en")
+    assert nat < gib
+    assert PPL.perplexity("", "en") > 1000  # empty = maximally surprising
+    # unknown language falls back to en tables without raising
+    assert PPL.perplexity("some text", "xx") > 0

@@ -1,0 +1,88 @@
+"""End-to-end flagship pipeline tests on the synthetic pages table:
+keep/drop F1, byte-identical extraction, resume semantics (SURVEY.md §5)."""
+
+import glob
+
+import duckdb
+import pytest
+
+
+@pytest.fixture(scope="module")
+def job_out(ray_session, pages_dir, tmp_path_factory):
+    from textpipe_ray.pipelines.runner import run_pages_job
+
+    out = tmp_path_factory.mktemp("job")
+    summary = run_pages_job(f"{pages_dir}/pages-*.parquet", out, num_partitions=4)
+    return str(out), summary, pages_dir
+
+
+def test_row_conservation(job_out):
+    out, summary, pages = job_out
+    assert summary["totals"]["rows"] == 300
+    assert summary["totals"]["kept"] + summary["totals"]["dropped"] == 300
+
+
+def test_keep_drop_f1(job_out):
+    out, _, pages = job_out
+    r = duckdb.sql(
+        f"""SELECT e.expected_keep, o.keep, count(*) c FROM '{out}/part-*/*.parquet' o
+        JOIN '{pages}/expected.parquet' e USING (url) GROUP BY 1,2"""
+    ).fetchall()
+    tp = sum(c for ek, k, c in r if ek and k)
+    fp = sum(c for ek, k, c in r if not ek and k)
+    fn = sum(c for ek, k, c in r if ek and not k)
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, (f1, r)
+
+
+def test_byte_identical_clean(job_out):
+    out, _, pages = job_out
+    n = duckdb.sql(
+        f"""SELECT count(*) FROM '{out}/part-*/*.parquet' o
+        JOIN (SELECT url, text FROM '{pages}/pages-*.parquet') p USING (url)
+        WHERE o.clean <> p.text"""
+    ).fetchone()[0]
+    assert n == 0
+
+
+def test_lineage_records(job_out):
+    out, summary, _ = job_out
+    recs = sorted(glob.glob(f"{out}/_lineage/part-*.json"))
+    assert len(recs) == 4
+    import json
+
+    rec = json.load(open(recs[0]))
+    assert rec["metrics"]["rows"] > 0
+    assert "thresholds_sha" in rec["rule_versions"]
+    assert rec["input_files"]
+
+
+def test_resume_skips_and_matches(ray_session, pages_dir, tmp_path_factory):
+    from textpipe_ray.pipelines.runner import run_pages_job
+
+    out = tmp_path_factory.mktemp("resume")
+    s1 = run_pages_job(f"{pages_dir}/pages-*.parquet", out, num_partitions=4, max_partitions=2)
+    assert len(s1["partitions_ran"]) == 2
+    s2 = run_pages_job(f"{pages_dir}/pages-*.parquet", out, num_partitions=4)
+    assert s2["partitions_skipped"] == s1["partitions_ran"]
+    assert s2["totals"]["rows"] == 300
+
+
+def test_scrub_removes_pii(job_out):
+    out, _, pages = job_out
+    # kept PII rows must contain replacement tokens, and no raw emails
+    n_bad = duckdb.sql(
+        f"""SELECT count(*) FROM '{out}/part-*/*.parquet'
+        WHERE scrub_email > 0 AND scrubbed_text LIKE '%@%'"""
+    ).fetchone()[0]
+    assert n_bad == 0
+
+
+def test_stats_readable(ray_session, pages_dir):
+    """ds.stats() exposes per-stage breakdown (perf feedback loop)."""
+    from textpipe_ray.pipelines.flagship import build_pages_pipeline, read_pages
+
+    files = sorted(glob.glob(f"{pages_dir}/pages-*.parquet"))
+    ds = build_pages_pipeline(read_pages(files))
+    ds.take(5)
+    assert "LangIdStage" in ds.stats()

@@ -1,0 +1,47 @@
+"""Driver-contract replica: every oracle-checked query must match its
+DuckDB SQL exactly (rows, schema names, values) at sf0.001."""
+
+import importlib
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _entry():
+    return importlib.import_module("__ray_entry__")
+
+
+def oracle_names():
+    return sorted(_entry().oracle_sql())
+
+
+@pytest.mark.parametrize("name", [
+    "q_clean", "q_quality", "q_complexity", "q_scrub", "q_fingerprint",
+    "q_exact_dedup", "q_token_freq", "q_lang_metrics", "q_topk_docs",
+    "q_events_window", "q_agg_lineitem", "q_segment_orders", "q_ann_topk",
+])
+def test_query_matches_oracle(ray_session, name):
+    from textpipe_ray.pipelines.compare import compare, run_oracle
+
+    m = _entry()
+    sql = m.oracle_sql()[name]
+    res = m.queries()[name](SF)
+    c = compare(res, run_oracle(SF, sql))
+    assert c["rows_match"] and c["cols_match"] and c["values_match"], c
+
+
+def test_every_oracle_has_query():
+    m = _entry()
+    q = m.queries()
+    for name in m.oracle_sql():
+        assert name in q, name
+
+
+def test_entry_smoke(ray_session):
+    ds = _entry().entry()
+    assert ds.count() >= 0
+    assert ds.schema() is not None

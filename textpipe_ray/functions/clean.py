@@ -19,11 +19,16 @@ from html.parser import HTMLParser
 # Exact regexes from the reference kernel (doc.py:210-216; originally
 # adapted there from Blendle's public cleaner.py).  NOTE: the right
 # double quote '”' is intentionally NOT in the class — the
-# reference does not replace it.
-_RE_DOTS = re.compile("…")  # …
-_RE_SINGLE_QUOTES = re.compile("[`‘’‛⸂⸃⸌⸍⸜⸝]")
-_RE_DOUBLE_QUOTES = re.compile("[„“]|('')|(,,)")
-_RE_WHITESPACE = re.compile(r"\s+")
+# reference does not replace it.  The pattern strings are exported so
+# the Arrow stage and the DuckDB oracle SQL use literally these.
+DOTS_PATTERN = "…"
+SINGLE_QUOTES_PATTERN = "[`‘’‛⸂⸃⸌⸍⸜⸝]"
+DOUBLE_QUOTES_PATTERN = "[„“]|('')|(,,)"
+WHITESPACE_PATTERN = r"\s+"
+_RE_DOTS = re.compile(DOTS_PATTERN)
+_RE_SINGLE_QUOTES = re.compile(SINGLE_QUOTES_PATTERN)
+_RE_DOUBLE_QUOTES = re.compile(DOUBLE_QUOTES_PATTERN)
+_RE_WHITESPACE = re.compile(WHITESPACE_PATTERN)
 
 
 class _TextExtractor(HTMLParser):

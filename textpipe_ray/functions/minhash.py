@@ -91,11 +91,14 @@ def simhash64(tokens: list[str]) -> int:
     acc = np.zeros(64, dtype=np.int64)
     from collections import Counter
 
+    shifts = np.arange(64, dtype=np.uint64)
     for tok, cnt in Counter(tokens).items():
-        h = int.from_bytes(hashlib.blake2b(tok.encode("utf8"), digest_size=8).digest(), "little")
-        bits = (h >> np.arange(64)) & 1
+        h = np.uint64(
+            int.from_bytes(hashlib.blake2b(tok.encode("utf8"), digest_size=8).digest(), "little")
+        )
+        bits = (h >> shifts) & np.uint64(1)
         acc += np.where(bits == 1, cnt, -cnt)
-    return int((acc > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+    return sum(1 << i for i in range(64) if acc[i] > 0)
 
 
 def hamming64(a: int, b: int) -> int:

@@ -1,0 +1,225 @@
+"""DuckDB oracle-SQL builders.
+
+Each builder emits ANSI-ish SQL that DuckDB runs over the same parquet
+tables as the Ray queries in ``pipelines/queries.py``.  Both sides are
+generated from the SAME pattern/threshold constants
+(functions/quality.py RE2_PATTERNS, models/*.json), and both engines
+execute regexes with RE2 and arithmetic in IEEE doubles with matching
+expression order — so value hashes match bit-for-bit, not just
+approximately.
+"""
+
+from __future__ import annotations
+
+from textpipe_ray.functions.clean import (
+    DOTS_PATTERN,
+    DOUBLE_QUOTES_PATTERN,
+    SINGLE_QUOTES_PATTERN,
+    WHITESPACE_PATTERN,
+)
+from textpipe_ray.functions.quality import FEATURE_ORDER, LOWERED_FEATURES, RE2_PATTERNS
+from textpipe_ray.functions.scrub import load_rules
+from textpipe_ray.stages.text import (
+    ALPHA_WORD_RE2,
+    CONSONANT_WORD_RE2,
+    SENT_RE2,
+    VOWEL_GROUP_RE2,
+)
+
+
+def q(pat: str) -> str:
+    """SQL-quote a regex pattern as a string literal."""
+    return "'" + pat.replace("'", "''") + "'"
+
+
+def count_expr(target: str, pattern: str) -> str:
+    return f"len(regexp_extract_all({target}, {q(pattern)}))"
+
+
+def clean_norm_expr(col: str = "text") -> str:
+    """The clean kernel minus HTML removal (dots → quotes → whitespace),
+    for plain-text tables."""
+    e = col
+    e = f"regexp_replace({e}, {q(DOTS_PATTERN)}, '...', 'g')"
+    e = f"regexp_replace({e}, {q(SINGLE_QUOTES_PATTERN)}, '''', 'g')"
+    e = f"regexp_replace({e}, {q(DOUBLE_QUOTES_PATTERN)}, '\"', 'g')"
+    e = f"regexp_replace({e}, {q(WHITESPACE_PATTERN)}, ' ', 'g')"
+    return f"trim({e})"
+
+
+def feature_select_list(text: str = "text") -> list[str]:
+    """``name AS name`` items for every count feature + the ratios, in
+    the exact arithmetic shape of stages/text.quality_batch."""
+    items = [f"len({text}) AS n_chars"]
+    for name in FEATURE_ORDER:
+        target = f"lower({text})" if name in LOWERED_FEATURES else text
+        items.append(f"{count_expr(target, RE2_PATTERNS[name])} AS {name}")
+    return items
+
+
+_RATIO_SQL = {
+    "alpha_ratio": "CAST(n_alpha AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)",
+    "digit_ratio": "CAST(n_digit AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)",
+    "upper_ratio": "CAST(n_upper AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)",
+    "symbol_ratio": "CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)",
+    "stopword_ratio": "CAST(n_stopwords AS DOUBLE) / CAST(greatest(nwords, 1) AS DOUBLE)",
+    "mean_word_len": "CAST(n_alpha AS DOUBLE) / CAST(greatest(nwords, 1) AS DOUBLE)",
+}
+
+
+def ratio_select_list() -> list[str]:
+    return [f"{expr} AS {name}" for name, expr in _RATIO_SQL.items()]
+
+
+def rule_conditions(t: dict) -> list[tuple[str, str]]:
+    """(rule_name, violated_sql) in the priority order of quality_batch."""
+    return [
+        ("too_few_words", f"nwords < {t['min_words']}"),
+        ("too_many_words", f"nwords > {t['max_words']}"),
+        ("too_few_sents", f"nsents < {t['min_sents']}"),
+        ("word_len_low", f"mean_word_len < {t['min_mean_word_len']}"),
+        ("word_len_high", f"mean_word_len > {t['max_mean_word_len']}"),
+        ("too_few_stopwords", f"n_stopwords < {t['min_stopwords']}"),
+        ("symbol_heavy", f"symbol_ratio > {t['max_symbol_ratio']}"),
+        ("digit_heavy", f"digit_ratio > {t['max_digit_ratio']}"),
+        ("long_word_junk", f"n_long_words > {t['max_long_words']}"),
+    ]
+
+
+def keep_expr(t: dict) -> str:
+    return "(" + " AND ".join(f"NOT ({c})" for _, c in rule_conditions(t)) + ")"
+
+
+def drop_reason_expr(t: dict) -> str:
+    whens = " ".join(f"WHEN {c} THEN '{n}'" for n, c in rule_conditions(t))
+    return f"(CASE {whens} ELSE '' END)"
+
+
+def scrub_ctes(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Progressive CTE chain: per-rule match counts are taken on the
+    text as it stands BEFORE that rule's replacement (matching
+    stages/text.scrub_batch)."""
+    rules = load_rules()["rules"]
+    parts = [f"s0 AS (SELECT {id_col}, {text_col} AS t FROM {table})"]
+    prev = "s0"
+    carried: list[str] = []
+    for i, r in enumerate(rules, start=1):
+        cnt = f"{count_expr('t', r['pattern'])} AS scrub_{r['name']}"
+        repl = f"regexp_replace(t, {q(r['pattern'])}, '{r['replacement']}', 'g') AS t"
+        keep_prev = ", ".join(carried + [cnt])
+        parts.append(f"s{i} AS (SELECT {id_col}, {keep_prev}, {repl} FROM {prev})")
+        carried.append(f"scrub_{r['name']}")
+        prev = f"s{i}"
+    return "WITH " + ",\n".join(parts), prev, carried
+
+
+def build_oracle_sql() -> dict[str, str]:
+    """The driver-contract oracle: one DuckDB SQL string per
+    oracle-checked query in pipelines/queries.py, over the
+    pre-registered views (documents / embeddings / events / lineitem /
+    orders / customer)."""
+    from textpipe_ray.functions.quality import load_thresholds
+
+    t = load_thresholds()
+    out: dict[str, str] = {}
+
+    out["q_clean"] = f"SELECT doc_id, {clean_norm_expr('text')} AS clean FROM documents"
+
+    feats = ",\n       ".join(feature_select_list("text"))
+    ratios = ",\n       ".join(ratio_select_list())
+    out["q_quality"] = f"""
+WITH f AS (SELECT doc_id, {feats} FROM documents),
+r AS (SELECT *, {ratios} FROM f)
+SELECT doc_id, n_chars, {', '.join(FEATURE_ORDER)},
+       alpha_ratio, digit_ratio, upper_ratio, symbol_ratio, stopword_ratio, mean_word_len,
+       {keep_expr(t)} AS keep, {drop_reason_expr(t)} AS drop_reason
+FROM r"""
+
+    out["q_complexity"] = (
+        f"SELECT doc_id, {complexity_expr('text')} AS complexity FROM documents"
+    )
+
+    ctes, last, carried = scrub_ctes("documents")
+    out["q_scrub"] = f"{ctes}\nSELECT doc_id, {', '.join(carried)}, t AS scrubbed_text FROM {last}"
+
+    out["q_fingerprint"] = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+    out["q_exact_dedup"] = (
+        "SELECT md5(substr(text, 1, 40)) AS dedup_key, min(doc_id) AS keep_doc_id "
+        "FROM documents GROUP BY 1"
+    )
+
+    word_pat = q(RE2_PATTERNS["nwords"])
+    out["q_token_freq"] = f"""
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(regexp_extract_all(lower(text), {word_pat})) AS token FROM documents)
+GROUP BY token ORDER BY cnt DESC, token LIMIT 100"""
+
+    out["q_lang_metrics"] = f"""
+WITH f AS (SELECT lang, source, {feats} FROM documents),
+r AS (SELECT *, {ratios} FROM f),
+k AS (SELECT lang, source, n_chars, CASE WHEN {keep_expr(t)} THEN 1 ELSE 0 END AS keep_i FROM r)
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(keep_i) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+FROM k GROUP BY lang, source"""
+
+    out["q_topk_docs"] = (
+        "SELECT doc_id, lang, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20"
+    )
+
+    out["q_events_window"] = """
+WITH f AS (SELECT event_type,
+                  CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0) AS BIGINT) AS window_hour,
+                  CAST(floor(value * 1000.0) AS BIGINT) AS vmilli
+           FROM events)
+SELECT event_type, window_hour, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(vmilli) AS BIGINT) AS sum_value_milli
+FROM f GROUP BY event_type, window_hour"""
+
+    out["q_agg_lineitem"] = """
+WITH f AS (SELECT l_returnflag, l_linestatus,
+                  CAST(floor(l_quantity) AS BIGINT) AS qty,
+                  CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS price_cents,
+                  CAST(floor(l_discount * 10000.0) AS BIGINT) AS disc_e4
+           FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-03')
+SELECT l_returnflag, l_linestatus, CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST(sum(price_cents) AS BIGINT) AS sum_price_cents,
+       CAST(sum(disc_e4) AS BIGINT) AS sum_disc_e4,
+       CAST(count(*) AS BIGINT) AS n
+FROM f GROUP BY l_returnflag, l_linestatus"""
+
+    out["q_segment_orders"] = """
+SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_price_cents
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1"""
+
+    out["q_ann_topk"] = """
+WITH qv AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC,
+                    e.vec_id
+         ) AS rank
+  FROM qv q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+) WHERE rank <= 10"""
+
+    return out
+
+
+def complexity_expr(text: str = "text") -> str:
+    w = count_expr(f"lower({text})", ALPHA_WORD_RE2)
+    vg = count_expr(f"lower({text})", VOWEL_GROUP_RE2)
+    cw = count_expr(f"lower({text})", CONSONANT_WORD_RE2)
+    s = count_expr(text, SENT_RE2)
+    return (
+        f"(CASE WHEN ({vg} + {cw}) = 0 OR {w} = 0 OR {s} = 0 THEN 100.0 "
+        f"ELSE 206.835 - 1.015 * (CAST({w} AS DOUBLE) / CAST(greatest({s}, 1) AS DOUBLE)) "
+        f"- 84.6 * (CAST({vg} + {cw} AS DOUBLE) / CAST(greatest({w}, 1) AS DOUBLE)) END)"
+    )

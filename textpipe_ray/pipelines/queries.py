@@ -1,0 +1,514 @@
+"""Oracle-checked Ray Data queries (the driver contract's ``queries()``).
+
+Each function takes ``sf_dir`` and returns a Dataset / pyarrow Table.
+The paired DuckDB SQL lives in :mod:`textpipe_ray.pipelines.oracle`;
+both sides are generated from the same constants, so row counts,
+schemas and value hashes must match exactly.
+
+Scale discipline: per-batch work is vectorized Arrow; aggregations
+pre-reduce inside map_batches where useful; small sides (the customer
+dimension, the ANN query matrix) are broadcast via ``ray.put``, never
+shuffled; reads prune columns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from textpipe_ray.functions.quality import FEATURE_ORDER, load_thresholds
+from textpipe_ray.functions.scrub import load_rules
+from textpipe_ray.stages.text import (
+    complexity_batch,
+    normalize_batch,
+    quality_batch,
+    scrub_batch,
+)
+
+_I64 = pa.int64()
+_F64 = pa.float64()
+
+COUNT_COLS = ["n_chars"] + FEATURE_ORDER
+RATIO_COLS = [
+    "alpha_ratio",
+    "digit_ratio",
+    "upper_ratio",
+    "symbol_ratio",
+    "stopword_ratio",
+    "mean_word_len",
+]
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cast_counts(batch: pa.Table) -> pa.Table:
+    for name in COUNT_COLS:
+        if name in batch.column_names:
+            i = batch.column_names.index(name)
+            batch = batch.set_column(i, name, pc.cast(batch.column(name), _I64))
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# text kernels over `documents`
+# ---------------------------------------------------------------------------
+
+
+def q_clean(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(normalize_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "clean"]
+    )
+
+
+def q_quality(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        batch = quality_batch(batch, text_col="text")
+        batch = _cast_counts(batch)
+        return batch.select(["doc_id"] + COUNT_COLS + RATIO_COLS + ["keep", "drop_reason"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_complexity(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: complexity_batch(b, text_col="text").select(["doc_id", "complexity"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_scrub(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rules = load_rules()
+    cols = ["doc_id"] + [f"scrub_{r['name']}" for r in rules["rules"]] + ["scrubbed_text"]
+
+    def f(batch: pa.Table) -> pa.Table:
+        return scrub_batch(batch, text_col="text", rules=rules).select(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        fp = [hashlib.md5((t or "").encode("utf8")).hexdigest() for t in texts]
+        return batch.select(["doc_id"]).append_column("fingerprint", pa.array(fp, pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# dedup / distributed ops
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup on a 40-char-prefix hash: hash-partition groupby, min
+    doc_id survives per group (SURVEY.md §2.7)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        k = [hashlib.md5((t or "")[:40].encode("utf8")).hexdigest() for t in texts]
+        return batch.select(["doc_id"]).append_column("dedup_key", pa.array(k, pa.string()))
+
+    return (
+        ds.map_batches(key, batch_format="pyarrow")
+        .groupby("dedup_key")
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"))
+    )
+
+
+def q_token_freq(sf_dir: str, top_n: int = 100):
+    """Corpus token frequency: explode → partial pre-aggregate per batch
+    → small groupby → top-N.  The pre-aggregate shrinks the shuffle from
+    one row per token occurrence to one row per distinct token per batch."""
+    from textpipe_ray.functions.quality import RE2_PATTERNS
+
+    pat = RE2_PATTERNS["nwords"]
+    ds = _read(sf_dir, "documents", ["text"])
+
+    import regex as _re
+
+    creg = _re.compile(pat)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        # partial count within the batch (combiner before the shuffle)
+        flat: dict[str, int] = {}
+        lowered = pc.utf8_lower(batch.column("text")).to_pylist()
+        for t in lowered:
+            for m in creg.finditer(t or ""):
+                w = m.group()
+                flat[w] = flat.get(w, 0) + 1
+        return pa.table(
+            {
+                "token": pa.array(list(flat.keys()), pa.string()),
+                "partial": pa.array(list(flat.values()), _I64),
+            }
+        )
+
+    agg = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("partial", alias_name="cnt"))
+    )
+    return agg.sort(["cnt", "token"], descending=[True, False]).limit(top_n)
+
+
+def q_lang_metrics(sf_dir: str):
+    """Grouped corpus metrics per (lang, source): docs, kept, chars."""
+    ds = _read(sf_dir, "documents", ["text", "lang", "source"])
+    t = load_thresholds()
+
+    def f(batch: pa.Table) -> pa.Table:
+        batch = quality_batch(batch, text_col="text", thresholds=t)
+        keep_i = pc.cast(batch.column("keep"), _I64)
+        n_chars = pc.cast(batch.column("n_chars"), _I64)
+        return (
+            batch.select(["lang", "source"])
+            .append_column("n_chars", n_chars)
+            .append_column("keep_i", keep_i)
+        )
+
+    agg = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Sum("keep_i", alias_name="n_kept"),
+        )
+    )
+
+    def post(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("n_docs"), _F64)
+        s = pc.cast(batch.column("sum_chars"), _F64)
+        batch = batch.append_column("avg_chars", pc.divide(s, n))
+        for c in ("n_docs", "sum_chars", "n_kept"):
+            i = batch.column_names.index(c)
+            batch = batch.set_column(i, c, pc.cast(batch.column(c), _I64))
+        return batch
+
+    return agg.map_batches(post, batch_format="pyarrow")
+
+
+def q_topk_docs(sf_dir: str, k: int = 20):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# relational / events
+# ---------------------------------------------------------------------------
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour windows per event_type (streaming-shaped op on a
+    batch engine: group on a derived window key)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), _I64)  # µs since epoch
+        hour = pc.cast(pc.floor(pc.divide(pc.cast(us, _F64), 3600000000.0)), _I64)
+        vmilli = pc.cast(pc.floor(pc.multiply(batch.column("value"), 1000.0)), _I64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "window_hour": hour,
+                "vmilli": vmilli,
+            }
+        )
+
+    agg = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby(["event_type", "window_hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("vmilli", alias_name="sum_value_milli"))
+    )
+
+    def post(batch: pa.Table) -> pa.Table:
+        for c in ("n_events", "sum_value_milli"):
+            i = batch.column_names.index(c)
+            batch = batch.set_column(i, c, pc.cast(batch.column(c), _I64))
+        return batch
+
+    return agg.map_batches(post, batch_format="pyarrow")
+
+
+CUTOFF = datetime(1998, 9, 3)
+
+
+def q_agg_lineitem(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate with integer-exact money math
+    (floor to centi-units so the double-summation order can't matter)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.less(batch.column("l_shipdate"), pa.scalar(CUTOFF))
+        batch = batch.filter(mask)
+        qty = pc.cast(pc.floor(batch.column("l_quantity")), _I64)
+        cents = pc.cast(pc.floor(pc.multiply(batch.column("l_extendedprice"), 100.0)), _I64)
+        disc4 = pc.cast(pc.floor(pc.multiply(batch.column("l_discount"), 10000.0)), _I64)
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": qty,
+                "price_cents": cents,
+                "disc_e4": disc4,
+            }
+        )
+
+    agg = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Sum("disc_e4", alias_name="sum_disc_e4"),
+            Count(alias_name="n"),
+        )
+    )
+
+    def post(batch: pa.Table) -> pa.Table:
+        for c in ("sum_qty", "sum_price_cents", "sum_disc_e4", "n"):
+            i = batch.column_names.index(c)
+            batch = batch.set_column(i, c, pc.cast(batch.column(c), _I64))
+        return batch
+
+    return agg.map_batches(post, batch_format="pyarrow")
+
+
+def q_segment_orders(sf_dir: str):
+    """Broadcast hash join: the small customer dimension is shipped once
+    via ``ray.put`` and looked up per batch — no shuffle of orders."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    lookup = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist()))
+    lookup_ref = ray.put(lookup)
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        keys = batch.column("o_custkey").to_pylist()
+        seg = [lk.get(k, "UNKNOWN") for k in keys]
+        cents = pc.cast(pc.floor(pc.multiply(batch.column("o_totalprice"), 100.0)), _I64)
+        return pa.table(
+            {"c_mktsegment": pa.array(seg, pa.string()), "price_cents": cents}
+        )
+
+    agg = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="sum_price_cents"))
+    )
+
+    def post(batch: pa.Table) -> pa.Table:
+        for c in ("n_orders", "sum_price_cents"):
+            i = batch.column_names.index(c)
+            batch = batch.set_column(i, c, pc.cast(batch.column(c), _I64))
+        return batch
+
+    return agg.map_batches(post, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+ANN_NUM_QUERIES = 5
+ANN_K = 10
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k: query matrix broadcast once, per-batch
+    float64 matmul, per-query global top-k via groupby."""
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qmask = pc.less(qt.column("vec_id"), ANN_NUM_QUERIES)
+    qt = qt.filter(qmask)
+    qids = qt.column("vec_id").to_pylist()
+    qmat = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    ref = ray.put((qids, qmat, qnorm))
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        qids_, qmat_, qnorm_ = ray.get(ref)
+        ids = np.asarray(batch.column("vec_id"))
+        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.sqrt((emb * emb).sum(axis=1))
+        sims = (emb @ qmat_.T) / (norms[:, None] * qnorm_[None, :])  # (B, Q)
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(qids_):
+            keep = ids != qid
+            out_q.append(np.full(keep.sum(), qid, dtype=np.int64))
+            out_n.append(ids[keep])
+            out_s.append(sims[keep, j])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), _I64),
+                "neighbor_id": pa.array(np.concatenate(out_n), _I64),
+                "cos": pa.array(np.concatenate(out_s), _F64),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+
+    def topk(group):  # pandas DataFrame per query_id
+        g = group.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(ANN_K)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# model-scored / non-SQL-expressible queries (rows-only driver check)
+# ---------------------------------------------------------------------------
+
+
+def q_langid(sf_dir: str):
+    """Language-ID over documents.text (model op — no SQL oracle)."""
+    from textpipe_ray.stages.actors import LangIdStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return batch.append_column("clean", batch.column("text"))
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .map_batches(LangIdStage, batch_format="pyarrow", batch_size=1024, concurrency=2)
+        .select_columns(["doc_id", "pred_lang", "lang_reliable", "lang_margin"])
+    )
+
+
+def q_perplexity(sf_dir: str):
+    """Char-LM perplexity over documents.text (model op — no SQL oracle)."""
+    from textpipe_ray.stages.actors import PerplexityStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return batch.append_column("clean", batch.column("text"))
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .map_batches(PerplexityStage, batch_format="pyarrow", batch_size=1024, concurrency=2)
+        .select_columns(["doc_id", "perplexity"])
+    )
+
+
+def q_minhash(sf_dir: str):
+    """MinHash signatures (datasketch-compatible digests; no SQL oracle)."""
+    from textpipe_ray.stages.dedup import minhash_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(minhash_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "minhash"]
+    )
+
+
+def q_simhash(sf_dir: str):
+    from textpipe_ray.stages.dedup import simhash_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(simhash_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "simhash"]
+    )
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Cosine near-duplicate pairs over embeddings via hyperplane LSH."""
+    from textpipe_ray.stages.dedup import near_dup_embeddings
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return near_dup_embeddings(ds, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# flagship pages pipeline (synthetic north-rule input; rows-only check)
+# ---------------------------------------------------------------------------
+
+_PAGES_ROWS = {"0.001": 500, "0.01": 2000, "0.1": 20000}
+
+
+def pages_dir_for(sf_dir: str) -> str:
+    """Deterministic synthetic pages table scaled to the sf dir."""
+    import re as _re
+
+    from textpipe_ray.sources.pages import write_pages
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    sf = m.group(1) if m else "0.001"
+    rows = _PAGES_ROWS.get(sf, 500)
+    out = f"/tmp/textpipe_ray_pages/sf{sf}"
+    write_pages(out, rows, num_files=8)
+    return out
+
+
+def q_pages_flagship(sf_dir: str):
+    """The full quality-filter pipeline over the synthetic pages table
+    (extract → langid → perplexity → rules → scrub → keep/drop)."""
+    from textpipe_ray.pipelines.flagship import build_pages_pipeline, read_pages
+
+    import glob as _glob
+
+    pages = pages_dir_for(sf_dir)
+    ds = read_pages(sorted(_glob.glob(f"{pages}/pages-*.parquet")))
+    return build_pages_pipeline(ds)
+
+
+def q_pages_neardup(sf_dir: str):
+    """MinHash-LSH near-dup pairs over the cleaned pages (planted
+    dup_exact/dup_near rows are the expected hits)."""
+    from textpipe_ray.stages.dedup import near_dup_minhash
+    from textpipe_ray.stages.text import clean_batch
+
+    import glob as _glob
+
+    pages = pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(
+        sorted(_glob.glob(f"{pages}/pages-*.parquet")), columns=["url", "html"]
+    )
+
+    def pre(batch: pa.Table) -> pa.Table:
+        batch = clean_batch(batch)
+        # stable int id from the url row for pair output
+        ids = [int(u.rsplit("/", 1)[1]) for u in batch.column("url").to_pylist()]
+        return pa.table(
+            {"doc_id": pa.array(ids, _I64), "text": batch.column("clean")}
+        )
+
+    return near_dup_minhash(
+        ds.map_batches(pre, batch_format="pyarrow"), threshold=0.85, shingle_size=5
+    )

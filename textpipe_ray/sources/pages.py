@@ -56,6 +56,19 @@ _SENTS: dict[str, list[str]] = {
     lang: [s.strip() + "." for s in re.split(r"(?<=[.。])\s+", text) if s.strip()]
     for lang, text in SEED_CORPORA.items()
 }
+# per-language vocabulary for the unique-suffix sentence that keeps
+# non-duplicate docs genuinely distinct (shingle Jaccard well below the
+# near-dup threshold) even though they sample the same sentence pool
+_VOCAB: dict[str, list[str]] = {
+    lang: sorted({w for w in re.findall(r"[^\W\d_]+", text.lower()) if len(w) > 2})
+    for lang, text in SEED_CORPORA.items()
+}
+
+
+def _unique_suffix(rng: random.Random, lang: str) -> str:
+    vocab = _VOCAB[lang]
+    k = min(14, len(vocab))
+    return " ".join(rng.sample(vocab, k)) + "."
 
 _TOXIC = ["idiot", "stupid", "moron"]
 _PII_SNIPPETS = [
@@ -72,10 +85,21 @@ def _make_text(rng: random.Random, lang: str, category: str, i: int) -> tuple[st
     if category == "good":
         k = rng.randint(4, 9)
         picks = [sents[rng.randrange(len(sents))] for _ in range(k)]
+        picks.append(_unique_suffix(rng, lang))
         return " ".join(picks), category
     if category == "short":
-        words = sents[rng.randrange(len(sents))].split()[: rng.randint(2, 6)]
-        return " ".join(words), category
+        # genuinely short under the engine's tokenizer contract
+        # (apostrophes split into extra tokens, so cap by token count)
+        from textpipe_ray.functions.tokenize import nwords as _nwords
+
+        words = sents[rng.randrange(len(sents))].split()
+        budget = rng.randint(2, 5)
+        out: list[str] = []
+        for w in words:
+            if _nwords(" ".join(out + [w])) > budget:
+                break
+            out.append(w)
+        return " ".join(out or words[:1]), category
     if category == "gibberish":
         # consonant-heavy shuffled junk: no stopwords, high perplexity
         base = "".join(rng.choice("bcdfghjklmnpqrstvwxz") for _ in range(rng.randint(80, 160)))
@@ -90,12 +114,14 @@ def _make_text(rng: random.Random, lang: str, category: str, i: int) -> tuple[st
         k = rng.randint(4, 7)
         picks = [sents[rng.randrange(len(sents))] for _ in range(k)]
         picks.insert(rng.randrange(len(picks)), _PII_SNIPPETS[i % len(_PII_SNIPPETS)].format(i=i % 100))
+        picks.append(_unique_suffix(rng, lang))
         return " ".join(picks), category
     if category == "toxic":
         k = rng.randint(4, 7)
         picks = [sents[rng.randrange(len(sents))] for _ in range(k)]
         for t in _TOXIC:
             picks.insert(rng.randrange(len(picks)), f"You are a {t} and a {t}.")
+        picks.append(_unique_suffix(rng, lang))
         return " ".join(picks), category
     if category == "empty_un":
         return rng.choice(["", "...", "12 34 56 78 90", "!!! ??? !!!"]), category

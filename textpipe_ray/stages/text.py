@@ -47,6 +47,26 @@ def clean_batch(batch: pa.Table, source_col: str = S.HTML, out_col: str = S.CLEA
     return batch.append_column(out_col, pa.array(cleaned, type=pa.string()))
 
 
+def normalize_batch(batch: pa.Table, text_col: str = "text", out_col: str = S.CLEAN) -> pa.Table:
+    """The clean kernel minus HTML removal (dots → quotes → whitespace),
+    fully vectorized — the plain-text counterpart of :func:`clean_batch`
+    and the exact mirror of ``oracle.clean_norm_expr``."""
+    from textpipe_ray.functions.clean import (
+        DOTS_PATTERN,
+        DOUBLE_QUOTES_PATTERN,
+        SINGLE_QUOTES_PATTERN,
+        WHITESPACE_PATTERN,
+    )
+
+    col = batch.column(text_col)
+    col = pc.replace_substring_regex(col, DOTS_PATTERN, "...")
+    col = pc.replace_substring_regex(col, SINGLE_QUOTES_PATTERN, "'")
+    col = pc.replace_substring_regex(col, DOUBLE_QUOTES_PATTERN, '"')
+    col = pc.replace_substring_regex(col, WHITESPACE_PATTERN, " ")
+    col = pc.utf8_trim(col, " ")
+    return batch.append_column(out_col, col)
+
+
 def content_hash_batch(batch: pa.Table, text_col: str = S.CLEAN) -> pa.Table:
     """md5 hex of the text — exact-dedup key (matches DuckDB ``md5()``)."""
     vals = batch.column(text_col).to_pylist()
