@@ -48,22 +48,54 @@ def sha1_hash32(data: bytes) -> int:
     return struct.unpack("<I", hashlib.sha1(data).digest()[:4])[0]
 
 
-def minhash_signature(tokens: list[str], num_perm: int = DEFAULT_NUM_PERM) -> np.ndarray:
-    """uint64[num_perm] signature over the token multiset (set semantics)."""
+def minhash_from_hashes(hvs: np.ndarray, num_perm: int = DEFAULT_NUM_PERM) -> np.ndarray:
+    """Signature from precomputed 32-bit element hashes (uint64 array)."""
     if num_perm == DEFAULT_NUM_PERM:
         a, b = _PERM_A, _PERM_B
     else:
         a, b = _permutations(num_perm)
-    if not tokens:
+    if len(hvs) == 0:
         return np.full(num_perm, _MAX_HASH, dtype=np.uint64)
-    hvs = np.array(
-        sorted({sha1_hash32(t.encode("utf8")) for t in tokens}), dtype=np.uint64
-    )
     # (T, P) permuted hashes → column-min; uint64 mul wraps mod 2^64 which
     # matches datasketch (operands < 2^61 so a*hv < 2^93 — datasketch
     # relies on the same numpy wrap, making digests identical).
     phv = np.bitwise_and((hvs[:, None] * a[None, :] + b[None, :]) % _MERSENNE_PRIME, _MAX_HASH)
     return phv.min(axis=0)
+
+
+def minhash_signature(tokens: list[str], num_perm: int = DEFAULT_NUM_PERM) -> np.ndarray:
+    """uint64[num_perm] signature over the token multiset (set semantics,
+    sha1-32 element hashing — digest-identical to datasketch)."""
+    if not tokens:
+        return np.full(num_perm, _MAX_HASH, dtype=np.uint64)
+    hvs = np.array(
+        sorted({sha1_hash32(t.encode("utf8")) for t in tokens}), dtype=np.uint64
+    )
+    return minhash_from_hashes(hvs, num_perm)
+
+
+_POLY_B = np.uint64(1000003)
+
+
+def shingle_hashes32(text: str, n: int = 5) -> np.ndarray:
+    """Vectorized 32-bit rolling polynomial hashes of the utf8-byte
+    n-gram shingles of ``text`` (unique, sorted).  ~100× faster than
+    per-shingle sha1 — the near-dup fast path; NOT datasketch-digest
+    compatible (use :func:`minhash_signature` for that)."""
+    b = np.frombuffer(text.encode("utf8"), dtype=np.uint8).astype(np.uint64)
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if len(b) < n:
+        n = len(b)
+    L = len(b) - n + 1
+    h = np.zeros(L, dtype=np.uint64)
+    for j in range(n):
+        h = h * _POLY_B + b[j : j + L]
+    return np.unique(h & _MAX_HASH)
+
+
+def minhash_signature_shingles(text: str, n: int = 5, num_perm: int = DEFAULT_NUM_PERM) -> np.ndarray:
+    return minhash_from_hashes(shingle_hashes32(text, n), num_perm)
 
 
 def jaccard(sig1: np.ndarray, sig2: np.ndarray) -> float:

@@ -490,8 +490,9 @@ def q_pages_flagship(sf_dir: str):
 
 def q_pages_neardup(sf_dir: str):
     """MinHash-LSH near-dup pairs over the cleaned pages (planted
-    dup_exact/dup_near rows are the expected hits)."""
-    from textpipe_ray.stages.dedup import near_dup_minhash
+    dup_near rows are the expected hits; byte-identical templates are
+    collapsed by the exact-dedup pre-pass)."""
+    from textpipe_ray.stages.dedup import near_dup_after_exact
     from textpipe_ray.stages.text import clean_batch
 
     import glob as _glob
@@ -509,6 +510,12 @@ def q_pages_neardup(sf_dir: str):
             {"doc_id": pa.array(ids, _I64), "text": batch.column("clean")}
         )
 
-    return near_dup_minhash(
-        ds.map_batches(pre, batch_format="pyarrow"), threshold=0.85, shingle_size=5
+    # 16 bands × 8 rows: fire probability ≈1 at J≥0.85, ≈2% at the
+    # corpus's J≈0.5 same-language background — bands/rows must be tuned
+    # to the threshold or candidates explode quadratically
+    return near_dup_after_exact(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        threshold=0.85,
+        shingle_size=5,
+        num_bands=16,
     )
