@@ -1,0 +1,71 @@
+"""Multimodal stage plumbing tests (decode stubbed, Ray path real)."""
+
+import numpy as np
+import pytest
+
+from textpipe_ray.stages.multimodal import (
+    AudioFeatureStage,
+    DecoderBackend,
+    FakeDecoderBackend,
+    ImageFeatureStage,
+    generate_media,
+)
+
+
+def test_generate_media_schema():
+    t = generate_media(50)
+    assert t.num_rows == 50
+    assert set(t.column("kind").to_pylist()) <= {"image", "audio", "video"}
+    # deterministic
+    assert t.equals(generate_media(50))
+
+
+def test_real_backend_raises():
+    b = DecoderBackend()
+    with pytest.raises(NotImplementedError):
+        b.decode_image(b"x", 1, 1)
+    with pytest.raises(NotImplementedError):
+        b.decode_audio(b"x", 16000, 100)
+
+
+def test_image_stage_direct():
+    t = generate_media(20)
+    stage = ImageFeatureStage(target_size=16)
+    out = stage(t)
+    kinds = out.column("kind").to_pylist()
+    feats = out.column("image_features").to_pylist()
+    for k, f in zip(kinds, feats):
+        if k == "image":
+            assert f is not None and len(f) == 8
+        else:
+            assert f is None
+
+
+def test_audio_stage_direct():
+    t = generate_media(20)
+    out = AudioFeatureStage(frame_ms=100)(t)
+    for k, env, dur in zip(
+        out.column("kind").to_pylist(),
+        out.column("rms_envelope").to_pylist(),
+        out.column("duration_ms").to_pylist(),
+    ):
+        if k == "audio":
+            assert env is not None
+            assert len(env) == (16000 * dur // 1000) // 1600
+        else:
+            assert env is None
+
+
+def test_media_pipeline_on_ray(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(generate_media(64))
+    out = (
+        ds.map_batches(ImageFeatureStage, batch_format="pyarrow", batch_size=16, concurrency=2)
+        .map_batches(AudioFeatureStage, batch_format="pyarrow", batch_size=16, concurrency=2)
+        .to_pandas()
+    )
+    assert len(out) == 64
+    img = out[out["kind"] == "image"]
+    assert img["decoded_ok"].all()
+    assert img["image_features"].map(len).eq(8).all()

@@ -447,6 +447,53 @@ def q_simhash(sf_dir: str):
     )
 
 
+def q_textpipe_ops(sf_dir: str):
+    """The textpipe operation registry run as one fused batch stage over
+    documents (Pipeline-spec path; nested Arrow output → rows-only check)."""
+    from textpipe_ray.pipelines.spec import Pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    p = Pipeline(
+        [
+            "CleanText",
+            "Language",
+            "NWords",
+            "NSentences",
+            "Complexity",
+            "Keyterms",
+            "MinHash",
+            "LeadSentences",
+        ]
+    )
+    return p.transform(ds).select_columns(
+        ["doc_id", "Language", "NWords", "NSentences", "Complexity"]
+    )
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal actor-pool stages over the synthetic media table
+    (decode stubbed deterministically; Ray plumbing real)."""
+    import ray.data
+
+    from textpipe_ray.stages.multimodal import (
+        AudioFeatureStage,
+        ImageFeatureStage,
+        generate_media,
+    )
+
+    rows = {"0.001": 200, "0.01": 500, "0.1": 2000}
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    n = rows.get(m.group(1) if m else "0.001", 200)
+    ds = ray.data.from_arrow(generate_media(n)).repartition(8)
+    return (
+        ds.map_batches(ImageFeatureStage, batch_format="pyarrow", batch_size=32, concurrency=(1, 4))
+        .map_batches(AudioFeatureStage, batch_format="pyarrow", batch_size=32, concurrency=(1, 4))
+        .select_columns(["media_id", "kind", "decoded_ok", "image_features", "rms_envelope"])
+    )
+
+
 def q_embedding_neardup(sf_dir: str):
     """Cosine near-duplicate pairs over embeddings via hyperplane LSH."""
     from textpipe_ray.stages.dedup import near_dup_embeddings

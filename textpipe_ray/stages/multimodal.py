@@ -1,0 +1,169 @@
+"""Multimodal (image/audio/video) stages: opaque binary columns +
+typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The Ray-side plumbing — schemas, batch sizing for large payloads,
+actor signatures, output layout — is real and tested; the actual
+codec work is stubbed behind ``DecoderBackend`` because the media
+libraries are not available in this environment.  Swapping in a real
+backend (PIL/torchaudio/ffmpeg) touches ONE class per modality.
+
+Scale notes: binary payloads dominate block size — use small
+``batch_size`` (16-64) and let ``target_max_block_size`` keep blocks
+bounded; decode stages pin ``num_cpus`` per actor and the pool size
+caps peak decoded-memory = concurrency × batch_size × frame bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),          # 'image' | 'audio' | 'video'
+        ("payload", pa.binary()),        # opaque encoded bytes
+        ("mime", pa.string()),
+        ("width", pa.int32()),           # images/video
+        ("height", pa.int32()),
+        ("sample_rate", pa.int32()),     # audio
+        ("duration_ms", pa.int64()),     # audio/video
+    ]
+)
+
+
+class DecoderBackend:
+    """Codec seam.  The deterministic fake derives pseudo-pixels /
+    samples from the payload hash so pipelines are testable end-to-end;
+    a real backend decodes with PIL / soundfile / ffmpeg."""
+
+    def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        raise NotImplementedError("real image decoding requires an image library")
+
+    def decode_audio(self, payload: bytes, sample_rate: int, duration_ms: int) -> np.ndarray:
+        raise NotImplementedError("real audio decoding requires an audio library")
+
+
+class FakeDecoderBackend(DecoderBackend):
+    def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=4).digest(), "little")
+        return np.random.RandomState(seed).randint(
+            0, 256, size=(max(height, 1), max(width, 1), 3), dtype=np.uint8
+        )
+
+    def decode_audio(self, payload: bytes, sample_rate: int, duration_ms: int) -> np.ndarray:
+        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=4).digest(), "little")
+        n = max(1, int(max(sample_rate, 1) * max(duration_ms, 1) / 1000))
+        return np.random.RandomState(seed).standard_normal(min(n, 480000)).astype(np.float32)
+
+
+class ImageFeatureStage:
+    """Actor-pool stage: decode → resize → global feature vector.
+
+    Use: ``ds.map_batches(ImageFeatureStage, batch_size=32,
+    concurrency=(2, 8), num_cpus=1, batch_format='pyarrow')``."""
+
+    def __init__(self, target_size: int = 64, backend: DecoderBackend | None = None):
+        self.size = target_size
+        self.backend = backend or FakeDecoderBackend()
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        # nearest-neighbour resize without an image library
+        h, w = img.shape[:2]
+        ys = (np.arange(self.size) * h // self.size).clip(0, h - 1)
+        xs = (np.arange(self.size) * w // self.size).clip(0, w - 1)
+        return img[ys][:, xs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, ok = [], []
+        for i in range(len(batch)):
+            if batch.column("kind")[i].as_py() != "image":
+                feats.append(None)
+                ok.append(False)
+                continue
+            img = self.backend.decode_image(
+                batch.column("payload")[i].as_py(),
+                batch.column("width")[i].as_py() or 1,
+                batch.column("height")[i].as_py() or 1,
+            )
+            small = self._resize(img).astype(np.float64) / 255.0
+            # cheap global features: per-channel means + gradient energy
+            f = np.concatenate(
+                [small.mean(axis=(0, 1)), small.std(axis=(0, 1)),
+                 [float(np.abs(np.diff(small.mean(axis=2), axis=0)).mean()),
+                  float(np.abs(np.diff(small.mean(axis=2), axis=1)).mean())]]
+            )
+            feats.append(f.tolist())
+            ok.append(True)
+        return batch.append_column(
+            "image_features", pa.array(feats, pa.list_(pa.float64()))
+        ).append_column("decoded_ok", pa.array(ok, pa.bool_()))
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: decode → frame → per-frame RMS envelope."""
+
+    def __init__(self, frame_ms: int = 100, backend: DecoderBackend | None = None):
+        self.frame_ms = frame_ms
+        self.backend = backend or FakeDecoderBackend()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        envs = []
+        for i in range(len(batch)):
+            if batch.column("kind")[i].as_py() != "audio":
+                envs.append(None)
+                continue
+            sr = batch.column("sample_rate")[i].as_py() or 16000
+            samples = self.backend.decode_audio(
+                batch.column("payload")[i].as_py(), sr, batch.column("duration_ms")[i].as_py() or 0
+            )
+            frame = max(1, sr * self.frame_ms // 1000)
+            n = len(samples) // frame
+            if n == 0:
+                envs.append([])
+                continue
+            rms = np.sqrt((samples[: n * frame].reshape(n, frame) ** 2).mean(axis=1))
+            envs.append(rms.astype(np.float64).tolist())
+        return batch.append_column("rms_envelope", pa.array(envs, pa.list_(pa.float64())))
+
+
+def generate_media(num_rows: int, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic media table in MEDIA_SCHEMA."""
+    rng = np.random.RandomState(seed)
+    kinds, payloads, mimes, ws, hs, srs, durs = [], [], [], [], [], [], []
+    for i in range(num_rows):
+        kind = ["image", "audio", "video"][int(rng.randint(3))]
+        kinds.append(kind)
+        payloads.append(rng.bytes(int(rng.randint(200, 2000))))
+        if kind == "image":
+            mimes.append("image/png")
+            ws.append(int(rng.randint(32, 512)))
+            hs.append(int(rng.randint(32, 512)))
+            srs.append(0)
+            durs.append(0)
+        elif kind == "audio":
+            mimes.append("audio/wav")
+            ws.append(0)
+            hs.append(0)
+            srs.append(16000)
+            durs.append(int(rng.randint(500, 10000)))
+        else:
+            mimes.append("video/mp4")
+            ws.append(int(rng.randint(64, 1920)))
+            hs.append(int(rng.randint(64, 1080)))
+            srs.append(0)
+            durs.append(int(rng.randint(1000, 60000)))
+    return pa.table(
+        {
+            "media_id": pa.array(list(range(num_rows)), pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(mimes, pa.string()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "sample_rate": pa.array(srs, pa.int32()),
+            "duration_ms": pa.array(durs, pa.int64()),
+        }
+    )

@@ -1,0 +1,286 @@
+"""The full textpipe operation registry as Arrow batch transforms.
+
+One entry per public Operation class of the reference
+(/root/reference/textpipe/operation.py:36-448, SURVEY.md §2.1): each op
+appends ONE column, named after the step, to the flowing batch — the
+reference's ``{op_name: value}`` output dict becomes wide columns
+(SURVEY.md §1.3).  Ops read the ``clean`` / language columns computed
+by earlier steps, which is the dataflow version of the Doc's lru_cache
+DAG (clean parsed once, reused everywhere).
+
+Models (vectors, sentiment lexicons, langid) are cached per worker
+process via module-level loaders — Ray reuses worker processes across
+tasks, so this is the same load-once amortisation as the reference's
+``_spacy_nlps`` pipeline cache (pipeline.py:32-33); the flagship's
+langid/perplexity additionally ship as explicit actor-pool stages
+(stages/actors.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import pyarrow as pa
+
+from textpipe_ray import schema as S
+from textpipe_ray.functions import entities as ents_fn
+from textpipe_ray.functions import keyterms as kt_fn
+from textpipe_ray.functions import sentiment as sent_fn
+from textpipe_ray.functions import summary as sum_fn
+from textpipe_ray.functions import vectors as vec_fn
+from textpipe_ray.functions.clean import clean_text, resolve_lang
+from textpipe_ray.functions.langid import LangIdModel
+from textpipe_ray.functions.minhash import minhash_signature
+from textpipe_ray.functions.tokenize import (
+    extract_lead,
+    flesch_reading_ease,
+    sents,
+    word_counts,
+    words,
+)
+from textpipe_ray.data.emoji import EMOJI_TO_SENTIMENT, EMOJI_TO_UNICODE_NAME
+
+
+@functools.lru_cache()
+def _langid_model() -> LangIdModel:
+    return LangIdModel.load()
+
+
+@functools.lru_cache()
+def _vector_model(lang: str) -> vec_fn.HashVectorModel:
+    return vec_fn.HashVectorModel(lang)
+
+
+def _texts(batch: pa.Table, col: str) -> list[str]:
+    return [t or "" for t in batch.column(col).to_pylist()]
+
+
+def _clean_col(batch: pa.Table) -> list[str]:
+    if S.CLEAN in batch.column_names:
+        return _texts(batch, S.CLEAN)
+    src = "raw" if "raw" in batch.column_names else S.TEXT
+    return [clean_text(t) for t in _texts(batch, src)]
+
+
+def _resolved_langs(batch: pa.Table, hint: str) -> list[str]:
+    if S.RESOLVED_LANG in batch.column_names:
+        return _texts(batch, S.RESOLVED_LANG)
+    model = _langid_model()
+    out = []
+    for t in _clean_col(batch):
+        ok, lang, _ = model.detect(t, hint)
+        out.append(resolve_lang(lang, ok, hint))
+    return out
+
+
+# ---- operation implementations (append one column each) --------------------
+
+
+def op_raw(batch, name, settings, hint):
+    src = "raw" if "raw" in batch.column_names else S.TEXT
+    return batch.append_column(name, batch.column(src))
+
+
+def op_clean_text(batch, name, settings, hint):
+    src = "raw" if "raw" in batch.column_names else S.TEXT
+    vals = [clean_text(t, **settings) for t in _texts(batch, src)]
+    batch = batch.append_column(name, pa.array(vals, pa.string()))
+    if S.CLEAN not in batch.column_names:
+        batch = batch.append_column(S.CLEAN, pa.array(vals, pa.string()))
+    return batch
+
+
+def op_language(batch, name, settings, hint):
+    model = _langid_model()
+    vals = []
+    for t in _clean_col(batch):
+        ok, lang, _ = model.detect(t, hint)
+        vals.append(lang if (ok or lang == "un") else hint)
+    return batch.append_column(name, pa.array(vals, pa.string()))
+
+
+def op_nwords(batch, name, settings, hint):
+    return batch.append_column(
+        name, pa.array([len(words(t)) for t in _clean_col(batch)], pa.int64())
+    )
+
+
+def op_words(batch, name, settings, hint):
+    t = pa.list_(pa.struct([("text", pa.string()), ("offset", pa.int64())]))
+    vals = [[{"text": w, "offset": o} for w, o in words(x)] for x in _clean_col(batch)]
+    return batch.append_column(name, pa.array(vals, t))
+
+
+def op_word_counts(batch, name, settings, hint):
+    t = pa.map_(pa.string(), pa.int64())
+    vals = [sorted(word_counts(x).items()) for x in _clean_col(batch)]
+    return batch.append_column(name, pa.array(vals, t))
+
+
+def op_complexity(batch, name, settings, hint):
+    return batch.append_column(
+        name, pa.array([flesch_reading_ease(t) for t in _clean_col(batch)], pa.float64())
+    )
+
+
+def op_sentences(batch, name, settings, hint):
+    t = pa.list_(pa.struct([("text", pa.string()), ("offset", pa.int64())]))
+    vals = [[{"text": s, "offset": o} for s, o in sents(x)] for x in _clean_col(batch)]
+    return batch.append_column(name, pa.array(vals, t))
+
+
+def op_nsentences(batch, name, settings, hint):
+    return batch.append_column(
+        name, pa.array([len(sents(t)) for t in _clean_col(batch)], pa.int64())
+    )
+
+
+def op_entities(batch, name, settings, hint):
+    attrs = tuple(settings.get("ent_attributes", ("text", "label_")))
+    model_name = settings.get("model_name")
+    t = pa.list_(pa.list_(pa.string()))
+    vals = [
+        [[str(a) for a in tup] for tup in ents_fn.find_ents(x, model_name, attrs)]
+        for x in _clean_col(batch)
+    ]
+    return batch.append_column(name, pa.array(vals, t))
+
+
+def op_sentiment(batch, name, settings, hint):
+    t = pa.struct([("polarity", pa.float64()), ("subjectivity", pa.float64())])
+    langs = _resolved_langs(batch, hint)
+    vals = []
+    for x, lang in zip(_clean_col(batch), langs):
+        try:
+            p, s = sent_fn.sentiment(x, lang)
+            vals.append({"polarity": p, "subjectivity": s})
+        except sent_fn.MissingModelException:
+            vals.append(None)
+    return batch.append_column(name, pa.array(vals, t))
+
+
+def op_keyterms(batch, name, settings, hint):
+    ranker = settings.get("ranker", "textrank")
+    n_terms = settings.get("n_terms", 10)
+    t = pa.list_(pa.struct([("term", pa.string()), ("score", pa.float64())]))
+    langs = _resolved_langs(batch, hint)
+    vals = [
+        [{"term": k, "score": v} for k, v in kt_fn.extract_keyterms(x, lang, ranker, n_terms)]
+        for x, lang in zip(_clean_col(batch), langs)
+    ]
+    return batch.append_column(name, pa.array(vals, t))
+
+
+def op_minhash(batch, name, settings, hint):
+    num_perm = settings.get("num_perm", 128)
+    vals = [
+        minhash_signature([w for w, _ in words(x)], num_perm).tolist()
+        for x in _clean_col(batch)
+    ]
+    return batch.append_column(name, pa.array(vals, pa.list_(pa.uint64())))
+
+
+def op_emojis(batch, name, settings, hint):
+    t = pa.list_(
+        pa.struct([("emoji", pa.string()), ("name", pa.string()), ("sentiment", pa.float64())])
+    )
+    vals = []
+    for x in _clean_col(batch):
+        hits = []
+        for ch in x:
+            uname = EMOJI_TO_UNICODE_NAME.get(ch)
+            if uname is not None:
+                hits.append({"emoji": ch, "name": uname, "sentiment": EMOJI_TO_SENTIMENT[ch]})
+        vals.append(hits)
+    return batch.append_column(name, pa.array(vals, t))
+
+
+def op_word_vectors(batch, name, settings, hint):
+    t = pa.map_(
+        pa.string(),
+        pa.struct(
+            [
+                ("has_vector", pa.bool_()),
+                ("vector_norm", pa.float64()),
+                ("is_oov", pa.bool_()),
+                ("vector", pa.list_(pa.float64())),
+            ]
+        ),
+    )
+    langs = _resolved_langs(batch, hint)
+    vals = [
+        sorted(vec_fn.word_vectors(x, _vector_model(lang if lang in ("en",) else "en")).items())
+        for x, lang in zip(_clean_col(batch), langs)
+    ]
+    return batch.append_column(name, pa.array(vals, t))
+
+
+def op_document_vector(batch, name, settings, hint):
+    agg = settings.get("aggregation", "mean")
+    norm = settings.get("normalize", False)
+    excl = settings.get("exclude_oov", False)
+    langs = _resolved_langs(batch, hint)
+    vals = [
+        vec_fn.aggregate_word_vectors(
+            x, _vector_model(lang if lang in ("en",) else "en"), agg, norm, excl
+        )
+        for x, lang in zip(_clean_col(batch), langs)
+    ]
+    return batch.append_column(name, pa.array(vals, pa.list_(pa.float64())))
+
+
+def op_gensim_document_embedding(batch, name, settings, hint):
+    lowercase = settings.get("lowercase", True)
+    weighting = settings.get("idf_weighting", "naive")
+    langs = _resolved_langs(batch, hint)
+    vals = []
+    for x, lang in zip(_clean_col(batch), langs):
+        try:
+            model = _vector_model(lang)
+        except vec_fn.MissingModelException:
+            model = _vector_model("en")
+        vals.append(vec_fn.document_embedding(x, model, lowercase, weighting))
+    return batch.append_column(name, pa.array(vals, pa.list_(pa.float64())))
+
+
+def op_gensim_textrank(batch, name, settings, hint):
+    ratio = settings.get("ratio", 0.2)
+    wc = settings.get("word_count")
+    vals = [sum_fn.textrank_summary(x, ratio, wc) for x in _clean_col(batch)]
+    return batch.append_column(name, pa.array(vals, pa.list_(pa.string())))
+
+
+def op_lead_sentences(batch, name, settings, hint):
+    n = settings.get("nsents", 3)
+    vals = [extract_lead(x, n) for x in _clean_col(batch)]
+    return batch.append_column(name, pa.array(vals, pa.list_(pa.string())))
+
+
+def op_categories(batch, name, settings, hint):
+    # default textcat has no labels → {} per doc (reference doc.py:783-802)
+    vals = [[] for _ in range(len(batch))]
+    return batch.append_column(name, pa.array(vals, pa.map_(pa.string(), pa.float64())))
+
+
+OPERATIONS = {
+    "Raw": op_raw,
+    "CleanText": op_clean_text,
+    "Language": op_language,
+    "NWords": op_nwords,
+    "Words": op_words,
+    "WordCounts": op_word_counts,
+    "Complexity": op_complexity,
+    "Sentences": op_sentences,
+    "NSentences": op_nsentences,
+    "Entities": op_entities,
+    "Sentiment": op_sentiment,
+    "Keyterms": op_keyterms,
+    "MinHash": op_minhash,
+    "Emojis": op_emojis,
+    "WordVectors": op_word_vectors,
+    "DocumentVector": op_document_vector,
+    "GensimDocumentEmbedding": op_gensim_document_embedding,
+    "GensimTextRank": op_gensim_textrank,
+    "LeadSentences": op_lead_sentences,
+    "Categories": op_categories,
+}
