@@ -75,9 +75,11 @@ def run_bench() -> dict:
                 fh.read()
 
     queries = entrymod.queries()
+    only = os.environ.get("RAY_GRAFT_ONLY")
+    names = only.split(",") if only else BENCH_QUERIES
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name in BENCH_QUERIES:
+    for name in names:
         t0 = time.time()
         rows[name] = consume(queries[name](SF_DIR))
         timings[name] = round(time.time() - t0, 3)
@@ -97,9 +99,21 @@ def run_bench() -> dict:
     return out
 
 
+SCALING_ROWS = int(os.environ.get("TEXTPIPE_SCALING_ROWS", "300000"))
+
+
 def run_scaling() -> dict:
+    """Same job, two parallelism levels, fresh processes.  Uses a larger
+    pages table (SCALING_ROWS) than the plain bench so the measurement
+    reflects steady-state throughput, not actor/session spin-up."""
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            RAY_GRAFT_ONLY="q_pages_flagship",
+            TEXTPIPE_PAGES_ROWS=str(SCALING_ROWS),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -85,4 +85,4 @@ def test_stats_readable(ray_session, pages_dir):
     files = sorted(glob.glob(f"{pages_dir}/pages-*.parquet"))
     ds = build_pages_pipeline(read_pages(files))
     ds.take(5)
-    assert "LangIdStage" in ds.stats()
+    assert "ScoringStage" in ds.stats()

@@ -26,6 +26,8 @@ import sys
 import unicodedata
 from pathlib import Path
 
+import numpy as np
+
 DEFAULT_MODEL_PATH = Path(__file__).resolve().parents[2] / "models" / "langid.json"
 # cld2-style bestEffort guard: only the first MAX_CHARS chars are scored.
 MAX_CHARS = 1000
@@ -59,75 +61,94 @@ def train(corpora: dict[str, str]) -> dict:
     return {"version": 1, "counts": counts}
 
 
+# code-point mixing constants: 0x110000 > max code point, so the key
+# c0*K2 + c1*K1 + c2 is collision-free and < 2^63
+_K1 = np.uint64(0x110000)
+_K2 = np.uint64(0x110000) * np.uint64(0x110000)
+
+# per-char Unicode category memo (categories repeat heavily in text)
+_CAT_CACHE: dict[str, str] = {}
+
+
+def _cat0(c: str) -> str:
+    v = _CAT_CACHE.get(c)
+    if v is None:
+        v = unicodedata.category(c)[0]
+        _CAT_CACHE[c] = v
+    return v
+
+
 class LangIdModel:
     """Loaded scorer.  Construction cost (log-prob table build) is paid
-    once per actor in the stage's ``__init__`` — never per batch."""
+    once per actor in the stage's ``__init__`` — never per batch.
+    Scoring is vectorized: trigram keys → ``np.searchsorted`` into a
+    sorted key array → one matrix gather + column sum per document."""
 
     def __init__(self, model: dict):
         counts = model["counts"]
         self.langs: list[str] = sorted(counts)
-        vocab = set()
-        for table in counts.values():
-            vocab.update(table)
+        nl = len(self.langs)
+        vocab = sorted({tri for table in counts.values() for tri in table})
         v = len(vocab)
-        self._logprob: dict[str, list[float]] = {}
-        self._unk: list[float] = []
+        tri_index = {tri: i for i, tri in enumerate(vocab)}
+        self._unk = np.empty(nl, dtype=np.float64)
+        mat = np.empty((v, nl), dtype=np.float64)
         for li, lang in enumerate(self.langs):
             table = counts[lang]
             total = sum(table.values())
             denom = total + ALPHA * (v + 1)
-            self._unk.append(math.log(ALPHA / denom))
+            self._unk[li] = math.log(ALPHA / denom)
+            col = np.full(v, self._unk[li])
             for tri, c in table.items():
-                row = self._logprob.setdefault(tri, [0.0] * len(self.langs))
-                row[li] = math.log((c + ALPHA) / denom)
-        # fill zeros (unseen-in-this-lang) with that lang's unk score
-        for tri, row in self._logprob.items():
-            for li in range(len(self.langs)):
-                if row[li] == 0.0:
-                    row[li] = self._unk[li]
+                col[tri_index[tri]] = math.log((c + ALPHA) / denom)
+            mat[:, li] = col
+        keys = np.array(
+            [
+                int(_K2) * ord(t[0]) + int(_K1) * ord(t[1]) + ord(t[2])
+                for t in vocab
+            ],
+            dtype=np.uint64,
+        )
+        order = np.argsort(keys)
+        self._keys = keys[order]
+        self._mat = mat[order]
+        self._idx = {l: i for i, l in enumerate(self.langs)}
 
     @classmethod
     def load(cls, path: str | Path = DEFAULT_MODEL_PATH) -> "LangIdModel":
         with open(path, "r", encoding="utf8") as f:
             return cls(json.load(f))
 
+    def _trigram_keys(self, stripped: str) -> np.ndarray:
+        padded = " " + stripped.lower()[:MAX_CHARS] + " "
+        codes = np.frombuffer(padded.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        return codes[:-2] * _K2 + codes[1:-1] * _K1 + codes[2:]
+
     def detect(self, clean: str, hint_language: str | None = None) -> tuple[bool, str, float]:
         """→ (is_reliable, lang, margin).  ``clean`` is the post-clean text."""
-        stripped = strip_mc_categories(clean)
-        if not any(unicodedata.category(c)[0] == "L" for c in stripped):
+        stripped = "".join(c for c in clean if _cat0(c) not in ("M", "C"))
+        n_letters = sum(1 for c in stripped if _cat0(c) == "L")
+        if n_letters == 0:
             return (False, "un", 0.0)
-        tris = _trigrams(stripped)
-        n = len(tris)
-        scores = [0.0] * len(self.langs)
-        logprob, unk = self._logprob, self._unk
-        known = 0
-        for tri in tris:
-            row = logprob.get(tri)
-            if row is None:
-                row = unk
-            else:
-                known += 1
-            for li in range(len(scores)):
-                scores[li] += row[li]
+        keys = self._trigram_keys(stripped)
+        n = len(keys)
+        pos = np.searchsorted(self._keys, keys)
+        pos_c = np.minimum(pos, len(self._keys) - 1)
+        found = self._keys[pos_c] == keys
+        known = int(found.sum())
         if known < MIN_COVERAGE * n:
             return (False, "un", 0.0)
-        if hint_language in self._lang_index():
-            scores[self._lang_index()[hint_language]] += HINT_BONUS * n
-        order = sorted(range(len(scores)), key=scores.__getitem__, reverse=True)
-        best, second = order[0], order[1] if len(order) > 1 else order[0]
-        margin = (scores[best] - scores[second]) / max(1, n)
+        scores = self._mat[pos_c[found]].sum(axis=0) + (n - known) * self._unk
+        if hint_language in self._idx:
+            scores = scores.copy()
+            scores[self._idx[hint_language]] += HINT_BONUS * n
+        order = np.argsort(-scores)
+        best = int(order[0])
+        second = int(order[1]) if len(order) > 1 else best
+        margin = float(scores[best] - scores[second]) / max(1, n)
         lang = self.langs[best]
-        reliable = margin >= RELIABLE_MARGIN and sum(
-            1 for c in stripped if unicodedata.category(c)[0] == "L"
-        ) >= MIN_LETTERS
+        reliable = margin >= RELIABLE_MARGIN and n_letters >= MIN_LETTERS
         return (reliable, lang, margin)
-
-    def _lang_index(self) -> dict[str, int]:
-        idx = getattr(self, "_idx", None)
-        if idx is None:
-            idx = {l: i for i, l in enumerate(self.langs)}
-            self._idx = idx
-        return idx
 
 
 def main() -> None:  # pragma: no cover  (exercised via scripts/train_models.py)

@@ -51,37 +51,66 @@ def train(corpora: dict[str, str]) -> dict:
     return {"version": 1, "tables": out}
 
 
+import numpy as np
+
+_K1 = np.uint64(0x110000)
+_K2 = np.uint64(0x110000) * np.uint64(0x110000)
+
+
+def _key_arrays(table: dict[str, int]) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted uint64 keys, aligned counts) for an n-gram count dict;
+    keys mix code points collision-free (cp < 0x110000)."""
+    keys = np.array(
+        [sum(int(_K1) ** (len(k) - 1 - i) * ord(ch) for i, ch in enumerate(k)) for k in table],
+        dtype=np.uint64,
+    )
+    counts = np.array(list(table.values()), dtype=np.float64)
+    order = np.argsort(keys)
+    return keys[order], counts[order]
+
+
+def _lookup(sorted_keys: np.ndarray, counts: np.ndarray, q: np.ndarray) -> np.ndarray:
+    if len(sorted_keys) == 0:
+        return np.zeros(len(q))
+    pos = np.minimum(np.searchsorted(sorted_keys, q), len(sorted_keys) - 1)
+    out = counts[pos]
+    out[sorted_keys[pos] != q] = 0.0
+    return out
+
+
 class PerplexityModel:
-    """Per-language char-LM scorer; built once per actor in ``__init__``."""
+    """Per-language char-LM scorer; tables are converted once (per
+    actor ``__init__``) to sorted key arrays so a document scores with
+    five vectorized ``searchsorted`` lookups instead of a per-char
+    python loop."""
 
     def __init__(self, model: dict):
         self.tables = {}
         for lang, t in model["tables"].items():
             tri, bi, uni = t["tri"], t["bi"], t["uni"]
-            # context totals for conditional probabilities
             tri_ctx: dict[str, int] = {}
             for k, c in tri.items():
                 tri_ctx[k[:2]] = tri_ctx.get(k[:2], 0) + c
             bi_ctx: dict[str, int] = {}
             for k, c in bi.items():
                 bi_ctx[k[:1]] = bi_ctx.get(k[:1], 0) + c
-            uni_total = sum(uni.values())
+            uni_total = float(sum(uni.values()))
             vocab = len(uni) + 1
-            self.tables[lang] = (tri, tri_ctx, bi, bi_ctx, uni, uni_total, vocab)
+            self.tables[lang] = (
+                _key_arrays(tri),
+                _key_arrays(tri_ctx),
+                _key_arrays(bi),
+                _key_arrays(bi_ctx),
+                _key_arrays(uni),
+                uni_total,
+                vocab,
+            )
         self.langs = sorted(self.tables)
 
     @classmethod
     def load(cls, path: str | Path = DEFAULT_MODEL_PATH) -> "PerplexityModel":
         with open(path, "r", encoding="utf8") as f:
             return cls(json.load(f))
-
-    def _char_logprob(self, lang_t, h2: str, h1: str, c: str) -> float:
-        tri, tri_ctx, bi, bi_ctx, uni, uni_total, vocab = lang_t
-        l3, l2, l1, l0 = LAMBDAS
-        p3 = (tri.get(h2 + h1 + c, 0) + ALPHA) / (tri_ctx.get(h2 + h1, 0) + ALPHA * vocab)
-        p2 = (bi.get(h1 + c, 0) + ALPHA) / (bi_ctx.get(h1, 0) + ALPHA * vocab)
-        p1 = (uni.get(c, 0) + ALPHA) / (uni_total + ALPHA * vocab)
-        return math.log(l3 * p3 + l2 * p2 + l1 * p1 + l0 * UNIFORM)
 
     def perplexity(self, text: str, lang: str) -> float:
         """Per-char perplexity under ``lang``'s LM (fallback: 'en')."""
@@ -91,11 +120,18 @@ class PerplexityModel:
         t = _norm(text)
         if not t:
             return float(1.0 / UNIFORM)  # empty = maximally surprising
+        (tri, tri_ctx, bi, bi_ctx, uni, uni_total, vocab) = lang_t
         padded = "  " + t
-        logp = 0.0
-        for i in range(2, len(padded)):
-            logp += self._char_logprob(lang_t, padded[i - 2], padded[i - 1], padded[i])
-        return math.exp(-logp / (len(padded) - 2))
+        codes = np.frombuffer(padded.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        c0, c1, c2 = codes[:-2], codes[1:-1], codes[2:]
+        l3, l2, l1, l0 = LAMBDAS
+        p3 = (_lookup(*tri, c0 * _K2 + c1 * _K1 + c2) + ALPHA) / (
+            _lookup(*tri_ctx, c0 * _K1 + c1) + ALPHA * vocab
+        )
+        p2 = (_lookup(*bi, c1 * _K1 + c2) + ALPHA) / (_lookup(*bi_ctx, c1) + ALPHA * vocab)
+        p1 = (_lookup(*uni, c2) + ALPHA) / (uni_total + ALPHA * vocab)
+        logp = np.log(l3 * p3 + l2 * p2 + l1 * p1 + l0 * UNIFORM).sum()
+        return float(math.exp(-logp / len(c2)))
 
 
 def main() -> None:  # pragma: no cover

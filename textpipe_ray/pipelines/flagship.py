@@ -30,7 +30,7 @@ import ray.data
 from textpipe_ray import schema as S
 from textpipe_ray.functions.quality import load_thresholds
 from textpipe_ray.functions.scrub import load_rules
-from textpipe_ray.stages.actors import LangIdStage, PerplexityStage
+from textpipe_ray.stages.actors import ScoringStage
 from textpipe_ray.stages.text import (
     clean_batch,
     complexity_batch,
@@ -114,8 +114,12 @@ def build_pages_pipeline(
     hint_language: str = "en",
     num_parts: int = DEFAULT_NUM_PARTS,
     batch_size: int = 512,
-    langid_concurrency=(1, 8),
-    ppl_concurrency=(1, 8),
+    # FIXED pool size: an autoscaling (min,max) pool ramps too slowly to
+    # matter within a partition's lifetime — start the whole pool at once,
+    # sized to ~half the cluster CPUs (default), leaving the rest for
+    # extract/finalize tasks
+    langid_concurrency: int | tuple | None = None,
+    ppl_concurrency=None,  # kept for API compat; scoring pool is fused
     shuffle_before_scoring: bool = False,
     shuffle_blocks: int | None = None,
     thresholds: dict | None = None,
@@ -123,6 +127,9 @@ def build_pages_pipeline(
     """Assemble the lazy Dataset pipeline (call .write_parquet / iterate
     to execute)."""
     t = thresholds if thresholds is not None else load_thresholds()
+    if langid_concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        langid_concurrency = max(2, min(16, cpus // 2))
     # stateless extraction; html-heavy input → moderate batch size
     ds = ds.map_batches(
         extract_stage,
@@ -135,19 +142,12 @@ def build_pages_pipeline(
         # this point is clean text (html already dropped)
         ds = ds.repartition(shuffle_blocks or num_parts, shuffle=True)
     ds = ds.map_batches(
-        LangIdStage,
+        ScoringStage,
         batch_format="pyarrow",
-        batch_size=1024,
+        batch_size=512,
         concurrency=langid_concurrency,
         num_cpus=1,
         fn_constructor_kwargs={"hint_language": hint_language},
-    )
-    ds = ds.map_batches(
-        PerplexityStage,
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=ppl_concurrency,
-        num_cpus=1,
     )
     ds = ds.map_batches(
         finalize_stage,

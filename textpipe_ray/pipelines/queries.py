@@ -510,16 +510,20 @@ _PAGES_ROWS = {"0.001": 500, "0.01": 2000, "0.1": 20000}
 
 
 def pages_dir_for(sf_dir: str) -> str:
-    """Deterministic synthetic pages table scaled to the sf dir."""
+    """Deterministic synthetic pages table scaled to the sf dir.
+    ``TEXTPIPE_PAGES_ROWS`` overrides the row count (bench --scaling
+    uses a larger table so fixed overheads don't mask scaling)."""
+    import os as _os
     import re as _re
 
     from textpipe_ray.sources.pages import write_pages
 
     m = _re.search(r"sf([0-9.]+)", sf_dir)
     sf = m.group(1) if m else "0.001"
-    rows = _PAGES_ROWS.get(sf, 500)
-    out = f"/tmp/textpipe_ray_pages/sf{sf}"
-    write_pages(out, rows, num_files=8)
+    rows = int(_os.environ.get("TEXTPIPE_PAGES_ROWS", _PAGES_ROWS.get(sf, 500)))
+    num_files = 8 if rows <= 20000 else 32
+    out = f"/tmp/textpipe_ray_pages/sf{sf}-{rows}"
+    write_pages(out, rows, num_files=num_files)
     return out
 
 

@@ -154,7 +154,10 @@ def _wrap_html(rng: random.Random, text: str) -> str:
     return "".join(parts)
 
 
-def generate_pages(num_rows: int, seed: int = SEED) -> pa.Table:
+def generate_pages(num_rows: int, seed: int = SEED, base_index: int = 0) -> pa.Table:
+    """One shard of the pages table.  ``base_index`` offsets urls and
+    timestamps so shards generated independently (in parallel, each
+    from its own derived seed) never collide."""
     rng = random.Random(seed)
     host_weights = np.array([1.0 / (i + 1) for i in range(len(HOSTS))])
     host_weights /= host_weights.sum()
@@ -192,8 +195,8 @@ def generate_pages(num_rows: int, seed: int = SEED) -> pa.Table:
         expected = clean_text(text, remove_html=False)
         got = clean_text(html)
         assert got == expected, f"row {i}: extraction mismatch\n{got!r}\n{expected!r}"
-        urls.append(f"https://{HOSTS[host_idx[i]]}/page/{i:08d}")
-        tss.append(epoch_us + i * 1_000_000)
+        urls.append(f"https://{HOSTS[host_idx[i]]}/page/{base_index + i:08d}")
+        tss.append(epoch_us + (base_index + i) * 1_000_000)
         htmls.append(html.encode("utf8"))
         texts.append(expected)
         langs.append(lang if cat != "empty_un" else "un")
@@ -215,23 +218,54 @@ def generate_pages(num_rows: int, seed: int = SEED) -> pa.Table:
     )
 
 
-def write_pages(out_dir: str | Path, num_rows: int, seed: int = SEED, num_files: int = 4) -> Path:
-    """Write pages.parquet shards + expected.parquet sidecar; idempotent."""
-    out = Path(out_dir)
-    marker = out / f".complete-{num_rows}-{seed}-{num_files}"
-    if marker.exists():
-        return out
-    out.mkdir(parents=True, exist_ok=True)
-    table = generate_pages(num_rows, seed)
-    pages = table.select(["url", "warc_ts", "html", "text", "lang"])
-    expected = table.select(["url", "expected_keep", "category"])
+def _shard_spec(num_rows: int, num_files: int, seed: int):
     rows_per = (num_rows + num_files - 1) // num_files
+    out = []
     for f in range(num_files):
         lo = f * rows_per
         hi = min(num_rows, lo + rows_per)
         if lo >= hi:
             break
-        pq.write_table(pages.slice(lo, hi - lo), out / f"pages-{f:04d}.parquet")
-    pq.write_table(expected, out / "expected.parquet")
+        # independent derived seed per shard → shards are generatable in
+        # parallel and individually deterministic
+        out.append((f, hi - lo, seed + 7919 * (f + 1), lo))
+    return out
+
+
+def write_pages(out_dir: str | Path, num_rows: int, seed: int = SEED, num_files: int = 4) -> Path:
+    """Write pages.parquet shards + expected.parquet sidecar; idempotent.
+    Shards generate in parallel as Ray tasks when a Ray session is up."""
+    out = Path(out_dir)
+    marker = out / f".complete-v2-{num_rows}-{seed}-{num_files}"
+    if marker.exists():
+        return out
+    out.mkdir(parents=True, exist_ok=True)
+    shards = _shard_spec(num_rows, num_files, seed)
+
+    def build(n, s, base):
+        t = generate_pages(n, s, base)
+        return t.select(["url", "warc_ts", "html", "text", "lang"]), t.select(
+            ["url", "expected_keep", "category"]
+        )
+
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and num_rows >= 5000
+    except ImportError:
+        use_ray = False
+    if use_ray:
+        import ray
+
+        gen = ray.remote(num_cpus=1)(build)
+        results = ray.get([gen.remote(n, s, base) for _, n, s, base in shards])
+    else:
+        results = [build(n, s, base) for _, n, s, base in shards]
+
+    expected_parts = []
+    for (f, _, _, _), (pages, expected) in zip(shards, results):
+        pq.write_table(pages, out / f"pages-{f:04d}.parquet")
+        expected_parts.append(expected)
+    pq.write_table(pa.concat_tables(expected_parts), out / "expected.parquet")
     marker.touch()
     return out

@@ -51,6 +51,19 @@ class LangIdStage:
         )
 
 
+class ScoringStage:
+    """Fused langid + perplexity actor (one pool, both models loaded in
+    ``__init__``): halves actor-pool spin-up and removes one
+    object-store hop for the flagship's two model stages."""
+
+    def __init__(self, hint_language: str = "en"):
+        self._langid = LangIdStage(hint_language)
+        self._ppl = PerplexityStage()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self._ppl(self._langid(batch))
+
+
 class PerplexityStage:
     """Char-LM perplexity under the doc's resolved language."""
 
