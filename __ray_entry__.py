@@ -43,11 +43,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_agg_lineitem": Q.q_agg_lineitem,
         "q_segment_orders": Q.q_segment_orders,
         "q_ann_topk": Q.q_ann_topk,
+        "q_ngram_jaccard": Q.q_ngram_jaccard,
         # model-scored / non-SQL-expressible (rows-only check)
         "q_langid": Q.q_langid,
         "q_perplexity": Q.q_perplexity,
         "q_minhash": Q.q_minhash,
         "q_simhash": Q.q_simhash,
+        "q_simhash_neardup": Q.q_simhash_neardup,
+        "q_ann_ivf": Q.q_ann_ivf,
         "q_embedding_neardup": Q.q_embedding_neardup,
         "q_pages_flagship": Q.q_pages_flagship,
         "q_pages_neardup": Q.q_pages_neardup,

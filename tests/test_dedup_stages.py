@@ -81,3 +81,43 @@ def test_near_dup_embeddings(ray_session):
     got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     assert (0, 1) in got
     assert all(p == (0, 1) for p in got)
+
+
+def test_simhash_neardup(docs_ds):
+    from textpipe_ray.stages.dedup import near_dup_simhash
+
+    out = near_dup_simhash(docs_ds, max_hamming=8).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    # exact dup pair must be found at hamming 0; near dup at small hamming
+    assert (0, 1) in pairs
+    ham = dict(zip(zip(out["id_a"], out["id_b"]), out["hamming"]))
+    assert ham[(0, 1)] == 0
+    assert (0, 2) in pairs and ham[(0, 2)] <= 8
+    # unrelated docs must not pair
+    assert (3, 4) not in pairs
+
+
+def test_shingle_jaccard_exact(docs_ds):
+    from textpipe_ray.stages.dedup import shingle_jaccard_pairs
+
+    out = shingle_jaccard_pairs(docs_ds, k=3, threshold=0.5).to_pandas()
+    pairs = {(a, b): j for a, b, j in zip(out["id_a"], out["id_b"], out["jac"])}
+    assert pairs[(0, 1)] == 1.0  # identical docs
+    # near dup: 14 tokens -> 12 shingles each; differing word breaks 3
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert (3, 4) not in pairs
+
+
+def test_ngram_jaccard_oracle_parity(ray_session):
+    """The exact-Jaccard Ray plan matches the DuckDB inverted-index SQL
+    bit-for-bit at sf0.001."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    m = importlib.import_module("__ray_entry__")
+    from textpipe_ray.pipelines.compare import compare, run_oracle
+
+    sf = "/root/testdata/sf0.001"
+    c = compare(m.queries()["q_ngram_jaccard"](sf), run_oracle(sf, m.oracle_sql()["q_ngram_jaccard"]))
+    assert c["rows_match"] and c["cols_match"] and c["values_match"], c

@@ -210,6 +210,31 @@ SELECT query_id, neighbor_id, rank FROM (
   WHERE e.vec_id <> q.query_id
 ) WHERE rank <= 10"""
 
+    # exact word-3-gram jaccard pairs — same token regex, shingle
+    # construction and int/int double division as stages/dedup.
+    # shingle_jaccard_pairs, so values are bit-identical
+    out["q_ngram_jaccard"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i.i, i.i + 2), ' ') AS shingle
+  FROM toks CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+  ) i
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(n AS DOUBLE) / CAST(sa.sz + sb.sz - n AS DOUBLE) AS jac
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n AS DOUBLE) / CAST(sa.sz + sb.sz - n AS DOUBLE) >= 0.8"""
+
     return out
 
 

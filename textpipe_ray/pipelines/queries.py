@@ -447,6 +447,39 @@ def q_simhash(sf_dir: str):
     )
 
 
+def q_simhash_neardup(sf_dir: str):
+    """SimHash near-dup pairs: band-bucket groupby + in-group hamming
+    verify; recall 1.0 within the hamming ball by pigeonhole."""
+    from textpipe_ray.stages.dedup import near_dup_simhash
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return near_dup_simhash(ds, max_hamming=3)
+
+
+def q_ngram_jaccard(sf_dir: str, k: int = 3, threshold: float = 0.8):
+    """EXACT word-3-gram Jaccard pairs (inverted-index plan) — full
+    DuckDB oracle parity, unlike the sketch-based dedup queries."""
+    from textpipe_ray.stages.dedup import shingle_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return shingle_jaccard_pairs(ds, k=k, threshold=threshold)
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed cosine top-k (the brute-force q_ann_topk's scale
+    path: queries probe nprobe of num_centroids cells)."""
+    import pyarrow.parquet as pq
+
+    from textpipe_ray.stages.ann import ann_ivf_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), ANN_NUM_QUERIES))
+    qids = np.asarray(qt.column("vec_id"), dtype=np.int64)
+    qmat = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann_ivf_topk(ds, qids, qmat, k=ANN_K, num_centroids=32, nprobe=8)
+
+
 def q_textpipe_ops(sf_dir: str):
     """The textpipe operation registry run as one fused batch stage over
     documents (Pipeline-spec path; nested Arrow output → rows-only check)."""

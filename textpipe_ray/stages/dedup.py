@@ -343,3 +343,259 @@ def near_dup_embeddings(
     return pairs.groupby(["id_a", "id_b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (hamming-ball grouping)
+# ---------------------------------------------------------------------------
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for a uint64 array (numpy<2 has no
+    ``bitwise_count``): view as bytes, unpack bits, sum per word."""
+    b = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8)
+    return np.unpackbits(b).reshape(-1, 64).sum(axis=1)
+
+
+def near_dup_simhash(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """SimHash near-duplicate pairs: 64-bit fingerprint → split into
+    ``max_hamming + 1`` bit-bands → bucket groupby on (band, band
+    bits) → within-bucket hamming verify.  Pigeonhole guarantees every
+    pair at distance ≤ ``max_hamming`` agrees exactly on at least one
+    band, so recall is 1.0 by construction (unlike MinHash-LSH's
+    probabilistic recall).  Returns (id_a, id_b, hamming), id_a < id_b.
+
+    Physical plan mirrors :func:`near_dup_minhash`: the exchange moves
+    one small ``(band, band_bits, doc_id, simhash)`` row per (doc,
+    band) — the 8-byte fingerprint rides along so verification happens
+    in-group with no broadcast; the final pair-dedup groupby touches
+    only verified pairs."""
+    num_bands = max_hamming + 1
+    band_width = 64 // num_bands
+    mask = np.uint64((1 << band_width) - 1)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        sims = np.asarray(
+            [np.uint64(s) for s in np.asarray(batch.column("simhash")).astype(np.uint64)],
+            dtype=np.uint64,
+        )
+        out_id, out_band, out_bits, out_sim = [], [], [], []
+        for b in range(num_bands):
+            bits = (sims >> np.uint64(b * band_width)) & mask
+            out_id.append(ids)
+            out_band.append(np.full(len(ids), b, dtype=np.int32))
+            out_bits.append(bits.astype(np.int64))
+            out_sim.append(sims.astype(np.int64))
+        bits_cat = np.concatenate(out_bits)
+        bands_cat = np.concatenate(out_band)
+        part = (
+            (bits_cat.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + bands_cat.astype(np.uint64))
+            % np.uint64(num_parts)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "band": pa.array(bands_cat, pa.int32()),
+                "band_bits": pa.array(bits_cat, pa.int64()),
+                "sim": pa.array(np.concatenate(out_sim), pa.int64()),
+                "__part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["band", "band_bits", "doc_id"], kind="mergesort")
+        key = g["band"].to_numpy().astype(np.int64) * np.int64(1 << band_width) + g[
+            "band_bits"
+        ].to_numpy().astype(np.int64)
+        ids = g["doc_id"].to_numpy()
+        sims = g["sim"].to_numpy().astype(np.uint64)
+        _, starts, counts = np.unique(key, return_index=True, return_counts=True)
+        a_out, b_out, h_out = [], [], []
+        for s, k in zip(starts[counts > 1], counts[counts > 1]):
+            bid, bsim = ids[s : s + k], sims[s : s + k]
+            xs, ys = np.triu_indices(k, k=1)
+            ham = _popcount64(bsim[xs] ^ bsim[ys])
+            keep = ham <= max_hamming
+            a_out.append(bid[xs[keep]])
+            b_out.append(bid[ys[keep]])
+            h_out.append(ham[keep])
+        if not a_out:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "hamming": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "hamming": "int64"})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(a_out).astype("int64"),
+                "id_b": np.concatenate(b_out).astype("int64"),
+                "hamming": np.concatenate(h_out).astype("int64"),
+            }
+        )
+
+    from ray.data.aggregate import Min as _Min
+
+    pairs = (
+        ds.map_batches(simhash_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col})
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(partition_pairs, batch_format="pandas")
+    )
+    # a close pair matches on several bands — collapse duplicates
+    return pairs.groupby(["id_a", "id_b"]).aggregate(_Min("hamming", alias_name="hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram (word-shingle) Jaccard near-dup — oracle-checkable
+# ---------------------------------------------------------------------------
+
+SHINGLE_TOKEN_RE2 = r"[0-9a-z_]+"
+
+
+def shingle_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """EXACT word-k-gram Jaccard near-duplicate pairs (no sketch):
+    inverted index on distinct shingles → co-occurrence pair counts →
+    ``|A∩B| / (|A|+|B|-|A∩B|) ≥ threshold``.  Semantically identical to
+    the DuckDB oracle (same token regex, same shingle construction,
+    one int/int double division), so value hashes match bit-for-bit.
+
+    Physical plan: one pass emits ``(shingle_hash64, doc_id)`` rows
+    partitioned by shingle hash (the inverted-index exchange — the only
+    all-to-all); each partition self-joins its postings into partial
+    pair counts; a second small groupby sums partials; per-doc shingle
+    counts (8 bytes/doc) broadcast via ``ray.put`` for the final
+    jaccard map.  Unlike LSH this is exact but quadratic in posting
+    lengths — use it when recall must be 1.0 at a hard threshold and
+    boilerplate has been collapsed by exact dedup first."""
+    import hashlib as _hashlib
+    import re as _re
+
+    import ray as _ray
+
+    tok_re = _re.compile(SHINGLE_TOKEN_RE2)
+
+    def doc_shingles(text: str) -> set:
+        ws = tok_re.findall((text or "").lower())
+        return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, hash_out = [], []
+        for did, t in zip(
+            np.asarray(batch.column(id_col), dtype=np.int64),
+            batch.column(text_col).to_pylist(),
+        ):
+            for sh in doc_shingles(t):
+                ids_out.append(did)
+                hash_out.append(
+                    int.from_bytes(
+                        _hashlib.blake2b(sh.encode("utf8"), digest_size=8).digest(), "little"
+                    )
+                    >> 1  # keep positive in int64
+                )
+        h = np.asarray(hash_out, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "sh": pa.array(h, pa.int64()),
+                "__part": pa.array(
+                    (h.astype(np.uint64) % np.uint64(num_parts)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["sh", "doc_id"], kind="mergesort")
+        sh = g["sh"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        _, starts, counts = np.unique(sh, return_index=True, return_counts=True)
+        a_out, b_out = [], []
+        for s, c in zip(starts[counts > 1], counts[counts > 1]):
+            bucket = ids[s : s + c]
+            xs, ys = np.triu_indices(c, k=1)
+            a_out.append(bucket[xs])
+            b_out.append(bucket[ys])
+        if not a_out:
+            return pd.DataFrame({"id_a": [], "id_b": [], "n": []}).astype("int64")
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+        # partial pair counts within this partition (shrinks the second
+        # exchange from one row per co-occurrence to one per pair)
+        key = a.astype(np.int64) * np.int64(1 << 32) + b.astype(np.int64)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame(
+            {
+                "id_a": (uk >> 32).astype("int64"),
+                "id_b": (uk & np.int64(0xFFFFFFFF)).astype("int64"),
+                "n": cnt.astype("int64"),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    pair_counts = (
+        exploded.groupby("__part")
+        .map_groups(partition_pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+
+    # per-doc distinct-shingle sizes: tiny (8 bytes/doc) → broadcast
+    def sizes_batch(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        szs = np.asarray(
+            [len(doc_shingles(t)) for t in batch.column(text_col).to_pylist()], dtype=np.int64
+        )
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "sz": pa.array(szs, pa.int64())})
+
+    sz_ids, sz_vals = [], []
+    for b in ds.map_batches(sizes_batch, batch_format="pyarrow").iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        sz_ids.append(np.asarray(b.column("doc_id"), dtype=np.int64))
+        sz_vals.append(np.asarray(b.column("sz"), dtype=np.int64))
+    ids_cat = np.concatenate(sz_ids) if sz_ids else np.empty(0, np.int64)
+    order = np.argsort(ids_cat)
+    size_ref = _ray.put(
+        (ids_cat[order], (np.concatenate(sz_vals)[order] if sz_vals else np.empty(0, np.int64)))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sorted_ids, sizes = _ray.get(size_ref)
+        a = np.asarray(batch.column("id_a"), dtype=np.int64)
+        b = np.asarray(batch.column("id_b"), dtype=np.int64)
+        n = np.asarray(batch.column("n"), dtype=np.int64)
+        if len(a) == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jac": pa.array([], pa.float64()),
+                }
+            )
+        sa = sizes[np.searchsorted(sorted_ids, a)]
+        sb = sizes[np.searchsorted(sorted_ids, b)]
+        jac = n.astype(np.float64) / (sa + sb - n).astype(np.float64)
+        m = jac >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(a[m], pa.int64()),
+                "id_b": pa.array(b[m], pa.int64()),
+                "jac": pa.array(jac[m], pa.float64()),
+            }
+        )
+
+    return pair_counts.map_batches(finish, batch_format="pyarrow")
