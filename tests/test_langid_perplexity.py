@@ -54,3 +54,26 @@ def test_perplexity_separation():
     assert PPL.perplexity("", "en") > 1000  # empty = maximally surprising
     # unknown language falls back to en tables without raising
     assert PPL.perplexity("some text", "xx") > 0
+
+
+def test_perplexity_many_matches_per_doc():
+    """Batched scoring must reproduce per-doc scoring bit-for-bit."""
+    import numpy as np
+
+    from textpipe_ray.functions.perplexity import PerplexityModel
+
+    m = PerplexityModel.load()
+    texts = [
+        "The quick brown fox jumps over the lazy dog.",
+        "",
+        "x",
+        "Le renard brun rapide saute par-dessus le chien paresseux près de la rivière.",
+        "a b",
+        "Der schnelle braune Fuchs springt über den faulen Hund im Wald.",
+    ]
+    langs = ["en", "en", "en", "fr", "de", "de"]
+    got = m.perplexity_many(texts, langs)
+    want = np.array([m.perplexity(t, l) for t, l in zip(texts, langs)])
+    # identical arithmetic per position; only the summation grouping
+    # differs (reduceat vs pairwise sum) → agreement to ~1 ulp
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=0)

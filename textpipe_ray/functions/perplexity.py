@@ -133,6 +133,60 @@ class PerplexityModel:
         logp = np.log(l3 * p3 + l2 * p2 + l1 * p1 + l0 * UNIFORM).sum()
         return float(math.exp(-logp / len(c2)))
 
+    def perplexity_many(self, texts: list[str], langs: list[str]) -> np.ndarray:
+        """Batched scoring: docs grouped by language, each group's padded
+        texts concatenated so the five n-gram table lookups run ONCE per
+        (lang, batch) over one long array instead of five ``searchsorted``
+        calls per document.  Per-position arithmetic is identical to
+        :meth:`perplexity`; results agree to ~1 ulp (only the log-prob
+        summation grouping differs — asserted in tests).  Per-doc sums
+        come from ``np.add.reduceat`` over segment boundaries that
+        exclude the inter-doc pad positions."""
+        n = len(texts)
+        out = np.full(n, float(1.0 / UNIFORM), dtype=np.float64)
+        by_lang: dict[str, list[int]] = {}
+        for i, lang in enumerate(langs):
+            key = lang if lang in self.tables else ("en" if "en" in self.tables else self.langs[0])
+            by_lang.setdefault(key, []).append(i)
+        l3, l2, l1, l0 = LAMBDAS
+        for lang, idxs in by_lang.items():
+            (tri, tri_ctx, bi, bi_ctx, uni, uni_total, vocab) = self.tables[lang]
+            normed = [_norm(texts[i] or "") for i in idxs]
+            keep = [(i, t) for i, t in zip(idxs, normed) if t]
+            if not keep:
+                continue
+            lens = np.array([len(t) for _, t in keep], dtype=np.int64)
+            concat = "".join("  " + t for _, t in keep)
+            codes = np.frombuffer(concat.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+            c0, c1, c2 = codes[:-2], codes[1:-1], codes[2:]
+            p3 = (_lookup(*tri, c0 * _K2 + c1 * _K1 + c2) + ALPHA) / (
+                _lookup(*tri_ctx, c0 * _K1 + c1) + ALPHA * vocab
+            )
+            p2 = (_lookup(*bi, c1 * _K1 + c2) + ALPHA) / (_lookup(*bi_ctx, c1) + ALPHA * vocab)
+            p1 = (_lookup(*uni, c2) + ALPHA) / (uni_total + ALPHA * vocab)
+            logp = np.log(l3 * p3 + l2 * p2 + l1 * p1 + l0 * UNIFORM)
+            # doc k (2 pad + len chars) starts at offset o_k in c2-space;
+            # its own trigram positions are [o_k, o_k + len_k)
+            starts = np.concatenate(([0], np.cumsum(lens + 2)[:-1]))
+            bounds = np.empty(2 * len(lens), dtype=np.int64)
+            bounds[0::2] = starts
+            bounds[1::2] = starts + lens
+            # reduceat quirk: a bound at len(logp) errors; the final
+            # segment end always equals len(c2) only when the last doc
+            # has no trailing positions — clamp and fix below
+            last = bounds[-1]
+            if last >= len(logp):
+                bounds[-1] = len(logp) - 1
+                sums = np.add.reduceat(logp, bounds)[0::2]
+                sums[-1] += logp[-1]
+                if lens[-1] == 1:
+                    sums[-1] = logp[-1]
+            else:
+                sums = np.add.reduceat(logp, bounds)[0::2]
+            ppl = np.exp(-sums / lens)
+            out[np.array([i for i, _ in keep], dtype=np.int64)] = ppl
+        return out
+
 
 def main() -> None:  # pragma: no cover
     import sys

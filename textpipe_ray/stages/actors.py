@@ -77,5 +77,5 @@ class PerplexityStage:
             langs = batch.column(self.lang_col).to_pylist()
         else:
             langs = ["en"] * len(texts)
-        ppl = [self.model.perplexity(t or "", lang or "en") for t, lang in zip(texts, langs)]
+        ppl = self.model.perplexity_many(texts, [lang or "en" for lang in langs])
         return batch.append_column(S.PERPLEXITY, pa.array(ppl, pa.float64()))
