@@ -100,7 +100,7 @@ def run_bench() -> dict:
     return out
 
 
-SCALING_ROWS = int(os.environ.get("TEXTPIPE_SCALING_ROWS", "300000"))
+SCALING_ROWS = int(os.environ.get("TEXTPIPE_SCALING_ROWS", "600000"))
 
 
 def run_scaling() -> dict:

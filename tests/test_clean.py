@@ -60,3 +60,109 @@ def test_clean_shorter_than_raw():
 def test_resolve_lang_rule():
     assert resolve_lang("nl", True, "en") == "nl"
     assert resolve_lang("nl", False, "en") == "en"
+
+
+def test_fast_path_matches_parser():
+    """The simple-HTML fast path must be byte-identical to the
+    HTMLParser path on everything it accepts; tricky constructs must
+    fall back (and thus also match trivially)."""
+    import re
+
+    from textpipe_ray.functions.clean import _SIMPLE_HTML, _TextExtractor, html_to_text
+
+    def parser_text(raw):
+        p = _TextExtractor()
+        p.feed(raw)
+        p.close()
+        return p.text()
+
+    simple = [
+        "<p>hello <b>world</b></p>",
+        '<a href="x?a=1&b=2">link</a> tail',
+        "<br/>line<BR>two",
+        "<div class='c'>text</div>",
+        "plain no tags at all",
+        "<p>multi\nline <i>text</i>\t here</p>",
+        "<p>unclosed",  # unclosed ELEMENT is fine; the tag itself is complete
+        "",
+        # charrefs, comments and simple declarations stay on the fast path
+        "<p>a & b</p>",
+        "<p>&amp; &lt; &#65; &#x41; &quot;</p>",
+        "a&am<b>p;b",                          # entity split by a tag must NOT merge
+        "a&am<!-- c -->p;d",                   # ...nor across a comment
+        "<!-- comment -->text",
+        "<!-- has < and > inside -->x",
+        "<!DOCTYPE html><p>x</p>",
+        "<!DOCTYPE html>\n<html><head><meta charset='utf-8'/></head><body>t</body></html>",
+    ]
+    for raw in simple:
+        assert html_to_text(raw) == parser_text(raw), raw
+
+    tricky = [
+        "<script>var a = 1 < 2;</script>after",
+        "<script>a<b>c</script>",             # cdata: <b> is literal data
+        "<style>p>span{}</style>t",
+        '<a title="a>b">x</a>',               # '>' inside quoted attr
+        "a < b and c > d",                    # stray angle brackets
+        "< notatag>x",
+        "<![CDATA[kept]]>t",                  # CDATA content is a text node
+        "<!DOCTYPE html [ <!ENTITY x 'y'> ]>t",  # internal subset
+        "<!-- unterminated comment",
+    ]
+    for raw in tricky:
+        # all must route through the parser path...
+        assert not (_SIMPLE_HTML.match(raw) and not re.search(r"<(?:script|style)", raw, re.I)), raw
+        assert html_to_text(raw) == parser_text(raw), raw
+
+
+def test_fast_path_corpus_equivalence():
+    """Every synthetic page the fast path accepts yields the same bytes
+    as the parser path."""
+    from textpipe_ray.functions.clean import (
+        _CDATA_ELEM,
+        _SIMPLE_HTML,
+        _TextExtractor,
+        html_to_text,
+    )
+    from textpipe_ray.sources.pages import generate_pages
+
+    t = generate_pages(300, seed=99)
+    n_fast = 0
+    for h in t.column("html").to_pylist():
+        raw = h.decode("utf8")
+        if _SIMPLE_HTML.match(raw) and not _CDATA_ELEM.search(raw):
+            n_fast += 1
+            p = _TextExtractor()
+            p.feed(raw)
+            p.close()
+            assert html_to_text(raw) == p.text()
+    # the synthetic corpus should mostly hit the fast path, else the
+    # optimization is dead weight
+    assert n_fast > 0
+    print(f"fast-path coverage: {n_fast}/300")
+
+
+def test_fast_path_fuzz():
+    """Property: html_to_text equals the pure-parser extraction on
+    arbitrary markup-ish strings (the fast path may only ever change
+    speed, never bytes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from textpipe_ray.functions.clean import _TextExtractor, html_to_text
+
+    alphabet = st.sampled_from(list("<>&\"'!-abc /=;#xA9") + ["<p>", "</p>", "<!--", "-->", "&amp;", "&#65;"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(alphabet, max_size=30).map("".join))
+    def check(raw):
+        p = _TextExtractor()
+        try:
+            p.feed(raw)
+            p.close()
+            want = p.text()
+        except Exception:
+            return  # parser fallback path, nothing to compare
+        assert html_to_text(raw) == want, raw
+
+    check()
