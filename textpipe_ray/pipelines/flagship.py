@@ -115,9 +115,9 @@ def build_pages_pipeline(
     num_parts: int = DEFAULT_NUM_PARTS,
     batch_size: int = 512,
     # FIXED pool size: an autoscaling (min,max) pool ramps too slowly to
-    # matter within a partition's lifetime — start the whole pool at once,
-    # sized to ~half the cluster CPUs (default), leaving the rest for
-    # extract/finalize tasks
+    # matter within a partition's lifetime — start the whole pool at
+    # once, sized to ~0.72 of the cluster CPUs (measured optimum; env
+    # TEXTPIPE_POOL_FRACTION overrides), the rest feed read/finalize
     langid_concurrency: int | tuple | None = None,
     ppl_concurrency=None,  # kept for API compat; scoring pool is fused
     shuffle_before_scoring: bool = False,
@@ -135,7 +135,7 @@ def build_pages_pipeline(
         # finalize ~8.9k, read ~70k → the scoring pool gets the bulk of
         # the CPUs, the rest feed the read + finalize task pools
         # (actors spin up in ~0.1s, so a large fixed pool is cheap)
-        frac = float(_os.environ.get("TEXTPIPE_POOL_FRACTION", "0.66"))
+        frac = float(_os.environ.get("TEXTPIPE_POOL_FRACTION", "0.72"))
         langid_concurrency = max(2, int(cpus * frac))
     # stateless extraction; html-heavy input → moderate batch size
     ds = ds.map_batches(
