@@ -1,0 +1,51 @@
+"""Format-agnostic sources: jsonl/csv readers must present the same
+schema + values as the parquet path."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def test_documents_jsonl_csv_match_parquet(ray_session, tmp_path):
+    import duckdb
+
+    from textpipe_ray.sources.io import read_documents
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    con = duckdb.connect()
+    con.execute(f"COPY (SELECT doc_id, text, lang FROM '{src}') TO '{tmp_path}/docs.jsonl' (FORMAT json)")
+    con.execute(f"COPY (SELECT doc_id, text, lang FROM '{src}') TO '{tmp_path}/docs.csv' (FORMAT csv, HEADER)")
+
+    want = read_documents(src, columns=["doc_id", "text", "lang"]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for fmt, path in (("jsonl", f"{tmp_path}/docs.jsonl"), ("csv", f"{tmp_path}/docs.csv")):
+        got = read_documents(path, fmt=fmt, columns=["doc_id", "text", "lang"]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(got.columns) == list(want.columns)
+        assert got.equals(want), fmt
+
+
+def test_pages_jsonl_roundtrip(ray_session, tmp_path):
+    from textpipe_ray.sources.io import read_pages_any, write_pages_jsonl
+    from textpipe_ray.sources.pages import generate_pages
+
+    t = generate_pages(40, seed=7).select(["url", "warc_ts", "html", "text", "lang"])
+    write_pages_jsonl(t, tmp_path / "pages.jsonl")
+    got = read_pages_any(str(tmp_path / "pages.jsonl"), fmt="jsonl").to_pandas().sort_values("url").reset_index(drop=True)
+    want = t.to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["html"]) == list(want["html"])  # binary survives base64
+    assert [x.isoformat() for x in got["warc_ts"]] == [x.isoformat() for x in want["warc_ts"]]
+
+
+def test_pages_jsonl_drives_flagship(ray_session, tmp_path):
+    """A jsonl-sourced pages table flows through the full flagship
+    pipeline unchanged (format-agnostic schema contract)."""
+    from textpipe_ray.pipelines.flagship import build_pages_pipeline
+    from textpipe_ray.sources.io import read_pages_any, write_pages_jsonl
+    from textpipe_ray.sources.pages import generate_pages
+
+    t = generate_pages(60, seed=11).select(["url", "warc_ts", "html", "text", "lang"])
+    write_pages_jsonl(t, tmp_path / "p.jsonl")
+    ds = read_pages_any(str(tmp_path / "p.jsonl"), fmt="jsonl", columns=["url", "warc_ts", "html", "lang"])
+    out = build_pages_pipeline(ds).to_pandas()
+    assert len(out) == 60
+    assert {"clean", "keep", "drop_reason", "perplexity"}.issubset(out.columns)
