@@ -171,18 +171,12 @@ class PerplexityModel:
             bounds = np.empty(2 * len(lens), dtype=np.int64)
             bounds[0::2] = starts
             bounds[1::2] = starts + lens
-            # reduceat quirk: a bound at len(logp) errors; the final
-            # segment end always equals len(c2) only when the last doc
-            # has no trailing positions — clamp and fix below
-            last = bounds[-1]
-            if last >= len(logp):
-                bounds[-1] = len(logp) - 1
-                sums = np.add.reduceat(logp, bounds)[0::2]
-                sums[-1] += logp[-1]
-                if lens[-1] == 1:
-                    sums[-1] = logp[-1]
-            else:
-                sums = np.add.reduceat(logp, bounds)[0::2]
+            # reduceat requires every bound < len(array); the final doc's
+            # end bound equals len(logp), so append one 0.0 sentinel —
+            # each doc's sum is then a plain sequential reduceat segment,
+            # bit-identical regardless of where the doc sits in the batch
+            # (physical layout / shuffle cannot perturb values)
+            sums = np.add.reduceat(np.append(logp, 0.0), bounds)[0::2]
             ppl = np.exp(-sums / lens)
             out[np.array([i for i, _ in keep], dtype=np.int64)] = ppl
         return out
