@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lang_metrics": Q.q_lang_metrics,
         "q_topk_docs": Q.q_topk_docs,
         "q_events_window": Q.q_events_window,
+        "q_sessionize": Q.q_sessionize,
         "q_agg_lineitem": Q.q_agg_lineitem,
         "q_segment_orders": Q.q_segment_orders,
         "q_ann_topk": Q.q_ann_topk,

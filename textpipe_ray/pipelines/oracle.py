@@ -210,6 +210,36 @@ SELECT query_id, neighbor_id, rank FROM (
   WHERE e.vec_id <> q.query_id
 ) WHERE rank <= 10"""
 
+    # gap-based sessionization — lag() + running-sum window functions;
+    # 30-min gap and integer cents/micros match queries.q_sessionize
+    out["q_sessionize"] = """
+WITH e AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(event_id AS BIGINT) AS event_id,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(floor(value * 100.0) AS BIGINT) AS vcents
+  FROM events
+),
+d AS (
+  SELECT *,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+s AS (
+  SELECT *,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM d
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts_us) AS start_us, max(ts_us) AS end_us,
+       CAST(sum(vcents) AS BIGINT) AS sum_value_cents
+FROM s GROUP BY 1, 2"""
+
     # exact word-3-gram jaccard pairs — same token regex, shingle
     # construction and int/int double division as stages/dedup.
     # shingle_jaccard_pairs, so values are bit-identical

@@ -249,6 +249,66 @@ def q_events_window(sf_dir: str):
     return agg.map_batches(post, batch_format="pyarrow")
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (the classic streaming operator on a
+    batch engine): hash-partition by user, order each user's events by
+    (ts, event_id), break sessions at >30 min inactivity, emit one row
+    per session.  Exact parity with a lag()/running-sum window-function
+    oracle in DuckDB."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(batch.column("user_id"), _I64),
+                "event_id": pc.cast(batch.column("event_id"), _I64),
+                "ts_us": pc.cast(batch.column("ts"), _I64),
+                "vcents": pc.cast(
+                    pc.floor(pc.multiply(batch.column("value"), 100.0)), _I64
+                ),
+            }
+        )
+
+    def sessionize(group):  # one user's events (pandas)
+        g = group.sort_values(["ts_us", "event_id"], kind="mergesort")
+        ts = g["ts_us"].to_numpy()
+        brk = np.ones(len(g), dtype=np.int64)
+        if len(ts) > 1:
+            brk[1:] = (ts[1:] - ts[:-1] > SESSION_GAP_US).astype(np.int64)
+        sid = np.cumsum(brk)  # 1-based session index per user
+        g = g.assign(session_id=sid)
+        out = (
+            g.groupby("session_id", sort=True)
+            .agg(
+                n_events=("event_id", "size"),
+                start_us=("ts_us", "min"),
+                end_us=("ts_us", "max"),
+                sum_value_cents=("vcents", "sum"),
+            )
+            .reset_index()
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out.astype(
+            {
+                "user_id": "int64",
+                "session_id": "int64",
+                "n_events": "int64",
+                "start_us": "int64",
+                "end_us": "int64",
+                "sum_value_cents": "int64",
+            }
+        )
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(sessionize, batch_format="pandas")
+    )
+
+
 CUTOFF = datetime(1998, 9, 3)
 
 
