@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_topk_docs": Q.q_topk_docs,
         "q_events_window": Q.q_events_window,
         "q_sessionize": Q.q_sessionize,
+        "q_len_quantiles": Q.q_len_quantiles,
+        "q_tfidf_topk": Q.q_tfidf_topk,
         "q_agg_lineitem": Q.q_agg_lineitem,
         "q_segment_orders": Q.q_segment_orders,
         "q_ann_topk": Q.q_ann_topk,

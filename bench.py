@@ -33,6 +33,10 @@ BENCH_QUERIES = [
     "q_events_window",
     "q_segment_orders",
     "q_ann_topk",
+    "q_ann_ivf",
+    "q_ngram_jaccard",
+    "q_sessionize",
+    "q_simhash_neardup",
     "q_pages_neardup",
 ]
 

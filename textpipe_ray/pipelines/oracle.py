@@ -210,6 +210,38 @@ SELECT query_id, neighbor_id, rank FROM (
   WHERE e.vec_id <> q.query_id
 ) WHERE rank <= 10"""
 
+    # corpus TF-IDF top-5 per doc — same token regex and tf*ln(N/df)
+    # score as queries.q_tfidf_topk; output is ints+strings (floats
+    # only order the rows)
+    out["q_tfidf_topk"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE) * ln(n.n / CAST(df.df AS DOUBLE)) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"""
+
+    # exact per-language length quantiles (quantile_disc parity)
+    out["q_len_quantiles"] = """
+SELECT lang,
+       CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(n_chars, 0.5)  AS BIGINT) AS p50,
+       CAST(quantile_disc(n_chars, 0.9)  AS BIGINT) AS p90,
+       CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
+FROM documents GROUP BY lang"""
+
     # gap-based sessionization — lag() + running-sum window functions;
     # 30-min gap and integer cents/micros match queries.q_sessionize
     out["q_sessionize"] = """

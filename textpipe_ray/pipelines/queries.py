@@ -249,6 +249,138 @@ def q_events_window(sf_dir: str):
     return agg.map_batches(post, batch_format="pyarrow")
 
 
+TFIDF_K = 5
+TFIDF_TOKEN_RE = r"[0-9a-z_]+"
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Corpus TF-IDF, top-5 terms per document.
+
+    Two passes: (1) document frequencies via per-batch DISTINCT term
+    rows → one ``groupby(term).count`` (the only exchange; rows are
+    (term, doc) pairs, never text); (2) the (small) df table broadcasts
+    via ``ray.put`` and each batch scores its own documents' term
+    counts locally — per-doc tf never leaves the producing task.  At
+    100 TB vocab the broadcast side becomes a bucketed join on term;
+    the df exchange is unchanged.  Output (doc_id, term, rank) is
+    integer/string only; floats affect ordering exclusively, and the
+    score formula ``tf * ln(N/df)`` is evaluated identically in the
+    DuckDB oracle."""
+    import re as _re
+
+    tok_re = _re.compile(TFIDF_TOKEN_RE)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def term_doc_rows(batch: pa.Table) -> pa.Table:
+        out_t = []
+        for t in batch.column("text").to_pylist():
+            out_t.append(sorted(set(tok_re.findall((t or "").lower()))))
+        return pa.table(
+            {
+                "term": pa.array([t for ts in out_t for t in ts], pa.string()),
+            }
+        )
+
+    df_tab = (
+        ds.map_batches(term_doc_rows, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="df"))
+        .to_pandas()
+    )
+    import ray as _ray
+
+    terms = df_tab["term"].to_numpy()
+    order = np.argsort(terms)
+    df_ref = _ray.put((terms[order], df_tab["df"].to_numpy().astype(np.int64)[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        s_terms, s_df = _ray.get(df_ref)
+        out_doc, out_term, out_rank = [], [], []
+        for did, t in zip(
+            np.asarray(batch.column("doc_id"), dtype=np.int64),
+            batch.column("text").to_pylist(),
+        ):
+            toks = tok_re.findall((t or "").lower())
+            if not toks:
+                continue
+            uniq, tf = np.unique(toks, return_counts=True)
+            df = s_df[np.searchsorted(s_terms, uniq)]
+            scores = tf * np.log(float(n_docs) / df.astype(np.float64))
+            # top-k by (score desc, term asc): lexsort keys last-is-primary
+            idx = np.lexsort((uniq, -scores))[:TFIDF_K]
+            out_doc.extend([did] * len(idx))
+            out_term.extend(uniq[idx])
+            out_rank.extend(range(1, len(idx) + 1))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, _I64),
+                "term": pa.array(out_term, pa.string()),
+                "rank": pa.array(out_rank, _I64),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+QUANTILES = (0.25, 0.5, 0.9, 0.99)
+
+
+def q_len_quantiles(sf_dir: str):
+    """EXACT per-language quantiles of document length, computed as a
+    distributed value histogram: per-batch partial (lang, n_chars)
+    counts → one small groupby → per-lang cumulative pick on the
+    driver.  No global sort — the exchange carries one row per distinct
+    (lang, value), not per document, so it stays tiny at any corpus
+    size.  Index rule matches DuckDB ``quantile_disc``:
+    ``sorted[max(0, ceil(q*n)-1)]`` (verified empirically)."""
+    import math as _math
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "lang": batch.column("lang").to_pylist(),
+                "n_chars": np.asarray(batch.column("n_chars"), dtype=np.int64),
+            }
+        )
+        g = df.groupby(["lang", "n_chars"], sort=False).size().reset_index(name="cnt")
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "n_chars": pa.array(g["n_chars"], _I64),
+                "cnt": pa.array(g["cnt"].astype("int64"), _I64),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # tiny: one row per distinct (lang, value)
+    )
+    rows = {"lang": [], **{f"p{int(q*100)}": [] for q in QUANTILES}}
+    for lang, g in hist.groupby("lang", sort=True):
+        g = g.sort_values("n_chars")
+        vals = g["n_chars"].to_numpy()
+        cnts = g["cnt"].to_numpy()
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        rows["lang"].append(lang)
+        for q in QUANTILES:
+            idx = max(0, int(_math.ceil(q * n)) - 1)  # quantile_disc rule
+            rows[f"p{int(q*100)}"].append(int(vals[np.searchsorted(cum, idx + 1)]))
+    return pa.table(
+        {
+            "lang": pa.array(rows["lang"], pa.string()),
+            **{k: pa.array(rows[k], _I64) for k in rows if k != "lang"},
+        }
+    )
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
 
