@@ -210,6 +210,41 @@ SELECT query_id, neighbor_id, rank FROM (
   WHERE e.vec_id <> q.query_id
 ) WHERE rank <= 10"""
 
+    # per-doc repetition signals (dup 3-gram / top-bigram fractions);
+    # same token regex + shingle construction as queries.q_repetition
+    out["q_repetition"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws FROM documents
+),
+tri AS (
+  SELECT doc_id, array_to_string(list_slice(ws, i.i, i.i + 2), ' ') AS g
+  FROM toks CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+  ) i
+),
+bi AS (
+  SELECT doc_id, array_to_string(list_slice(ws, i.i, i.i + 1), ' ') AS g
+  FROM toks CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+  ) i
+),
+t3 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tot, CAST(count(DISTINCT g) AS BIGINT) AS dis
+       FROM tri GROUP BY 1),
+b2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot,
+              CAST(max(c) AS BIGINT) AS topc
+       FROM (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2) GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(t3.tot, 0) AS n_trigrams,
+       CASE WHEN COALESCE(t3.tot, 0) > 0
+            THEN CAST(t3.tot - t3.dis AS DOUBLE) / CAST(greatest(t3.tot, 1) AS DOUBLE)
+            ELSE 0.0 END AS dup_trigram_frac,
+       CASE WHEN COALESCE(b2.tot, 0) > 0
+            THEN CAST(b2.topc AS DOUBLE) / CAST(greatest(b2.tot, 1) AS DOUBLE)
+            ELSE 0.0 END AS top_bigram_frac
+FROM documents d
+LEFT JOIN t3 ON t3.doc_id = d.doc_id
+LEFT JOIN b2 ON b2.doc_id = d.doc_id"""
+
     # corpus TF-IDF top-5 per doc — same token regex and tf*ln(N/df)
     # score as queries.q_tfidf_topk; output is ints+strings (floats
     # only order the rows)

@@ -249,6 +249,52 @@ def q_events_window(sf_dir: str):
     return agg.map_batches(post, batch_format="pyarrow")
 
 
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition signals per document: duplicate word
+    3-gram fraction and most-common-bigram fraction — the classic
+    boilerplate/spam detectors for webtext quality filtering.  Pure
+    per-batch map (no shuffle); fractions are int/int divisions so the
+    DuckDB oracle matches bit-for-bit."""
+    import re as _re
+
+    tok_re = _re.compile(TFIDF_TOKEN_RE)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rep(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        tot3, dis3, top2, tot2 = [], [], [], []
+        for t in batch.column("text").to_pylist():
+            ws = tok_re.findall((t or "").lower())
+            tri = [" ".join(ws[i : i + 3]) for i in range(max(0, len(ws) - 2))]
+            bi = [" ".join(ws[i : i + 2]) for i in range(max(0, len(ws) - 1))]
+            tot3.append(len(tri))
+            dis3.append(len(set(tri)))
+            tot2.append(len(bi))
+            if bi:
+                _, c = np.unique(bi, return_counts=True)
+                top2.append(int(c.max()))
+            else:
+                top2.append(0)
+        tot3a = np.asarray(tot3, dtype=np.float64)
+        dis3a = np.asarray(dis3, dtype=np.float64)
+        tot2a = np.asarray(tot2, dtype=np.float64)
+        top2a = np.asarray(top2, dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, _I64),
+                "n_trigrams": pa.array(np.asarray(tot3, dtype=np.int64), _I64),
+                "dup_trigram_frac": pa.array(
+                    np.where(tot3a > 0, (tot3a - dis3a) / np.maximum(tot3a, 1), 0.0), _F64
+                ),
+                "top_bigram_frac": pa.array(
+                    np.where(tot2a > 0, top2a / np.maximum(tot2a, 1), 0.0), _F64
+                ),
+            }
+        )
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
 TFIDF_K = 5
 TFIDF_TOKEN_RE = r"[0-9a-z_]+"
 
