@@ -544,13 +544,43 @@ def shingle_jaccard_pairs(
             }
         )
 
-    from ray.data.aggregate import Sum as _Sum
+    # Collapse partial pair counts WITHOUT Dataset.groupby(...).aggregate:
+    # with ~1M near-unique (id_a, id_b) groups Ray's aggregate pays
+    # per-group python dispatch (measured 155 s at sf0.1 vs 3 s for
+    # everything else).  Same exchange shape, vectorized combine: pack
+    # the pair into one int64 key, hash-partition on it, np.unique +
+    # bincount per partition.
+    def add_pair_part(batch: pa.Table) -> pa.Table:
+        key = (
+            np.asarray(batch.column("id_a"), dtype=np.int64) * np.int64(1 << 32)
+        ) + np.asarray(batch.column("id_b"), dtype=np.int64)
+        part = (key.astype(np.uint64) % np.uint64(num_parts)).astype(np.int32)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "n": batch.column("n"),
+                "__p2": pa.array(part, pa.int32()),
+            }
+        )
+
+    def sum_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        key = part["key"].to_numpy()
+        uk, inv = np.unique(key, return_inverse=True)
+        sums = np.bincount(inv, weights=part["n"].to_numpy()).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "id_a": (uk >> 32).astype("int64"),
+                "id_b": (uk & np.int64(0xFFFFFFFF)).astype("int64"),
+                "n": sums,
+            }
+        )
 
     pair_counts = (
         exploded.groupby("__part")
         .map_groups(partition_pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .aggregate(_Sum("n", alias_name="n"))
+        .map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("__p2")
+        .map_groups(sum_pairs, batch_format="pandas")
     )
 
     # per-doc distinct-shingle sizes: tiny (8 bytes/doc) → broadcast
