@@ -210,6 +210,14 @@ SELECT query_id, neighbor_id, rank FROM (
   WHERE e.vec_id <> q.query_id
 ) WHERE rank <= 10"""
 
+    # distributed hash join (Dataset.join parity)
+    out["q_native_join"] = """
+SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o.o_custkey AS BIGINT) AS o_custkey,
+       c.c_mktsegment,
+       CAST(floor(o.o_totalprice * 100.0) AS BIGINT) AS price_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"""
+
     # per-doc repetition signals (dup 3-gram / top-bigram fractions);
     # same token regex + shingle construction as queries.q_repetition
     out["q_repetition"] = """

@@ -249,6 +249,33 @@ def q_events_window(sf_dir: str):
     return agg.map_batches(post, batch_format="pyarrow")
 
 
+def q_native_join(sf_dir: str):
+    """Distributed hash join via ``Dataset.join`` (Ray ≥2.46) — the
+    big-⋈-big strategy, complementing the broadcast map-side join in
+    ``q_segment_orders`` (small side shipped via ``ray.put``).  Use
+    this shape when BOTH sides are too large to broadcast; the shuffle
+    exchanges each side hash-partitioned on the key."""
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    c = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = o.join(
+        c, join_type="inner", num_partitions=16, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    def post(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(batch.column("o_orderkey"), _I64),
+                "o_custkey": pc.cast(batch.column("o_custkey"), _I64),
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "price_cents": pc.cast(
+                    pc.floor(pc.multiply(batch.column("o_totalprice"), 100.0)), _I64
+                ),
+            }
+        )
+
+    return j.map_batches(post, batch_format="pyarrow")
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style repetition signals per document: duplicate word
     3-gram fraction and most-common-bigram fraction — the classic
