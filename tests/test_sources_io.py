@@ -49,3 +49,27 @@ def test_pages_jsonl_drives_flagship(ray_session, tmp_path):
     out = build_pages_pipeline(ds).to_pandas()
     assert len(out) == 60
     assert {"clean", "keep", "drop_reason", "perplexity"}.issubset(out.columns)
+
+
+def test_warc_roundtrip_and_flagship(ray_session, tmp_path):
+    """Pages → WARC file(s) → read_warc → byte-identical html; the
+    resulting Dataset drives the full flagship pipeline."""
+    from textpipe_ray.pipelines.flagship import build_pages_pipeline
+    from textpipe_ray.sources.pages import generate_pages
+    from textpipe_ray.sources.warc import read_warc, write_warc
+
+    t = generate_pages(50, seed=31).select(["url", "warc_ts", "html"])
+    write_warc(t, tmp_path / "a.warc")
+    write_warc(t, tmp_path / "b.warc.gz", compress=True)
+
+    got = read_warc(str(tmp_path / "a.warc")).to_pandas().sort_values("url").reset_index(drop=True)
+    want = t.to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["html"]) == list(want["html"])
+    assert [x.isoformat() for x in got["warc_ts"]] == [x.isoformat() for x in want["warc_ts"]]
+
+    gz = read_warc(str(tmp_path / "b.warc.gz")).to_pandas()
+    assert len(gz) == 50
+
+    out = build_pages_pipeline(read_warc(str(tmp_path / "a.warc"))).to_pandas()
+    assert len(out) == 50 and {"clean", "keep"}.issubset(out.columns)
