@@ -793,11 +793,40 @@ def q_media_features(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
-    """Cosine near-duplicate pairs over embeddings via hyperplane LSH."""
+    """Cosine near-duplicate pairs via hyperplane LSH, over document
+    embeddings (hashed tf vectors of ``documents.text``) — the planted
+    near-dup texts produce genuinely similar vectors, so the operator's
+    recall is observable.  (The ``embeddings`` table is uniform random
+    — max pairwise cosine ~0.51 — so no near-dup threshold is
+    meaningful there; it serves the ANN top-k queries instead.)"""
+    import re as _re
+
+    from textpipe_ray.functions.vectors import DIM, _hash_vector
     from textpipe_ray.stages.dedup import near_dup_embeddings
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return near_dup_embeddings(ds, threshold=0.9)
+    tok_re = _re.compile(TFIDF_TOKEN_RE)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def embed(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        vecs = []
+        for t in batch.column("text").to_pylist():
+            toks = tok_re.findall((t or "").lower())
+            if not toks:
+                vecs.append(np.zeros(DIM))
+                continue
+            uniq, tf = np.unique(toks, return_counts=True)
+            m = np.stack([_hash_vector(w) for w in uniq])
+            vecs.append((tf[:, None] * m).sum(axis=0) / len(toks))
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, _I64),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(_F64)),
+            }
+        )
+
+    emb = ds.map_batches(embed, batch_format="pyarrow")
+    return near_dup_embeddings(emb, threshold=0.9, dim=DIM)
 
 
 # ---------------------------------------------------------------------------
