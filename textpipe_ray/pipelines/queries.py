@@ -162,6 +162,10 @@ def q_token_freq(sf_dir: str, top_n: int = 100):
             }
         )
 
+    # single-key Sum uses Ray's native vectorized aggregate path (fast
+    # even with vocab-sized group counts — unlike the multi-key
+    # near-unique-groups case in stages/dedup.shingle_jaccard_pairs,
+    # which needed a hash-partitioned combine)
     agg = (
         ds.map_batches(explode, batch_format="pyarrow")
         .groupby("token")
@@ -477,16 +481,28 @@ def q_sessionize(sf_dir: str):
             }
         )
 
-    def sessionize(group):  # one user's events (pandas)
-        g = group.sort_values(["ts_us", "event_id"], kind="mergesort")
+    # one group per USER would pay Ray's per-group dispatch for every
+    # user (millions at real scale) — instead co-locate each user's
+    # events via a coarse hash partition and sessionize ALL of a
+    # partition's users in one vectorized pass
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id"), dtype=np.int64)
+        p = (
+            (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(64)
+        ).astype(np.int32)
+        return batch.append_column("__p", pa.array(p, pa.int32()))
+
+    def sessionize_partition(part):  # many users' events (pandas)
+        g = part.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
         ts = g["ts_us"].to_numpy()
         brk = np.ones(len(g), dtype=np.int64)
-        if len(ts) > 1:
-            brk[1:] = (ts[1:] - ts[:-1] > SESSION_GAP_US).astype(np.int64)
-        sid = np.cumsum(brk)  # 1-based session index per user
-        g = g.assign(session_id=sid)
+        if len(g) > 1:
+            same_user = uid[1:] == uid[:-1]
+            brk[1:] = (~same_user | (ts[1:] - ts[:-1] > SESSION_GAP_US)).astype(np.int64)
+        g = g.assign(__s=np.cumsum(brk))  # globally increasing session key
         out = (
-            g.groupby("session_id", sort=True)
+            g.groupby(["user_id", "__s"], sort=True)
             .agg(
                 n_events=("event_id", "size"),
                 start_us=("ts_us", "min"),
@@ -495,22 +511,17 @@ def q_sessionize(sf_dir: str):
             )
             .reset_index()
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out.astype(
-            {
-                "user_id": "int64",
-                "session_id": "int64",
-                "n_events": "int64",
-                "start_us": "int64",
-                "end_us": "int64",
-                "sum_value_cents": "int64",
-            }
-        )
+        # per-user 1-based session index (groups arrive (user, __s)-sorted)
+        out["session_id"] = out.groupby("user_id").cumcount() + 1
+        return out[
+            ["user_id", "session_id", "n_events", "start_us", "end_us", "sum_value_cents"]
+        ].astype("int64")
 
     return (
         ds.map_batches(pre, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(sessionize, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(sessionize_partition, batch_format="pandas")
     )
 
 
