@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_neardup": Q.q_embedding_neardup,
         "q_pages_flagship": Q.q_pages_flagship,
         "q_pages_neardup": Q.q_pages_neardup,
+        "q_pages_dedup": Q.q_pages_dedup,
         "q_textpipe_ops": Q.q_textpipe_ops,
         "q_media_features": Q.q_media_features,
     }

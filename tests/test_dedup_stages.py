@@ -121,3 +121,25 @@ def test_ngram_jaccard_oracle_parity(ray_session):
     sf = "/root/testdata/sf0.001"
     c = compare(m.queries()["q_ngram_jaccard"](sf), run_oracle(sf, m.oracle_sql()["q_ngram_jaccard"]))
     assert c["rows_match"] and c["cols_match"] and c["values_match"], c
+
+
+def test_pair_clusters_union_find():
+    import pandas as pd
+
+    from textpipe_ray.stages.dedup import pair_clusters
+
+    pairs = pd.DataFrame({"id_a": [1, 2, 10, 20], "id_b": [2, 3, 11, 21]})
+    roots = pair_clusters(pairs)
+    assert roots[1] == roots[2] == roots[3] == 1  # chain merges to min id
+    assert roots[10] == roots[11] == 10
+    assert roots[20] == roots[21] == 20
+
+
+def test_drop_near_dups_end_to_end(docs_ds):
+    from textpipe_ray.stages.dedup import drop_near_dups
+
+    out = drop_near_dups(docs_ds, threshold=0.5, num_bands=32).to_pandas()
+    ids = sorted(out["doc_id"])
+    # 1 is an exact dup of 0; 2 is a near dup of 0 → only 0 survives,
+    # plus the two unrelated docs
+    assert ids == [0, 3, 4], ids

@@ -908,3 +908,31 @@ def q_pages_neardup(sf_dir: str):
         shingle_size=5,
         num_bands=16,
     )
+
+
+def q_pages_dedup(sf_dir: str):
+    """The dedup FINISHER over pages: exact collapse → LSH pairs →
+    union-find clusters → min-id survivor per cluster → deduplicated
+    dataset (one row per surviving doc)."""
+    import glob as _glob
+
+    from textpipe_ray.stages.dedup import drop_near_dups
+    from textpipe_ray.stages.text import clean_batch
+
+    pages = pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(
+        sorted(_glob.glob(f"{pages}/pages-*.parquet")), columns=["url", "html"]
+    )
+
+    def pre(batch: pa.Table) -> pa.Table:
+        batch = clean_batch(batch)
+        ids = [int(u.rsplit("/", 1)[1]) for u in batch.column("url").to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, _I64), "text": batch.column("clean")})
+
+    out = drop_near_dups(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        threshold=0.85,
+        shingle_size=5,
+        num_bands=16,
+    )
+    return out.select_columns(["doc_id"])

@@ -629,3 +629,83 @@ def shingle_jaccard_pairs(
         )
 
     return pair_counts.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Cluster formation + survivor selection (the dedup finisher)
+# ---------------------------------------------------------------------------
+
+
+def pair_clusters(pairs_df) -> dict[int, int]:
+    """Union-find over near-dup pairs → {doc_id: cluster_root}.
+
+    Runs on the driver: verified pairs are orders of magnitude smaller
+    than the corpus (they fit even at 100 TB corpus scale — a pair list
+    that didn't fit would mean most of the corpus is duplicated).  Path
+    compression + union by attaching larger root keeps it linear-ish."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    seen: set[int] = set()
+    for a, b in zip(pairs_df["id_a"], pairs_df["id_b"]):
+        a, b = int(a), int(b)
+        seen.add(a)
+        seen.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # the smaller id becomes the root → deterministic clusters
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in seen}
+
+
+def drop_near_dups(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **near_dup_kwargs,
+) -> "ray.data.Dataset":
+    """End-to-end near-dup removal: exact dedup → MinHash-LSH pairs →
+    union-find clusters → keep the min-id survivor of each cluster.
+
+    Physical plan: the pair list (small) collapses to clusters on the
+    driver; the droplist ships once via ``ray.put`` and the final pass
+    is a vectorized membership filter — the corpus itself is only ever
+    streamed, never collected."""
+    import hashlib as _hashlib
+
+    import ray as _ray
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = [
+            _hashlib.md5((t or "").encode("utf8")).hexdigest()
+            for t in batch.column(text_col).to_pylist()
+        ]
+        return batch.append_column("__content_hash", pa.array(h, pa.string()))
+
+    survivors = dedup_exact(
+        ds.map_batches(add_hash, batch_format="pyarrow"), "__content_hash", id_col
+    ).drop_columns(["__content_hash"])
+
+    pairs = near_dup_minhash(survivors, text_col=text_col, id_col=id_col, **near_dup_kwargs)
+    roots = pair_clusters(pairs.to_pandas())
+    # every doc whose cluster root is not itself gets dropped
+    droplist = np.array(sorted(x for x, r in roots.items() if r != x), dtype=np.int64)
+    drop_ref = _ray.put(droplist)
+
+    def keep_batch(batch: pa.Table) -> pa.Table:
+        drops = _ray.get(drop_ref)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        pos = np.searchsorted(drops, ids)
+        pos_c = np.minimum(pos, max(0, len(drops) - 1))
+        is_dup = (len(drops) > 0) & (drops[pos_c] == ids)
+        return batch.filter(pa.array(~is_dup))
+
+    return survivors.map_batches(keep_batch, batch_format="pyarrow")
