@@ -210,6 +210,14 @@ SELECT query_id, neighbor_id, rank FROM (
   WHERE e.vec_id <> q.query_id
 ) WHERE rank <= 10"""
 
+    # as-of join — DuckDB's native ASOF JOIN is the oracle
+    out["q_asof_join"] = """
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       CAST(e.user_id AS BIGINT) AS user_id,
+       CAST(datediff('day', DATE '1970-01-01', o.o_orderdate) AS BIGINT) AS last_order_days
+FROM events e ASOF JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)"""
+
     # distributed hash join (Dataset.join parity)
     out["q_native_join"] = """
 SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,

@@ -253,6 +253,84 @@ def q_events_window(sf_dir: str):
     return agg.map_batches(post, batch_format="pyarrow")
 
 
+def q_asof_join(sf_dir: str):
+    """AS-OF join — an operator Ray Data lacks natively: each event
+    matches the latest order of the same customer at-or-before the
+    event time.  Built as a co-group: both sides tagged + unioned,
+    hash-partitioned on the key (ALL rows of a key land in one
+    partition — the partitioning assumption this operator relies on),
+    then one C-speed ``pandas.merge_asof(by=key)`` per partition.
+    Oracle: DuckDB's native ``ASOF JOIN``."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    od = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    num_parts = 32
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        key = pc.cast(batch.column("user_id"), _I64)
+        return pa.table(
+            {
+                "key": key,
+                "ts_us": pc.cast(batch.column("ts"), _I64),
+                "event_id": pc.cast(batch.column("event_id"), _I64),
+                "is_event": pa.array([True] * len(batch), pa.bool_()),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        col = batch.column("o_orderdate")
+        if pa.types.is_date(col.type):
+            us = pc.multiply(pc.cast(pc.cast(col, pa.int32()), _I64), 86_400_000_000)
+        else:  # timestamp storage
+            us = pc.cast(pc.cast(col, pa.timestamp("us")), _I64)
+        return pa.table(
+            {
+                "key": pc.cast(batch.column("o_custkey"), _I64),
+                "ts_us": us,
+                "event_id": pa.array([-1] * len(batch), _I64),
+                "is_event": pa.array([False] * len(batch), pa.bool_()),
+            }
+        )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("key"), dtype=np.int64)
+        p = ((k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_parts)).astype(
+            np.int32
+        )
+        return batch.append_column("__p", pa.array(p, pa.int32()))
+
+    both = (
+        ev.map_batches(tag_events, batch_format="pyarrow")
+        .union(od.map_batches(tag_orders, batch_format="pyarrow"))
+        .map_batches(add_part, batch_format="pyarrow")
+    )
+
+    def asof_partition(part: pd.DataFrame) -> pd.DataFrame:
+        e = part[part["is_event"]].sort_values("ts_us", kind="mergesort")
+        o = part[~part["is_event"]].sort_values("ts_us", kind="mergesort")
+        if e.empty or o.empty:
+            return pd.DataFrame(
+                {"event_id": [], "user_id": [], "last_order_days": []}
+            ).astype("int64")
+        m = pd.merge_asof(
+            e[["ts_us", "key", "event_id"]],
+            o[["ts_us", "key"]].assign(order_us=o["ts_us"]),
+            on="ts_us",
+            by="key",
+            direction="backward",
+        ).dropna(subset=["order_us"])
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "user_id": m["key"].astype("int64"),
+                "last_order_days": (m["order_us"] // 86_400_000_000).astype("int64"),
+            }
+        )
+
+    return both.groupby("__p").map_groups(asof_partition, batch_format="pandas")
+
+
 def q_native_join(sf_dir: str):
     """Distributed hash join via ``Dataset.join`` (Ray ≥2.46) — the
     big-⋈-big strategy, complementing the broadcast map-side join in
