@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_repetition": Q.q_repetition,
         "q_native_join": Q.q_native_join,
         "q_asof_join": Q.q_asof_join,
+        "q_train_split": Q.q_train_split,
         "q_agg_lineitem": Q.q_agg_lineitem,
         "q_segment_orders": Q.q_segment_orders,
         "q_ann_topk": Q.q_ann_topk,

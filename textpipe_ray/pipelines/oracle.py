@@ -210,6 +210,13 @@ SELECT query_id, neighbor_id, rank FROM (
   WHERE e.vec_id <> q.query_id
 ) WHERE rank <= 10"""
 
+    # deterministic content-hash train/val split
+    out["q_train_split"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90
+            THEN 'train' ELSE 'val' END AS split
+FROM documents"""
+
     # as-of join — DuckDB's native ASOF JOIN is the oracle
     out["q_asof_join"] = """
 SELECT CAST(e.event_id AS BIGINT) AS event_id,

@@ -253,6 +253,39 @@ def q_events_window(sf_dir: str):
     return agg.map_batches(post, batch_format="pyarrow")
 
 
+SPLIT_TRAIN_PCT = 90
+
+
+def q_train_split(sf_dir: str):
+    """Deterministic content-hash train/val split (the standard
+    leakage-safe way to split a training corpus: the SAME document
+    always lands in the same split, across runs, engines and shard
+    layouts).  Pure per-batch map; md5-prefix arithmetic matches the
+    DuckDB oracle exactly."""
+    import hashlib as _hl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(batch: pa.Table) -> pa.Table:
+        buckets = np.array(
+            [
+                int(_hl.md5((t or "").encode("utf8")).hexdigest()[:8], 16) % 100
+                for t in batch.column("text").to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), _I64),
+                "split": pa.array(
+                    np.where(buckets < SPLIT_TRAIN_PCT, "train", "val"), pa.string()
+                ),
+            }
+        )
+
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
 def q_asof_join(sf_dir: str):
     """AS-OF join — an operator Ray Data lacks natively: each event
     matches the latest order of the same customer at-or-before the
