@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_native_join": Q.q_native_join,
         "q_asof_join": Q.q_asof_join,
         "q_train_split": Q.q_train_split,
+        "q_rolling_sum": Q.q_rolling_sum,
+        "q_stratified_sample": Q.q_stratified_sample,
         "q_agg_lineitem": Q.q_agg_lineitem,
         "q_segment_orders": Q.q_segment_orders,
         "q_ann_topk": Q.q_ann_topk,

@@ -210,6 +210,22 @@ SELECT query_id, neighbor_id, rank FROM (
   WHERE e.vec_id <> q.query_id
 ) WHERE rank <= 10"""
 
+    # bounded-window rolling aggregate (integer cents → exact)
+    out["q_rolling_sum"] = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS rolling_cents
+FROM events"""
+
+    # deterministic stratified (hash-bucket) sample
+    out["q_stratified_sample"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+FROM documents
+WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 10"""
+
     # deterministic content-hash train/val split
     out["q_train_split"] = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -253,6 +253,96 @@ def q_events_window(sf_dir: str):
     return agg.map_batches(post, batch_format="pyarrow")
 
 
+ROLLING_WINDOW = 3
+
+
+def q_rolling_sum(sf_dir: str):
+    """Per-user rolling sum over the last 3 events (ordered by ts) —
+    the bounded-window aggregate, computed for a whole hash partition
+    of users in one vectorized cumsum pass.  Integer cents keep the
+    oracle (SUM OVER ROWS 2 PRECEDING) bit-exact."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    num_parts = 32
+
+    def pre(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), _I64)
+        p = (
+            (np.asarray(uid).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            % np.uint64(num_parts)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "user_id": uid,
+                "event_id": pc.cast(batch.column("event_id"), _I64),
+                "ts_us": pc.cast(batch.column("ts"), _I64),
+                "vcents": pc.cast(pc.floor(pc.multiply(batch.column("value"), 100.0)), _I64),
+                "__p": pa.array(p, pa.int32()),
+            }
+        )
+
+    def roll(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        v = g["vcents"].to_numpy()
+        csum = np.concatenate(([0], np.cumsum(v)))
+        n = len(g)
+        idx = np.arange(n)
+        # first index of each user's run
+        first = np.zeros(n, dtype=np.int64)
+        if n:
+            new = np.ones(n, dtype=bool)
+            new[1:] = uid[1:] != uid[:-1]
+            first = idx[new][np.cumsum(new) - 1]
+        lo = np.maximum(idx - (ROLLING_WINDOW - 1), first)
+        rolling = csum[idx + 1] - csum[lo]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": uid,
+                "rolling_cents": rolling.astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(roll, batch_format="pandas")
+    )
+
+
+SAMPLE_PCT = 10
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-language stratified sample: keep a fixed
+    content-hash bucket range within every language stratum — the
+    reproducible, engine-independent way to sample a training corpus
+    (same rows selected on any cluster size or shard layout)."""
+    import hashlib as _hl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        keep = np.array(
+            [
+                int(_hl.md5((t or "").encode("utf8")).hexdigest()[:8], 16) % 100 < SAMPLE_PCT
+                for t in batch.column("text").to_pylist()
+            ],
+            dtype=bool,
+        )
+        out = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": pc.cast(out.column("doc_id"), _I64),
+                "lang": out.column("lang"),
+            }
+        )
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
 SPLIT_TRAIN_PCT = 90
 
 
