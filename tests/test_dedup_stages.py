@@ -143,3 +143,56 @@ def test_drop_near_dups_end_to_end(docs_ds):
     # 1 is an exact dup of 0; 2 is a near dup of 0 → only 0 survives,
     # plus the two unrelated docs
     assert ids == [0, 3, 4], ids
+
+
+def test_drop_near_dups_no_duplicates(ray_session):
+    """A duplicate-free corpus must pass through unchanged (empty
+    droplist regression: previously crashed with IndexError)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from textpipe_ray.stages.dedup import drop_near_dups
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "completely distinct first document about astronomy tonight",
+                    "second unique text mentioning databases and transactions",
+                    "third text about cooking pasta with fresh tomatoes",
+                ],
+            }
+        )
+    )
+    out = drop_near_dups(ds, threshold=0.5).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 2]
+
+
+def test_simhash_max_hamming_zero(docs_ds):
+    """max_hamming=0 (exact-fingerprint dedup) must not overflow the
+    64-bit band key."""
+    from textpipe_ray.stages.dedup import near_dup_simhash
+
+    out = near_dup_simhash(docs_ds, max_hamming=0).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 1) in pairs  # exact dup pair
+    assert all(h == 0 for h in out["hamming"])
+
+
+def test_shingle_jaccard_rejects_wide_ids(ray_session):
+    """doc ids >= 2^31 would corrupt the packed pair key — must raise."""
+    import pyarrow as pa
+
+    import pytest as _pytest
+    import ray.data
+
+    from textpipe_ray.stages.dedup import shingle_jaccard_pairs
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [1 << 32], "text": ["some words repeated some words"]})
+    )
+    with _pytest.raises(Exception) as ei:
+        shingle_jaccard_pairs(ds).take_all()
+    assert "31 bits" in str(ei.value)

@@ -77,3 +77,20 @@ def test_perplexity_many_matches_per_doc():
     # identical arithmetic per position; only the summation grouping
     # differs (reduceat vs pairwise sum) → agreement to ~1 ulp
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=0)
+
+
+def test_lone_surrogate_robustness():
+    """JSON sources can deliver lone surrogates; scoring must not raise
+    (old per-char path tolerated them — category Cs chars are stripped)."""
+    import json
+
+    from textpipe_ray.functions.langid import LangIdModel
+    from textpipe_ray.functions.perplexity import PerplexityModel
+
+    bad = json.loads('"The quick brown fox \\ud800 jumps over the lazy dog."')
+    ok, lang, margin = LangIdModel.load().detect(bad, "en")
+    assert lang == "en"
+    p = PerplexityModel.load().perplexity(bad, "en")
+    assert p > 0
+    many = PerplexityModel.load().perplexity_many([bad, "hello world"], ["en", "en"])
+    assert len(many) == 2

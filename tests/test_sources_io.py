@@ -73,3 +73,29 @@ def test_warc_roundtrip_and_flagship(ray_session, tmp_path):
 
     out = build_pages_pipeline(read_warc(str(tmp_path / "a.warc"))).to_pandas()
     assert len(out) == 50 and {"clean", "keep"}.issubset(out.columns)
+
+
+def test_pages_jsonl_roundtrip_non_utc_tz(ray_session, tmp_path):
+    """warc_ts must survive the JSONL roundtrip regardless of host
+    timezone (naive-datetime .timestamp() regression)."""
+    import os
+    import time
+
+    from textpipe_ray.sources.io import read_pages_any, write_pages_jsonl
+    from textpipe_ray.sources.pages import generate_pages
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        t = generate_pages(10, seed=77).select(["url", "warc_ts", "html", "text", "lang"])
+        write_pages_jsonl(t, tmp_path / "tz.jsonl")
+        got = read_pages_any(str(tmp_path / "tz.jsonl"), fmt="jsonl").to_pandas().sort_values("url")
+        want = t.to_pandas().sort_values("url")
+        assert [x.isoformat() for x in got["warc_ts"]] == [x.isoformat() for x in want["warc_ts"]]
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()

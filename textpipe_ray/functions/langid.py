@@ -139,7 +139,10 @@ class LangIdModel:
     def detect(self, clean: str, hint_language: str | None = None) -> tuple[bool, str, float]:
         """→ (is_reliable, lang, margin).  ``clean`` is the post-clean text."""
         cls = _cls_table()
-        codes = np.frombuffer(clean.encode("utf-32-le"), dtype=np.uint32)
+        # surrogatepass: JSON sources can legally deliver lone surrogates
+        # (category Cs → class C → stripped below, matching the old
+        # per-char path); a strict encode would kill the whole batch
+        codes = np.frombuffer(clean.encode("utf-32-le", "surrogatepass"), dtype=np.uint32)
         cc = cls[codes]
         n_letters = int((cc == _LETTER).sum())
         if n_letters == 0:
@@ -157,7 +160,9 @@ class LangIdModel:
         if hint_language in self._idx:
             scores = scores.copy()
             scores[self._idx[hint_language]] += HINT_BONUS * n
-        order = np.argsort(-scores)
+        # stable: on an exact score tie the lowest lang index wins,
+        # deterministically across numpy versions
+        order = np.argsort(-scores, kind="stable")
         best = int(order[0])
         second = int(order[1]) if len(order) > 1 else best
         margin = float(scores[best] - scores[second]) / max(1, n)

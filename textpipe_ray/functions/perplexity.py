@@ -122,7 +122,7 @@ class PerplexityModel:
             return float(1.0 / UNIFORM)  # empty = maximally surprising
         (tri, tri_ctx, bi, bi_ctx, uni, uni_total, vocab) = lang_t
         padded = "  " + t
-        codes = np.frombuffer(padded.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        codes = np.frombuffer(padded.encode("utf-32-le", "surrogatepass"), dtype=np.uint32).astype(np.uint64)
         c0, c1, c2 = codes[:-2], codes[1:-1], codes[2:]
         l3, l2, l1, l0 = LAMBDAS
         p3 = (_lookup(*tri, c0 * _K2 + c1 * _K1 + c2) + ALPHA) / (
@@ -157,7 +157,7 @@ class PerplexityModel:
                 continue
             lens = np.array([len(t) for _, t in keep], dtype=np.int64)
             concat = "".join("  " + t for _, t in keep)
-            codes = np.frombuffer(concat.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+            codes = np.frombuffer(concat.encode("utf-32-le", "surrogatepass"), dtype=np.uint32).astype(np.uint64)
             c0, c1, c2 = codes[:-2], codes[1:-1], codes[2:]
             p3 = (_lookup(*tri, c0 * _K2 + c1 * _K1 + c2) + ALPHA) / (
                 _lookup(*tri_ctx, c0 * _K1 + c1) + ALPHA * vocab

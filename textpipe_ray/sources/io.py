@@ -92,6 +92,15 @@ def write_pages_jsonl(table: pa.Table, out_path) -> None:
                 if name == S.HTML and v is not None:
                     v = base64.b64encode(v).decode("ascii")
                 elif name == S.WARC_TS and v is not None:
-                    v = int(v.timestamp() * 1_000_000) if hasattr(v, "timestamp") else int(v)
+                    if hasattr(v, "timestamp"):
+                        # Arrow timestamps are UTC-naive; .timestamp() on a
+                        # naive datetime would interpret it in the LOCAL
+                        # zone — pin UTC explicitly so the roundtrip holds
+                        # on any host timezone
+                        from datetime import timezone as _tz
+
+                        v = int(v.replace(tzinfo=_tz.utc).timestamp() * 1_000_000)
+                    else:
+                        v = int(v)
                 row[name] = v
             f.write(json.dumps(row, ensure_ascii=False) + "\n")

@@ -85,14 +85,18 @@ def ann_ivf_topk(
         d = ((emb[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
         cell = d.argmin(axis=1)  # (B,)
         norms = np.sqrt((emb * emb).sum(axis=1))
-        sims = (emb @ qmat_.T) / (norms[:, None] * qnorm_[None, :])  # (B, Q)
         visible = pmask_[cell]  # (B, Q): vector's cell probed by query?
         out_q, out_n, out_s = [], [], []
         for j, qid in enumerate(qids_):
             keep = visible[:, j] & (ids != qid)
+            # similarity computed ONLY for the probed subset — this is
+            # the IVF saving (the brute-force baseline does the full
+            # B×Q matmul); work here is O(|probed| · dim) per query
+            sub = emb[keep]
+            sims_j = (sub @ qmat_[j]) / (norms[keep] * qnorm_[j])
             out_q.append(np.full(int(keep.sum()), qid, dtype=np.int64))
             out_n.append(ids[keep])
-            out_s.append(sims[keep, j])
+            out_s.append(sims_j)
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q), pa.int64()),

@@ -258,6 +258,18 @@ def near_dup_after_exact(
     otherwise each produce k²/2 trivial pairs inside one LSH bucket —
     this keeps the near-dup stage's bucket sizes bounded by real
     near-match density."""
+    _, pairs = exact_survivors_and_pairs(ds, text_col, id_col, **near_dup_kwargs)
+    return pairs
+
+
+def exact_survivors_and_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **near_dup_kwargs,
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """Shared core of the near-dup compositions: (exact-dedup
+    survivors, MinHash-LSH pair Dataset over those survivors)."""
     import hashlib as _hashlib
 
     def add_hash(batch: pa.Table) -> pa.Table:
@@ -270,7 +282,8 @@ def near_dup_after_exact(
     survivors = dedup_exact(
         ds.map_batches(add_hash, batch_format="pyarrow"), "__content_hash", id_col
     ).drop_columns(["__content_hash"])
-    return near_dup_minhash(survivors, text_col=text_col, id_col=id_col, **near_dup_kwargs)
+    pairs = near_dup_minhash(survivors, text_col=text_col, id_col=id_col, **near_dup_kwargs)
+    return survivors, pairs
 
 
 def near_dup_embeddings(
@@ -411,9 +424,14 @@ def near_dup_simhash(
 
     def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
         g = part.sort_values(["band", "band_bits", "doc_id"], kind="mergesort")
-        key = g["band"].to_numpy().astype(np.int64) * np.int64(1 << band_width) + g[
-            "band_bits"
-        ].to_numpy().astype(np.int64)
+        # max_hamming=0 → one 64-bit band; 1<<64 overflows int64, and the
+        # band column is constant 0 anyway, so the bits alone are the key
+        if band_width >= 63:
+            key = g["band_bits"].to_numpy().astype(np.int64)
+        else:
+            key = g["band"].to_numpy().astype(np.int64) * np.int64(1 << band_width) + g[
+                "band_bits"
+            ].to_numpy().astype(np.int64)
         ids = g["doc_id"].to_numpy()
         sims = g["sim"].to_numpy().astype(np.uint64)
         _, starts, counts = np.unique(key, return_index=True, return_counts=True)
@@ -496,6 +514,12 @@ def shingle_jaccard_pairs(
             np.asarray(batch.column(id_col), dtype=np.int64),
             batch.column(text_col).to_pylist(),
         ):
+            # pair keys pack (id_a, id_b) into one int64 downstream
+            if did < 0 or did >= (1 << 31):
+                raise ValueError(
+                    f"{id_col} must fit in 31 bits for pair packing (got {did}); "
+                    "renumber ids (e.g. dense rank) before shingle_jaccard_pairs"
+                )
             for sh in doc_shingles(t):
                 ids_out.append(did)
                 hash_out.append(
@@ -515,7 +539,10 @@ def shingle_jaccard_pairs(
             }
         )
 
-    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    # materialize once: BOTH the pair generation and the per-doc size
+    # table derive from the exploded rows (a second pass would repeat
+    # the tokenize+blake2b work, the operator's most expensive stage)
+    exploded = ds.map_batches(explode, batch_format="pyarrow").materialize()
 
     def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
         g = part.sort_values(["sh", "doc_id"], kind="mergesort")
@@ -583,25 +610,20 @@ def shingle_jaccard_pairs(
         .map_groups(sum_pairs, batch_format="pandas")
     )
 
-    # per-doc distinct-shingle sizes: tiny (8 bytes/doc) → broadcast
-    def sizes_batch(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(id_col), dtype=np.int64)
-        szs = np.asarray(
-            [len(doc_shingles(t)) for t in batch.column(text_col).to_pylist()], dtype=np.int64
-        )
-        return pa.table({"doc_id": pa.array(ids, pa.int64()), "sz": pa.array(szs, pa.int64())})
-
-    sz_ids, sz_vals = [], []
-    for b in ds.map_batches(sizes_batch, batch_format="pyarrow").iter_batches(
-        batch_size=8192, batch_format="pyarrow"
-    ):
-        sz_ids.append(np.asarray(b.column("doc_id"), dtype=np.int64))
-        sz_vals.append(np.asarray(b.column("sz"), dtype=np.int64))
-    ids_cat = np.concatenate(sz_ids) if sz_ids else np.empty(0, np.int64)
+    # per-doc distinct-shingle sizes: exploded already holds exactly one
+    # row per (doc, distinct shingle) — the size table is a row count
+    # per doc_id over those rows (tiny: 8 bytes/doc → broadcast).
+    # Batches may split a doc across boundaries, so accumulate partials.
+    size_acc: dict[int, int] = {}
+    for b in exploded.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ids_arr = np.asarray(b.column("doc_id"), dtype=np.int64)
+        uniq, cnt = np.unique(ids_arr, return_counts=True)
+        for i, c in zip(uniq, cnt):
+            size_acc[int(i)] = size_acc.get(int(i), 0) + int(c)
+    ids_cat = np.fromiter(size_acc.keys(), dtype=np.int64, count=len(size_acc))
+    vals_cat = np.fromiter(size_acc.values(), dtype=np.int64, count=len(size_acc))
     order = np.argsort(ids_cat)
-    size_ref = _ray.put(
-        (ids_cat[order], (np.concatenate(sz_vals)[order] if sz_vals else np.empty(0, np.int64)))
-    )
+    size_ref = _ray.put((ids_cat[order], vals_cat[order]))
 
     def finish(batch: pa.Table) -> pa.Table:
         sorted_ids, sizes = _ray.get(size_ref)
@@ -653,6 +675,9 @@ def pair_clusters(pairs_df) -> dict[int, int]:
             parent[x], x = r, parent[x]
         return r
 
+    # an empty pair Dataset can come back as a column-less DataFrame
+    if len(pairs_df) == 0 or "id_a" not in pairs_df.columns:
+        return {}
     seen: set[int] = set()
     for a, b in zip(pairs_df["id_a"], pairs_df["id_b"]):
         a, b = int(a), int(b)
@@ -679,33 +704,21 @@ def drop_near_dups(
     driver; the droplist ships once via ``ray.put`` and the final pass
     is a vectorized membership filter — the corpus itself is only ever
     streamed, never collected."""
-    import hashlib as _hashlib
-
     import ray as _ray
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        h = [
-            _hashlib.md5((t or "").encode("utf8")).hexdigest()
-            for t in batch.column(text_col).to_pylist()
-        ]
-        return batch.append_column("__content_hash", pa.array(h, pa.string()))
-
-    survivors = dedup_exact(
-        ds.map_batches(add_hash, batch_format="pyarrow"), "__content_hash", id_col
-    ).drop_columns(["__content_hash"])
-
-    pairs = near_dup_minhash(survivors, text_col=text_col, id_col=id_col, **near_dup_kwargs)
+    survivors, pairs = exact_survivors_and_pairs(ds, text_col, id_col, **near_dup_kwargs)
     roots = pair_clusters(pairs.to_pandas())
     # every doc whose cluster root is not itself gets dropped
     droplist = np.array(sorted(x for x, r in roots.items() if r != x), dtype=np.int64)
+    if len(droplist) == 0:
+        return survivors  # no near-dup clusters at all
     drop_ref = _ray.put(droplist)
 
     def keep_batch(batch: pa.Table) -> pa.Table:
         drops = _ray.get(drop_ref)
         ids = np.asarray(batch.column(id_col), dtype=np.int64)
-        pos = np.searchsorted(drops, ids)
-        pos_c = np.minimum(pos, max(0, len(drops) - 1))
-        is_dup = (len(drops) > 0) & (drops[pos_c] == ids)
+        pos = np.minimum(np.searchsorted(drops, ids), len(drops) - 1)
+        is_dup = drops[pos] == ids
         return batch.filter(pa.array(~is_dup))
 
     return survivors.map_batches(keep_batch, batch_format="pyarrow")
