@@ -1,12 +1,13 @@
-"""Named-entity extraction (gazetteer + capitalisation heuristic).
+"""Named-entity extraction (gazetteer stand-in).
 
 The reference delegates NER to spaCy models with the contract
 ``find_ents(model_name, ent_attributes) → deduped [(attr...)]`` and
 ``TextpipeMissingModelException`` for unavailable custom models
 (/root/reference/textpipe/doc.py:220-244, operation.py:203-224).  The
-stand-in here is model-pluggable: a per-language gazetteer of known
-entities plus a capitalised-sequence heuristic for unseen ORG/PERSON
-candidates — swap in a real model per actor without touching the stage.
+stand-in here is a longest-match gazetteer lookup, model-pluggable per
+actor (pass a bigger ``gazetteer`` dict, or swap the whole function for
+a real model in the stage's ``__init__``) without touching the Ray
+plumbing.
 """
 
 from __future__ import annotations
@@ -27,9 +28,6 @@ GAZETTEER: dict[str, str] = {
     "Alan Alexander Milne": "PERSON",
     "Mary Jane": "PERSON",
 }
-
-_CAP_SEQ = re.compile(r"(?<![.!?]\s)(?<!^)\b([A-Z][a-zA-Z]+(?:\s+[A-Z][a-zA-Z]+)*)")
-
 
 class MissingModelException(Exception):
     pass

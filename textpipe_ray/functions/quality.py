@@ -24,6 +24,8 @@ bit-identical.  Thresholds live in ``models/quality_thresholds.json``
 
 from __future__ import annotations
 
+import functools as _functools
+
 import json
 from pathlib import Path
 
@@ -38,7 +40,11 @@ _STOPWORD_ALT = "|".join(EN_STOPWORDS)
 # One definition, three engines (Arrow / DuckDB / python-regex).
 RE2_PATTERNS: dict[str, str] = {
     # word tokens: letter/number/underscore runs, or one symbol char
-    "nwords": r"[\p{L}\p{N}_]+|[^\p{L}\p{N}_\s]",
+    # NOTE: explicit ASCII whitespace class, NOT \s — RE2 (DuckDB/Arrow)
+    # treats \s as ASCII-only while python's `regex` treats it as
+    # Unicode; spelling it out makes every engine tokenize identically
+    # (NBSP and other Unicode spaces count as symbol tokens everywhere)
+    "nwords": r"[\p{L}\p{N}_]+|[^\p{L}\p{N}_\t\n\f\r ]",
     # sentence segments (shared with tokenize.SENT_PATTERN semantics)
     "nsents": r"[^.!?]+[.!?]*",
     "n_alpha": r"\p{L}",
@@ -58,6 +64,7 @@ FEATURE_ORDER = list(RE2_PATTERNS)
 _COMPILED = {name: _regex.compile(pat) for name, pat in RE2_PATTERNS.items()}
 
 
+@_functools.lru_cache(maxsize=8)
 def load_thresholds(path: str | Path = THRESHOLDS_PATH) -> dict:
     with open(path, "r", encoding="utf8") as f:
         return json.load(f)

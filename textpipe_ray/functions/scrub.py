@@ -16,6 +16,8 @@ the Arrow stage (``pc.replace_substring_regex``), in DuckDB oracle SQL
 
 from __future__ import annotations
 
+import functools as _functools
+
 import json
 from pathlib import Path
 
@@ -41,6 +43,7 @@ DEFAULT_RULES = {
 }
 
 
+@_functools.lru_cache(maxsize=8)
 def load_rules(path: str | Path = SCRUB_RULES_PATH) -> dict:
     with open(path, "r", encoding="utf8") as f:
         return json.load(f)

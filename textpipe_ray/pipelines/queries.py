@@ -840,6 +840,14 @@ def q_ann_topk(sf_dir: str):
 
     def score(batch: pa.Table) -> pa.Table:
         qids_, qmat_, qnorm_ = ray.get(ref)
+        if len(batch) == 0:  # empty block: np.array([]) is 1-D → matmul breaks
+            return pa.table(
+                {
+                    "query_id": pa.array([], _I64),
+                    "neighbor_id": pa.array([], _I64),
+                    "cos": pa.array([], _F64),
+                }
+            )
         ids = np.asarray(batch.column("vec_id"))
         emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
         norms = np.sqrt((emb * emb).sum(axis=1))

@@ -52,10 +52,20 @@ class Pipeline:
     # -- execution ----------------------------------------------------------
     def _apply(self, batch: pa.Table) -> pa.Table:
         hint = self.language or self.hint_language
+        if "__clean" not in batch.column_names:
+            # compute the clean kernel ONCE for the whole step chain —
+            # the dataflow analog of the Doc's clean_text lru_cache
+            # (doc.py:193): without this every op lacking an upstream
+            # CleanText column re-parses the HTML per step
+            from textpipe_ray.stages.ops import ensure_clean_column
+
+            batch = ensure_clean_column(batch)
         for name, settings in self.steps:
             fn = self._custom.get(name) or OPERATIONS[name]
             batch = fn(batch, name, settings, hint)
-        return batch
+        return batch.drop_columns(
+            [c for c in ("__clean",) if c in batch.column_names]
+        )
 
     def transform(self, ds, batch_size: int = 256):
         """Dataset → Dataset with one appended column per step."""

@@ -80,6 +80,14 @@ def ann_ivf_topk(
 
     def score(batch: pa.Table) -> pa.Table:
         qids_, qmat_, qnorm_, cents_, pmask_ = ray.get(ref)
+        if len(batch) == 0:  # empty block: np.array([]) is 1-D → matmul breaks
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
         ids = np.asarray(batch.column(id_col), dtype=np.int64)
         emb = np.array(batch.column(embedding_col).to_pylist(), dtype=np.float64)
         d = ((emb[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)

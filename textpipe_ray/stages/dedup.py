@@ -168,13 +168,23 @@ def near_dup_minhash(
     def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
         """All within-bucket id pairs for every (band, band_hash) bucket
         in this hash partition — one vectorized pass, python only over
-        the (few) buckets with ≥2 members."""
+        the (few) buckets with ≥2 members.
+
+        Bucket runs come from adjacency in the (band, band_hash) sort —
+        NOT from packing both into one integer, which would truncate the
+        64-bit hash and merge distinct buckets (silently dropping their
+        pairs)."""
         g = part.sort_values(["band", "band_hash", "doc_id"], kind="mergesort")
-        key = g["band"].to_numpy().astype(np.int64) * np.int64(2**32) ^ (
-            g["band_hash"].to_numpy().astype(np.int64) & np.int64(0xFFFFFFFF)
-        )
+        band = g["band"].to_numpy()
+        bhash = g["band_hash"].to_numpy()
         ids = g["doc_id"].to_numpy()
-        _, starts, counts = np.unique(key, return_index=True, return_counts=True)
+        n_rows = len(g)
+        if n_rows == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        new_run = np.ones(n_rows, dtype=bool)
+        new_run[1:] = (band[1:] != band[:-1]) | (bhash[1:] != bhash[:-1])
+        starts = np.flatnonzero(new_run)
+        counts = np.diff(np.append(starts, n_rows))
         a_out, b_out = [], []
         for s, k in zip(starts[counts > 1], counts[counts > 1]):
             bucket = ids[s : s + k]
@@ -307,6 +317,14 @@ def near_dup_embeddings(
     planes = rng.standard_normal((num_tables, dim, num_planes))
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # empty block: np.array([]) is 1-D → matmul breaks
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    "emb": pa.array([], pa.list_(pa.float64())),
+                }
+            )
         emb = np.array(batch.column(embedding_col).to_pylist(), dtype=np.float64)
         ids = np.asarray(batch.column(id_col))
         embs = batch.column(embedding_col)

@@ -55,9 +55,23 @@ def _texts(batch: pa.Table, col: str) -> list[str]:
     return [t or "" for t in batch.column(col).to_pylist()]
 
 
+def ensure_clean_column(batch: pa.Table) -> pa.Table:
+    """Materialize the clean kernel once as a hidden ``__clean`` column
+    so every subsequent op reads it instead of re-running extraction
+    (the Pipeline drops it after the last step)."""
+    if S.CLEAN in batch.column_names or "__clean" in batch.column_names:
+        return batch
+    src = "raw" if "raw" in batch.column_names else S.TEXT
+    return batch.append_column(
+        "__clean", pa.array([clean_text(t) for t in _texts(batch, src)], pa.string())
+    )
+
+
 def _clean_col(batch: pa.Table) -> list[str]:
     if S.CLEAN in batch.column_names:
         return _texts(batch, S.CLEAN)
+    if "__clean" in batch.column_names:
+        return _texts(batch, "__clean")
     src = "raw" if "raw" in batch.column_names else S.TEXT
     return [clean_text(t) for t in _texts(batch, src)]
 
@@ -82,11 +96,16 @@ def op_raw(batch, name, settings, hint):
 
 
 def op_clean_text(batch, name, settings, hint):
-    src = "raw" if "raw" in batch.column_names else S.TEXT
-    vals = [clean_text(t, **settings) for t in _texts(batch, src)]
-    batch = batch.append_column(name, pa.array(vals, pa.string()))
+    if not settings and "__clean" in batch.column_names:
+        vals_arr = batch.column("__clean")  # default flags: reuse the precomputed kernel
+    else:
+        src = "raw" if "raw" in batch.column_names else S.TEXT
+        vals_arr = pa.array(
+            [clean_text(t, **settings) for t in _texts(batch, src)], pa.string()
+        )
+    batch = batch.append_column(name, vals_arr)
     if S.CLEAN not in batch.column_names:
-        batch = batch.append_column(S.CLEAN, pa.array(vals, pa.string()))
+        batch = batch.append_column(S.CLEAN, vals_arr)
     return batch
 
 

@@ -152,6 +152,13 @@ def quality_batch(
 
 
 def _lang_stopword_pattern(lang: str) -> str | None:
+    """NOTE: RE2 has no lookarounds and its \b is ASCII-only, so
+    stopwords whose edge characters are non-ASCII letters ('à', 'è')
+    never match the \b boundary — they contribute 0 to n_stopwords on
+    every engine (Ray and the DuckDB oracle agree, keeping parity and
+    keep/drop deterministic, but fr/it stopword counts are biased low).
+    A token-based counter would fix the bias at the cost of a second
+    tokenize pass."""
     from textpipe_ray.data.seed_corpora import STOPWORDS
 
     terms = STOPWORDS.get(lang)
@@ -196,7 +203,14 @@ SENT_RE2 = RE2_PATTERNS["nsents"]
 
 
 def complexity_batch(batch: pa.Table, text_col: str = S.CLEAN) -> pa.Table:
-    """Vectorized Flesch reading ease over this engine's tokenizer counts."""
+    """NOTE: this RE2 syllable approximation differs from the scalar
+    ``tokenize.flesch_reading_ease`` on edge tokens (vowel-free words
+    adjacent to digits miss the \b consonant-word pattern here), so the
+    flagship/oracle complexity and the Pipeline 'Complexity' op are two
+    documented estimators of the same quantity, each internally
+    consistent with its own oracle/golden tests.
+
+    Vectorized Flesch reading ease over this engine's tokenizer counts."""
     text = batch.column(text_col)
     lowered = pc.utf8_lower(text)
     w = pc.cast(pc.count_substring_regex(lowered, ALPHA_WORD_RE2), _F64)
