@@ -69,3 +69,39 @@ def test_media_pipeline_on_ray(ray_session):
     img = out[out["kind"] == "image"]
     assert img["decoded_ok"].all()
     assert img["image_features"].map(len).eq(8).all()
+
+
+def test_video_frame_sampling(ray_session):
+    import ray.data
+
+    from textpipe_ray.stages.multimodal import VideoFrameSampleStage, generate_media
+
+    ds = ray.data.from_arrow(generate_media(60, seed=9)).repartition(4)
+    rows = []
+    for b in ds.map_batches(
+        VideoFrameSampleStage, batch_format="pyarrow", batch_size=8, concurrency=2,
+        fn_constructor_kwargs={"num_frames": 4},
+    ).iter_batches(batch_size=64, batch_format="pyarrow"):
+        rows.extend(b.to_pylist())
+    vids = [r for r in rows if r["kind"] == "video"]
+    assert len(vids) > 0
+    for row in vids:
+        assert len(row["frame_ts_ms"]) == 4
+        assert len(row["frame_features"]) == 4
+        # timestamps increasing within the clip duration
+        ts = list(row["frame_ts_ms"])
+        assert ts == sorted(ts) and ts[-1] <= row["duration_ms"]
+        assert all(len(f) == 6 for f in row["frame_features"])
+    # non-video rows untouched
+    assert all(r["frame_ts_ms"] is None for r in rows if r["kind"] != "video")
+
+
+def test_video_frames_deterministic(ray_session):
+    from textpipe_ray.stages.multimodal import FakeDecoderBackend
+
+    b = FakeDecoderBackend()
+    f1 = b.decode_video_frame(b"payload", 500, 8, 8)
+    f2 = b.decode_video_frame(b"payload", 500, 8, 8)
+    f3 = b.decode_video_frame(b"payload", 600, 8, 8)
+    assert (f1 == f2).all()
+    assert (f1 != f3).any()  # distinct timestamps → distinct frames

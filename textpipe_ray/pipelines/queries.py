@@ -988,6 +988,11 @@ def q_textpipe_ops(sf_dir: str):
     )
 
 
+def _video_summary(batch: pa.Table) -> pa.Table:
+    n = [len(ts) if ts is not None else 0 for ts in batch.column("frame_ts_ms").to_pylist()]
+    return batch.append_column("n_frames", pa.array(n, _I64))
+
+
 def q_media_features(sf_dir: str):
     """Multimodal actor-pool stages over the synthetic media table
     (decode stubbed deterministically; Ray plumbing real)."""
@@ -996,6 +1001,7 @@ def q_media_features(sf_dir: str):
     from textpipe_ray.stages.multimodal import (
         AudioFeatureStage,
         ImageFeatureStage,
+        VideoFrameSampleStage,
         generate_media,
     )
 
@@ -1008,7 +1014,23 @@ def q_media_features(sf_dir: str):
     return (
         ds.map_batches(ImageFeatureStage, batch_format="pyarrow", batch_size=32, concurrency=(1, 4))
         .map_batches(AudioFeatureStage, batch_format="pyarrow", batch_size=32, concurrency=(1, 4))
-        .select_columns(["media_id", "kind", "decoded_ok", "image_features", "rms_envelope"])
+        .map_batches(
+            VideoFrameSampleStage, batch_format="pyarrow", batch_size=16, concurrency=(1, 4)
+        )
+        # frame_ts_ms is a UNIFORM-length list — Ray's pandas conversion
+        # tries a tensor-extension cast and fails on the null (non-video)
+        # rows, so the driver-facing output carries a scalar summary
+        .map_batches(_video_summary, batch_format="pyarrow")
+        .select_columns(
+            [
+                "media_id",
+                "kind",
+                "decoded_ok",
+                "image_features",
+                "rms_envelope",
+                "n_frames",
+            ]
+        )
     )
 
 

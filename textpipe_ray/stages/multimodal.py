@@ -45,6 +45,11 @@ class DecoderBackend:
     def decode_audio(self, payload: bytes, sample_rate: int, duration_ms: int) -> np.ndarray:
         raise NotImplementedError("real audio decoding requires an audio library")
 
+    def decode_video_frame(
+        self, payload: bytes, t_ms: int, width: int, height: int
+    ) -> np.ndarray:
+        raise NotImplementedError("real frame extraction requires ffmpeg")
+
 
 class FakeDecoderBackend(DecoderBackend):
     def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
@@ -57,6 +62,19 @@ class FakeDecoderBackend(DecoderBackend):
         seed = int.from_bytes(hashlib.blake2b(payload, digest_size=4).digest(), "little")
         n = max(1, int(max(sample_rate, 1) * max(duration_ms, 1) / 1000))
         return np.random.RandomState(seed).standard_normal(min(n, 480000)).astype(np.float32)
+
+    def decode_video_frame(
+        self, payload: bytes, t_ms: int, width: int, height: int
+    ) -> np.ndarray:
+        # frame content derives from (payload, timestamp) → deterministic
+        # per frame, distinct across frames
+        seed = int.from_bytes(
+            hashlib.blake2b(payload + t_ms.to_bytes(8, "little"), digest_size=4).digest(),
+            "little",
+        )
+        return np.random.RandomState(seed).randint(
+            0, 256, size=(max(height, 1), max(width, 1), 3), dtype=np.uint8
+        )
 
 
 class ImageFeatureStage:
@@ -127,6 +145,61 @@ class AudioFeatureStage:
             rms = np.sqrt((samples[: n * frame].reshape(n, frame) ** 2).mean(axis=1))
             envs.append(rms.astype(np.float64).tolist())
         return batch.append_column("rms_envelope", pa.array(envs, pa.list_(pa.float64())))
+
+
+class VideoFrameSampleStage:
+    """Actor-pool stage: sample N frames uniformly across the clip's
+    duration, decode each, emit per-frame feature vectors + the sampled
+    timestamps.  Frame decode is the expensive unit of work at scale —
+    ``concurrency × batch_size × num_frames`` bounds in-flight decoded
+    frames, so video batches stay SMALL (8-16 rows).
+
+    Use: ``ds.map_batches(VideoFrameSampleStage, batch_size=8,
+    concurrency=(2, 8), num_cpus=1, batch_format='pyarrow')``."""
+
+    def __init__(
+        self,
+        num_frames: int = 4,
+        target_size: int = 32,
+        backend: DecoderBackend | None = None,
+    ):
+        self.num_frames = num_frames
+        self.size = target_size
+        self.backend = backend or FakeDecoderBackend()
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape[:2]
+        ys = (np.arange(self.size) * h // self.size).clip(0, h - 1)
+        xs = (np.arange(self.size) * w // self.size).clip(0, w - 1)
+        return img[ys][:, xs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        all_ts, all_feats = [], []
+        for i in range(len(batch)):
+            if batch.column("kind")[i].as_py() != "video":
+                all_ts.append(None)
+                all_feats.append(None)
+                continue
+            dur = batch.column("duration_ms")[i].as_py() or 0
+            w = batch.column("width")[i].as_py() or 1
+            h = batch.column("height")[i].as_py() or 1
+            payload = batch.column("payload")[i].as_py()
+            # uniform sample: midpoints of num_frames equal spans
+            ts = [int(dur * (2 * j + 1) / (2 * self.num_frames)) for j in range(self.num_frames)]
+            feats = []
+            for t in ts:
+                frame = self.backend.decode_video_frame(payload, t, w, h)
+                small = self._resize(frame).astype(np.float64) / 255.0
+                feats.append(
+                    np.concatenate([small.mean(axis=(0, 1)), small.std(axis=(0, 1))]).tolist()
+                )
+            all_ts.append(ts)
+            all_feats.append(feats)
+        return batch.append_column(
+            "frame_ts_ms", pa.array(all_ts, pa.list_(pa.int64()))
+        ).append_column(
+            "frame_features", pa.array(all_feats, pa.list_(pa.list_(pa.float64())))
+        )
 
 
 def generate_media(num_rows: int, seed: int = 42) -> pa.Table:
