@@ -7,12 +7,12 @@ doc.py:456-497 — ``Doc.similarity`` is the verify kernel, LSH banding
 is the candidate generator, SURVEY.md §2.7).
 
 Scale notes: the LSH band explosion emits one small row per (doc,
-band); the groupby shuffles band rows, never documents.  In the demo
-``near_dup_minhash`` the signature rides along in the band rows for
-in-group verification — at 100 TB you would instead emit bare
-``(band_hash, doc_id)`` rows and join candidates back to a signature
-table bucketed by ``hash(doc_id)`` (one extra co-partitioned join);
-the shape of the shuffle is identical.
+band); the groupby shuffles band rows, never documents.  Candidate
+pairs are verified by joining them back to the signature table via
+co-partitioned joins on ``hash(doc_id)``
+(:mod:`textpipe_ray.stages.joins`) — corpus-derived state (signatures,
+per-doc shingle counts) never passes through the driver, so every
+operator here is bounded by per-partition size, not driver heap.
 """
 
 from __future__ import annotations
@@ -112,17 +112,18 @@ def near_dup_minhash(
     with many byte-identical boilerplate docs otherwise forms quadratic
     candidate buckets (k identical docs → k²/2 pairs).
 
-    Physical plan: (1) one pass computes signatures; the exchanged band
-    rows carry only ``(band, band_hash, doc_id)`` — never the 1 KB
-    signature; (2) bucket groupby emits candidate id pairs; (3) pairs
-    are deduped and verified against the signature table, which is
-    broadcast via ``ray.put`` (signatures are ~1% of corpus bytes; at
-    cluster scale swap the broadcast for a join bucketed by
-    ``hash(doc_id)`` — the band exchange, the expensive part, is
-    unchanged)."""
-    import ray as _ray
-
+    Physical plan: (1) one pass computes signatures — materialized once
+    as DISTRIBUTED blocks in the object store (spillable; never
+    collected to the driver) because three consumers read it; (2) the
+    exchanged band rows carry only ``(band, band_hash, doc_id)`` —
+    never the 1 KB signature; (3) bucket groupby emits candidate id
+    pairs; (4) candidates are verified by attaching ``sig_a`` then
+    ``sig_b`` via two co-partitioned joins on ``hash(doc_id)``
+    (:func:`textpipe_ray.stages.joins.copartition_attach`) — no
+    signature ever passes through the driver, so the verify side scales
+    with the cluster, not with one process's heap."""
     from textpipe_ray.functions.minhash import minhash_signature_shingles
+    from textpipe_ray.stages.joins import copartition_attach
 
     def sig_of(t: str) -> np.ndarray:
         if shingle_size is None:
@@ -206,26 +207,56 @@ def near_dup_minhash(
         .map_groups(partition_pairs, batch_format="pandas")
     )
 
-    # broadcast the signature table once as two flat numpy arrays
-    # (zero-copy through the object store — a dict of per-doc arrays
-    # would cost an unpickle of N objects in every verify task)
-    all_ids, all_sigs = [], []
-    for b in sig_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        all_ids.append(np.asarray(b.column("doc_id"), dtype=np.int64))
-        all_sigs.append(
-            np.asarray(b.column("sig").combine_chunks().flatten(), dtype=np.uint64).reshape(
-                len(b), -1
-            )
-        )
-    ids_cat = np.concatenate(all_ids) if all_ids else np.empty(0, np.int64)
-    order = np.argsort(ids_cat)
-    sig_ref = _ray.put((ids_cat[order], np.concatenate(all_sigs)[order] if all_sigs else None))
+    # a pair surfaces once per matching band — collapse BEFORE the
+    # signature joins so each pair is verified exactly once
+    def dedup_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
 
-    def verify(batch: pa.Table) -> pa.Table:
-        sorted_ids, sig_mat = _ray.get(sig_ref)
+    def add_pair_part(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch.column("id_a"), dtype=np.int64)
         b = np.asarray(batch.column("id_b"), dtype=np.int64)
-        if len(a) == 0:
+        key = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ b.astype(np.uint64)
+        return pa.table(
+            {
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b, pa.int64()),
+                "__pp": pa.array((key % np.uint64(num_parts)).astype(np.int32), pa.int32()),
+            }
+        )
+
+    uniq_pairs = (
+        candidates.map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )
+
+    # co-partitioned signature attach: sig_a by hash(id_a), then sig_b
+    # by hash(id_b) — the lookup table stays distributed throughout
+    sig_t = pa.list_(pa.uint64())
+    with_a = copartition_attach(
+        uniq_pairs,
+        "id_a",
+        {"id_a": pa.int64(), "id_b": pa.int64()},
+        sig_ds,
+        "doc_id",
+        {"sig": sig_t},
+        out_names={"sig": "sig_a"},
+        num_parts=num_parts,
+    )
+    with_b = copartition_attach(
+        with_a,
+        "id_b",
+        {"id_a": pa.int64(), "id_b": pa.int64(), "sig_a": sig_t},
+        sig_ds,
+        "doc_id",
+        {"sig": sig_t},
+        out_names={"sig": "sig_b"},
+        num_parts=num_parts,
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
             return pa.table(
                 {
                     "id_a": pa.array([], pa.int64()),
@@ -233,8 +264,14 @@ def near_dup_minhash(
                     "jaccard_est": pa.array([], pa.float64()),
                 }
             )
-        sa = sig_mat[np.searchsorted(sorted_ids, a)]
-        sb = sig_mat[np.searchsorted(sorted_ids, b)]
+        a = np.asarray(batch.column("id_a"), dtype=np.int64)
+        b = np.asarray(batch.column("id_b"), dtype=np.int64)
+        sa = np.asarray(
+            batch.column("sig_a").combine_chunks().flatten(), dtype=np.uint64
+        ).reshape(n, -1)
+        sb = np.asarray(
+            batch.column("sig_b").combine_chunks().flatten(), dtype=np.uint64
+        ).reshape(n, -1)
         j = (sa == sb).mean(axis=1)
         mask = j >= threshold
         return pa.table(
@@ -245,15 +282,7 @@ def near_dup_minhash(
             }
         )
 
-    # verify every candidate row (vectorized, no shuffle), THEN collapse
-    # the duplicates a pair picks up from multiple matching bands — the
-    # verified set is tiny, so this last groupby is cheap
-    from ray.data.aggregate import Max as _Max
-
-    verified = candidates.map_batches(verify, batch_format="pyarrow")
-    return verified.groupby(["id_a", "id_b"]).aggregate(
-        _Max("jaccard_est", alias_name="jaccard_est")
-    )
+    return with_b.map_batches(verify, batch_format="pyarrow")
 
 
 def near_dup_after_exact(
@@ -370,10 +399,13 @@ def near_dup_embeddings(
         .groupby("bucket")
         .map_groups(verify, batch_format="pandas")
     )
-    # a pair can surface from several tables/buckets — collapse
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    # a pair can surface from several tables/buckets — collapse with a
+    # vectorized aggregate (cosine of a given pair is identical in every
+    # bucket, so Max just picks the one value; per-group map_groups
+    # would pay python dispatch per near-unique pair key)
+    from ray.data.aggregate import Max as _Max
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(_Max("cosine", alias_name="cosine"))
 
 
 # ---------------------------------------------------------------------------
@@ -510,15 +542,18 @@ def shingle_jaccard_pairs(
     Physical plan: one pass emits ``(shingle_hash64, doc_id)`` rows
     partitioned by shingle hash (the inverted-index exchange — the only
     all-to-all); each partition self-joins its postings into partial
-    pair counts; a second small groupby sums partials; per-doc shingle
-    counts (8 bytes/doc) broadcast via ``ray.put`` for the final
-    jaccard map.  Unlike LSH this is exact but quadratic in posting
-    lengths — use it when recall must be 1.0 at a hard threshold and
-    boilerplate has been collapsed by exact dedup first."""
+    pair counts; a second small groupby sums partials; per-doc
+    distinct-shingle counts are themselves a distributed partial-count
+    + hash-partition reduction over the same exploded rows, attached to
+    the pair counts by two co-partitioned joins on ``hash(doc_id)``
+    (never collected on the driver).  Unlike LSH this is exact but
+    quadratic in posting lengths — use it when recall must be 1.0 at a
+    hard threshold and boilerplate has been collapsed by exact dedup
+    first."""
     import hashlib as _hashlib
     import re as _re
 
-    import ray as _ray
+    from textpipe_ray.stages.joins import copartition_attach
 
     tok_re = _re.compile(SHINGLE_TOKEN_RE2)
 
@@ -630,21 +665,58 @@ def shingle_jaccard_pairs(
 
     # per-doc distinct-shingle sizes: exploded already holds exactly one
     # row per (doc, distinct shingle) — the size table is a row count
-    # per doc_id over those rows (tiny: 8 bytes/doc → broadcast).
-    # Batches may split a doc across boundaries, so accumulate partials.
-    size_acc: dict[int, int] = {}
-    for b in exploded.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        ids_arr = np.asarray(b.column("doc_id"), dtype=np.int64)
+    # per doc_id over those rows, built DISTRIBUTED: per-batch partial
+    # counts (a doc may straddle batches) → hash-partition on doc_id →
+    # vectorized sum per partition.  Same combine-then-small-shuffle
+    # shape as the pair counts; nothing ever lands on the driver.
+    def partial_sizes(batch: pa.Table) -> pa.Table:
+        ids_arr = np.asarray(batch.column("doc_id"), dtype=np.int64)
         uniq, cnt = np.unique(ids_arr, return_counts=True)
-        for i, c in zip(uniq, cnt):
-            size_acc[int(i)] = size_acc.get(int(i), 0) + int(c)
-    ids_cat = np.fromiter(size_acc.keys(), dtype=np.int64, count=len(size_acc))
-    vals_cat = np.fromiter(size_acc.values(), dtype=np.int64, count=len(size_acc))
-    order = np.argsort(ids_cat)
-    size_ref = _ray.put((ids_cat[order], vals_cat[order]))
+        p = (
+            (uniq.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_parts)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "n_sh": pa.array(cnt.astype(np.int64), pa.int64()),
+                "__sp": pa.array(p, pa.int32()),
+            }
+        )
+
+    def sum_sizes(part: pd.DataFrame) -> pd.DataFrame:
+        ids_arr = part["doc_id"].to_numpy()
+        uniq, inv = np.unique(ids_arr, return_inverse=True)
+        sums = np.bincount(inv, weights=part["n_sh"].to_numpy()).astype(np.int64)
+        return pd.DataFrame({"doc_id": uniq.astype("int64"), "n_sh": sums})
+
+    sizes_ds = (
+        exploded.map_batches(partial_sizes, batch_format="pyarrow")
+        .groupby("__sp")
+        .map_groups(sum_sizes, batch_format="pandas")
+    )
+
+    with_a = copartition_attach(
+        pair_counts,
+        "id_a",
+        {"id_a": pa.int64(), "id_b": pa.int64(), "n": pa.int64()},
+        sizes_ds,
+        "doc_id",
+        {"n_sh": pa.int64()},
+        out_names={"n_sh": "size_a"},
+        num_parts=num_parts,
+    )
+    with_b = copartition_attach(
+        with_a,
+        "id_b",
+        {"id_a": pa.int64(), "id_b": pa.int64(), "n": pa.int64(), "size_a": pa.int64()},
+        sizes_ds,
+        "doc_id",
+        {"n_sh": pa.int64()},
+        out_names={"n_sh": "size_b"},
+        num_parts=num_parts,
+    )
 
     def finish(batch: pa.Table) -> pa.Table:
-        sorted_ids, sizes = _ray.get(size_ref)
         a = np.asarray(batch.column("id_a"), dtype=np.int64)
         b = np.asarray(batch.column("id_b"), dtype=np.int64)
         n = np.asarray(batch.column("n"), dtype=np.int64)
@@ -656,8 +728,8 @@ def shingle_jaccard_pairs(
                     "jac": pa.array([], pa.float64()),
                 }
             )
-        sa = sizes[np.searchsorted(sorted_ids, a)]
-        sb = sizes[np.searchsorted(sorted_ids, b)]
+        sa = np.asarray(batch.column("size_a"), dtype=np.int64)
+        sb = np.asarray(batch.column("size_b"), dtype=np.int64)
         jac = n.astype(np.float64) / (sa + sb - n).astype(np.float64)
         m = jac >= threshold
         return pa.table(
@@ -668,7 +740,7 @@ def shingle_jaccard_pairs(
             }
         )
 
-    return pair_counts.map_batches(finish, batch_format="pyarrow")
+    return with_b.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
