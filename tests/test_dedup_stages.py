@@ -233,14 +233,23 @@ def test_near_dup_minhash_matches_inprocess_reference(ray_session):
                 if j >= threshold:
                     expected[(a, b)] = j
 
-    got_df = near_dup_minhash(
-        ray.data.from_arrow(t), threshold=threshold, num_bands=num_bands, shingle_size=shingle
-    ).to_pandas()
-    got = {(a, b): j for a, b, j in zip(got_df["id_a"], got_df["id_b"], got_df["jaccard_est"])}
-    assert len(got_df) == len(got)  # each pair exactly once after dedup
-    assert set(got) == set(expected)
-    for k in expected:
-        assert got[k] == expected[k]
+    # BOTH verify strategies (broadcast when sigs fit, co-partitioned
+    # join at scale) must agree with the reference exactly
+    for mode in ("broadcast", "join"):
+        got_df = near_dup_minhash(
+            ray.data.from_arrow(t),
+            threshold=threshold,
+            num_bands=num_bands,
+            shingle_size=shingle,
+            verify_mode=mode,
+        ).to_pandas()
+        got = {
+            (a, b): j for a, b, j in zip(got_df["id_a"], got_df["id_b"], got_df["jaccard_est"])
+        }
+        assert len(got_df) == len(got), mode  # each pair exactly once after dedup
+        assert set(got) == set(expected), mode
+        for k in expected:
+            assert got[k] == expected[k], mode
 
 
 def test_shingle_jaccard_sizes_distributed(ray_session):

@@ -35,6 +35,9 @@ from textpipe_ray.functions.tokenize import EN_STOPWORDS
 
 THRESHOLDS_PATH = Path(__file__).resolve().parents[2] / "models" / "quality_thresholds.json"
 
+from textpipe_ray.functions.tokenize import assert_plain_terms
+
+assert_plain_terms(EN_STOPWORDS, "EN_STOPWORDS")
 _STOPWORD_ALT = "|".join(EN_STOPWORDS)
 
 # One definition, three engines (Arrow / DuckDB / python-regex).

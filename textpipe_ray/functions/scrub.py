@@ -28,6 +28,10 @@ SCRUB_RULES_PATH = Path(__file__).resolve().parents[2] / "models" / "scrub_rules
 # Demo toxicity lexicon (placeholder terms — swap for a production list).
 TOXIC_TERMS = ["idiot", "stupid", "moron", "scum", "garbagehead", "hateful"]
 
+from textpipe_ray.functions.tokenize import assert_plain_terms  # noqa: E402
+
+assert_plain_terms(TOXIC_TERMS, "TOXIC_TERMS")
+
 DEFAULT_RULES = {
     "version": 1,
     "rules": [

@@ -46,6 +46,22 @@ EN_STOPWORDS = (
 ).split()
 
 
+def assert_plain_terms(terms, where: str) -> None:
+    """Guard for term lists joined into ``|``-alternations: a term
+    containing a regex metachar (``.``, ``?``, ``(``...) would silently
+    change match semantics across all three engines (python-regex /
+    Arrow / DuckDB) and shift keep/drop labels.  Fail loudly at load
+    time instead."""
+    meta = set(".^$*+?()[]{}|\\")
+    for t in terms:
+        bad = meta.intersection(t)
+        if bad:
+            raise ValueError(
+                f"{where}: term {t!r} contains regex metacharacter(s) {sorted(bad)}; "
+                "escape it or keep terms to word characters"
+            )
+
+
 def words(text: str) -> list[tuple[str, int]]:
     """Tokens with character offsets (reference: doc.py:323-334).
 

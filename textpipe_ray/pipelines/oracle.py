@@ -203,7 +203,9 @@ SELECT query_id, neighbor_id, rank FROM (
   SELECT q.query_id, e.vec_id AS neighbor_id,
          row_number() OVER (
            PARTITION BY q.query_id
-           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC,
+           -- floor(cos*1e9): quantized identically on the Ray side so a
+           -- summation-order ulp can't flip near-equal ranks
+           ORDER BY CAST(floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) * 1e9) AS BIGINT) DESC,
                     e.vec_id
          ) AS rank
   FROM qv q CROSS JOIN embeddings e
@@ -296,13 +298,15 @@ tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1,
 df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1),
 n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
 scored AS (
+  -- floor(score*1e9): quantized identically on the Ray side so an
+  -- ln() last-ulp difference can't flip near-equal ranks
   SELECT tf.doc_id, tf.term,
-         CAST(tf.tf AS DOUBLE) * ln(n.n / CAST(df.df AS DOUBLE)) AS score
+         CAST(floor(CAST(tf.tf AS DOUBLE) * ln(n.n / CAST(df.df AS DOUBLE)) * 1e9) AS BIGINT) AS score_q
   FROM tf JOIN df USING (term) CROSS JOIN n
 ),
 r AS (
   SELECT doc_id, term,
-         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+         row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, term) AS rank
   FROM scored
 )
 SELECT doc_id, term, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"""

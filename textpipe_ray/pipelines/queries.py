@@ -148,17 +148,21 @@ def q_token_freq(sf_dir: str, top_n: int = 100):
     creg = _re.compile(pat)
 
     def explode(batch: pa.Table) -> pa.Table:
-        # partial count within the batch (combiner before the shuffle)
-        flat: dict[str, int] = {}
+        # partial count within the batch (combiner before the shuffle),
+        # in two C passes: one findall over the '\n'-joined batch (no
+        # token can span '\n' — the word pattern excludes it), then one
+        # np.unique for the counts.  No per-row python loop.
         lowered = pc.utf8_lower(batch.column("text")).to_pylist()
-        for t in lowered:
-            for m in creg.finditer(t or ""):
-                w = m.group()
-                flat[w] = flat.get(w, 0) + 1
+        toks = creg.findall("\n".join(t or "" for t in lowered))
+        if not toks:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "partial": pa.array([], _I64)}
+            )
+        uniq, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
         return pa.table(
             {
-                "token": pa.array(list(flat.keys()), pa.string()),
-                "partial": pa.array(list(flat.values()), _I64),
+                "token": pa.array(uniq.tolist(), pa.string()),
+                "partial": pa.array(cnt.astype(np.int64), _I64),
             }
         )
 
@@ -532,49 +536,32 @@ TFIDF_TOKEN_RE = r"[0-9a-z_]+"
 
 
 def q_tfidf_topk(sf_dir: str):
-    """Corpus TF-IDF, top-5 terms per document.
+    """Corpus TF-IDF, top-5 terms per document — FULLY distributed:
 
-    Two passes: (1) document frequencies via per-batch DISTINCT term
-    rows → one ``groupby(term).count`` (the only exchange; rows are
-    (term, doc) pairs, never text); (2) the (small) df table broadcasts
-    via ``ray.put`` and each batch scores its own documents' term
-    counts locally — per-doc tf never leaves the producing task.  At
-    100 TB vocab the broadcast side becomes a bucketed join on term;
-    the df exchange is unchanged.  Output (doc_id, term, rank) is
-    integer/string only; floats affect ordering exclusively, and the
-    score formula ``tf * ln(N/df)`` is evaluated identically in the
-    DuckDB oracle."""
+    (1) one pass emits per-doc distinct (doc_id, term, tf) rows; (2)
+    document frequencies are one ``groupby(term).count`` over those
+    rows (the df exchange); (3) df attaches back to the tf rows by a
+    hash-co-partitioned merge on the term STRING
+    (:func:`textpipe_ray.stages.joins.copartition_merge_str`) — web
+    vocabularies are billions of terms, so the df side is never
+    collected or broadcast; (4) top-5 per doc via a doc-hash partition
+    + one vectorized sort/cumcount per partition.
+
+    Scores are quantized to ``floor(score * 1e9)`` before ranking on
+    BOTH engines (the oracle SQL applies the same floor): numpy and
+    DuckDB may disagree by an ulp on ``ln``, which would otherwise flip
+    the rank of two near-equal non-tied scores; after quantization the
+    deterministic ``term`` tie-break decides those cases identically."""
     import re as _re
+
+    from textpipe_ray.stages.joins import copartition_merge_str
 
     tok_re = _re.compile(TFIDF_TOKEN_RE)
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = ds.count()
 
-    def term_doc_rows(batch: pa.Table) -> pa.Table:
-        out_t = []
-        for t in batch.column("text").to_pylist():
-            out_t.append(sorted(set(tok_re.findall((t or "").lower()))))
-        return pa.table(
-            {
-                "term": pa.array([t for ts in out_t for t in ts], pa.string()),
-            }
-        )
-
-    df_tab = (
-        ds.map_batches(term_doc_rows, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Count(alias_name="df"))
-        .to_pandas()
-    )
-    import ray as _ray
-
-    terms = df_tab["term"].to_numpy()
-    order = np.argsort(terms)
-    df_ref = _ray.put((terms[order], df_tab["df"].to_numpy().astype(np.int64)[order]))
-
-    def score(batch: pa.Table) -> pa.Table:
-        s_terms, s_df = _ray.get(df_ref)
-        out_doc, out_term, out_rank = [], [], []
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        out_doc, out_term, out_tf = [], [], []
         for did, t in zip(
             np.asarray(batch.column("doc_id"), dtype=np.int64),
             batch.column("text").to_pylist(),
@@ -583,25 +570,77 @@ def q_tfidf_topk(sf_dir: str):
             if not toks:
                 continue
             uniq, tf = np.unique(toks, return_counts=True)
-            df = s_df[np.searchsorted(s_terms, uniq)]
-            scores = tf * np.log(float(n_docs) / df.astype(np.float64))
-            # top-k by (score desc, term asc): lexsort keys last-is-primary
-            idx = np.lexsort((uniq, -scores))[:TFIDF_K]
-            out_doc.extend([did] * len(idx))
-            out_term.extend(uniq[idx])
-            out_rank.extend(range(1, len(idx) + 1))
+            out_doc.append(np.full(len(uniq), did, dtype=np.int64))
+            out_term.append(uniq)
+            out_tf.append(tf.astype(np.int64))
+        if not out_doc:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], _I64),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], _I64),
+                }
+            )
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, _I64),
-                "term": pa.array(out_term, pa.string()),
-                "rank": pa.array(out_rank, _I64),
+                "doc_id": pa.array(np.concatenate(out_doc), _I64),
+                "term": pa.array(np.concatenate(out_term).tolist(), pa.string()),
+                "tf": pa.array(np.concatenate(out_tf), _I64),
             }
         )
 
-    return ds.map_batches(score, batch_format="pyarrow")
+    # materialized once (distributed blocks): both the df aggregate and
+    # the join consume the same tokenization pass
+    tf_ds = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    df_ds = tf_ds.groupby("term").aggregate(Count(alias_name="df"))
+
+    joined = copartition_merge_str(
+        tf_ds,
+        "term",
+        {"doc_id": pa.int64(), "term": pa.string(), "tf": pa.int64()},
+        df_ds,
+        "term",
+        {"df": pa.int64()},
+    )
+
+    num_parts = 64
+
+    def add_doc_part(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        p = (
+            (did.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_parts)
+        ).astype(np.int32)
+        return batch.append_column("__dp", pa.array(p, pa.int32()))
+
+    def topk_part(part) -> "pa.Table":
+        import pandas as pd
+
+        if len(part) == 0:
+            return pd.DataFrame({"doc_id": [], "term": [], "rank": []})
+        tf = part["tf"].to_numpy().astype(np.float64)
+        df = part["df"].to_numpy().astype(np.float64)
+        score_q = np.floor(tf * np.log(float(n_docs) / df) * 1e9).astype(np.int64)
+        g = part.assign(__sq=score_q).sort_values(
+            ["doc_id", "__sq", "term"], ascending=[True, False, True], kind="mergesort"
+        )
+        g = g.assign(rank=g.groupby("doc_id").cumcount() + 1)
+        g = g[g["rank"] <= TFIDF_K]
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "term": g["term"],
+                "rank": g["rank"].astype("int64"),
+            }
+        )
+
+    return (
+        joined.map_batches(add_doc_part, batch_format="pyarrow")
+        .groupby("__dp")
+        .map_groups(topk_part, batch_format="pandas")
+    )
 
 
-QUANTILES = (0.25, 0.5, 0.9, 0.99)
+QUANTILES = ((25, 100), (50, 100), (90, 100), (99, 100))  # exact rationals
 
 
 def q_len_quantiles(sf_dir: str):
@@ -611,9 +650,11 @@ def q_len_quantiles(sf_dir: str):
     driver.  No global sort — the exchange carries one row per distinct
     (lang, value), not per document, so it stays tiny at any corpus
     size.  Index rule matches DuckDB ``quantile_disc``:
-    ``sorted[max(0, ceil(q*n)-1)]`` (verified empirically)."""
-    import math as _math
-
+    ``sorted[max(0, ceil(q*n)-1)]``, computed in EXACT integer
+    arithmetic with q held as a rational (``ceil(num*n/den)`` via
+    negated floor division) — float ``q*n`` could land an ulp across an
+    integer boundary at some corpus size and silently disagree with the
+    oracle's internal index rule."""
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -640,7 +681,7 @@ def q_len_quantiles(sf_dir: str):
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()  # tiny: one row per distinct (lang, value)
     )
-    rows = {"lang": [], **{f"p{int(q*100)}": [] for q in QUANTILES}}
+    rows = {"lang": [], **{f"p{num * 100 // den}": [] for num, den in QUANTILES}}
     for lang, g in hist.groupby("lang", sort=True):
         g = g.sort_values("n_chars")
         vals = g["n_chars"].to_numpy()
@@ -648,9 +689,9 @@ def q_len_quantiles(sf_dir: str):
         cum = np.cumsum(cnts)
         n = int(cum[-1])
         rows["lang"].append(lang)
-        for q in QUANTILES:
-            idx = max(0, int(_math.ceil(q * n)) - 1)  # quantile_disc rule
-            rows[f"p{int(q*100)}"].append(int(vals[np.searchsorted(cum, idx + 1)]))
+        for num, den in QUANTILES:
+            idx = max(0, -(-(num * n) // den) - 1)  # quantile_disc: ceil(q*n)-1, exact
+            rows[f"p{num * 100 // den}"].append(int(vals[np.searchsorted(cum, idx + 1)]))
     return pa.table(
         {
             "lang": pa.array(rows["lang"], pa.string()),
@@ -782,22 +823,30 @@ def q_agg_lineitem(sf_dir: str):
 
 def q_segment_orders(sf_dir: str):
     """Broadcast hash join: the small customer dimension is shipped once
-    via ``ray.put`` and looked up per batch — no shuffle of orders."""
+    via ``ray.put`` as two SORTED parallel arrays and looked up per
+    batch with one vectorized ``np.searchsorted`` — no shuffle of
+    orders, no per-row python dict lookup."""
     import pyarrow.parquet as pq
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    lookup = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist()))
-    lookup_ref = ray.put(lookup)
+    ckeys = np.asarray(cust.column("c_custkey"), dtype=np.int64)
+    csegs = np.asarray(cust.column("c_mktsegment").to_pylist(), dtype=object)
+    order = np.argsort(ckeys)
+    lookup_ref = ray.put((ckeys[order], csegs[order]))
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def f(batch: pa.Table) -> pa.Table:
-        lk = ray.get(lookup_ref)
-        keys = batch.column("o_custkey").to_pylist()
-        seg = [lk.get(k, "UNKNOWN") for k in keys]
+        sk, sv = ray.get(lookup_ref)
+        k = np.asarray(batch.column("o_custkey"), dtype=np.int64)
+        if len(sk):
+            pos = np.minimum(np.searchsorted(sk, k), len(sk) - 1)
+            seg = np.where(sk[pos] == k, sv[pos], "UNKNOWN")
+        else:
+            seg = np.full(len(k), "UNKNOWN", dtype=object)
         cents = pc.cast(pc.floor(pc.multiply(batch.column("o_totalprice"), 100.0)), _I64)
         return pa.table(
-            {"c_mktsegment": pa.array(seg, pa.string()), "price_cents": cents}
+            {"c_mktsegment": pa.array(seg.tolist(), pa.string()), "price_cents": cents}
         )
 
     agg = (
@@ -868,8 +917,14 @@ def q_ann_topk(sf_dir: str):
 
     scored = ds.map_batches(score, batch_format="pyarrow")
 
+    # rank on floor(cos * 1e9): numpy's matmul and DuckDB's
+    # list_cosine_similarity sum in different orders, so raw doubles can
+    # differ by ~1 ulp and flip the rank of two near-equal scores; after
+    # quantization the neighbor_id tie-break decides those identically
+    # on both engines (the oracle SQL applies the same floor)
     def topk(group):  # pandas DataFrame per query_id
-        g = group.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(ANN_K)
+        g = group.assign(__cq=np.floor(group["cos"].to_numpy() * 1e9).astype(np.int64))
+        g = g.sort_values(["__cq", "neighbor_id"], ascending=[False, True]).head(ANN_K)
         g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
         return g[["query_id", "neighbor_id", "rank"]]
 

@@ -54,7 +54,7 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def dedup_exact(
-    ds: "ray.data.Dataset", key_col: str, order_col: str, num_parts: int = 64
+    ds: "ray.data.Dataset", key_col: str, order_col: str, num_parts: int = 32
 ) -> "ray.data.Dataset":
     """Keep the first row (min ``order_col``) per ``key_col``.
 
@@ -97,6 +97,8 @@ def near_dup_minhash(
     num_bands: int = 32,
     threshold: float = 0.7,
     shingle_size: int | None = None,
+    verify_mode: str = "auto",
+    broadcast_limit_bytes: int = 1 << 30,
 ) -> "ray.data.Dataset":
     """MinHash-LSH near-duplicate pairs: shingle→minhash→band→bucket
     groupby→within-bucket verify.  Returns (id_a, id_b, jaccard_est)
@@ -114,16 +116,37 @@ def near_dup_minhash(
 
     Physical plan: (1) one pass computes signatures — materialized once
     as DISTRIBUTED blocks in the object store (spillable; never
-    collected to the driver) because three consumers read it; (2) the
-    exchanged band rows carry only ``(band, band_hash, doc_id)`` —
-    never the 1 KB signature; (3) bucket groupby emits candidate id
-    pairs; (4) candidates are verified by attaching ``sig_a`` then
-    ``sig_b`` via two co-partitioned joins on ``hash(doc_id)``
-    (:func:`textpipe_ray.stages.joins.copartition_attach`) — no
-    signature ever passes through the driver, so the verify side scales
-    with the cluster, not with one process's heap."""
+    collected to the driver); (2) the exchanged band rows carry only
+    ``(band, band_hash, doc_id)`` — never the 1 KB signature; (3)
+    bucket groupby emits candidate id pairs; (4) candidates verify by
+    the classic join-strategy selection, ``verify_mode``:
+
+    * ``"broadcast"`` — the signature table is consolidated into two
+      flat arrays INSIDE A WORKER TASK (the driver only ever holds the
+      ObjectRef) and read zero-copy from the object store (one copy per
+      node) by every verify task; candidates never ship a signature.
+      Right whenever the table fits an object store comfortably — the
+      candidate set is often 10×+ the corpus (LSH background fire
+      rate), so shipping two signatures per candidate through shuffles
+      would move far MORE bytes than the table itself.
+    * ``"join"`` — the two-exchange pair-side join
+      (:func:`textpipe_ray.stages.joins.attach_pair_sides`): one
+      exchange co-partitions pair sides with the signature table on
+      ``hash(doc_id)``, one brings each pair's two signatures together.
+      The only option once signatures outgrow a node's object store
+      (10^12 docs → ~1 TB of signatures).
+    * ``"auto"`` (default) — broadcast iff ``n_docs × num_perm × 8 ≤
+      broadcast_limit_bytes`` (counted on the materialized table's
+      metadata, no extra pass).
+
+    Both modes produce identical pair sets (asserted by
+    ``tests/test_dedup_stages.py`` against an independent in-process
+    reference); neither funnels corpus-derived state through the
+    driver."""
+    import ray as _ray
+
     from textpipe_ray.functions.minhash import minhash_signature_shingles
-    from textpipe_ray.stages.joins import copartition_attach
+    from textpipe_ray.stages.joins import attach_pair_sides
 
     def sig_of(t: str) -> np.ndarray:
         if shingle_size is None:
@@ -142,7 +165,7 @@ def near_dup_minhash(
 
     sig_ds = ds.map_batches(compute_sigs, batch_format="pyarrow").materialize()
 
-    num_parts = 64
+    num_parts = 32
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -194,12 +217,16 @@ def near_dup_minhash(
             b_out.append(bucket[ys])
         if not a_out:
             return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate(a_out).astype("int64"),
-                "id_b": np.concatenate(b_out).astype("int64"),
-            }
-        )
+        a_cat = np.concatenate(a_out).astype("int64")
+        b_cat = np.concatenate(b_out).astype("int64")
+        # local dedup: a pair firing in several buckets of THIS partition
+        # collapses here; cross-partition duplicates collapse in the
+        # pair-side join (dedup_sides)
+        order = np.lexsort((b_cat, a_cat))
+        a_cat, b_cat = a_cat[order], b_cat[order]
+        keep = np.ones(len(a_cat), dtype=bool)
+        keep[1:] = (a_cat[1:] != a_cat[:-1]) | (b_cat[1:] != b_cat[:-1])
+        return pd.DataFrame({"id_a": a_cat[keep], "id_b": b_cat[keep]})
 
     candidates = (
         sig_ds.map_batches(explode_bands, batch_format="pyarrow")
@@ -207,82 +234,124 @@ def near_dup_minhash(
         .map_groups(partition_pairs, batch_format="pandas")
     )
 
-    # a pair surfaces once per matching band — collapse BEFORE the
-    # signature joins so each pair is verified exactly once
-    def dedup_pairs(part: pd.DataFrame) -> pd.DataFrame:
-        return part.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
-
-    def add_pair_part(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch.column("id_a"), dtype=np.int64)
-        b = np.asarray(batch.column("id_b"), dtype=np.int64)
-        key = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ b.astype(np.uint64)
-        return pa.table(
-            {
-                "id_a": pa.array(a, pa.int64()),
-                "id_b": pa.array(b, pa.int64()),
-                "__pp": pa.array((key % np.uint64(num_parts)).astype(np.int32), pa.int32()),
-            }
+    if verify_mode == "auto":
+        n_docs = sig_ds.count()  # metadata on a materialized dataset
+        n_perm = DEFAULT_NUM_PERM
+        verify_mode = (
+            "broadcast" if n_docs * n_perm * 8 <= broadcast_limit_bytes else "join"
         )
 
-    uniq_pairs = (
-        candidates.map_batches(add_pair_part, batch_format="pyarrow")
-        .groupby("__pp")
-        .map_groups(dedup_pairs, batch_format="pandas")
-    )
+    if verify_mode == "broadcast":
+        # consolidate OFF-driver: a worker task concatenates the sig
+        # blocks into (sorted_ids, sig_matrix) in the object store; the
+        # driver holds only the ref, verify tasks map it zero-copy
+        @_ray.remote
+        def _consolidate(*blocks: pa.Table):
+            # empty blocks can arrive schema-less — skip them
+            blocks = [b for b in blocks if len(b) and "doc_id" in b.column_names]
+            ids_list = [np.asarray(b.column("doc_id"), dtype=np.int64) for b in blocks]
+            mats = [
+                np.asarray(b.column("sig").combine_chunks().flatten(), dtype=np.uint64).reshape(
+                    len(b), -1
+                )
+                for b in blocks
+            ]
+            ids_cat = np.concatenate(ids_list) if ids_list else np.empty(0, np.int64)
+            order = np.argsort(ids_cat)
+            mat = np.concatenate(mats)[order] if mats else None
+            return ids_cat[order], mat
 
-    # co-partitioned signature attach: sig_a by hash(id_a), then sig_b
-    # by hash(id_b) — the lookup table stays distributed throughout
-    sig_t = pa.list_(pa.uint64())
-    with_a = copartition_attach(
-        uniq_pairs,
-        "id_a",
-        {"id_a": pa.int64(), "id_b": pa.int64()},
-        sig_ds,
-        "doc_id",
-        {"sig": sig_t},
-        out_names={"sig": "sig_a"},
-        num_parts=num_parts,
-    )
-    with_b = copartition_attach(
-        with_a,
-        "id_b",
-        {"id_a": pa.int64(), "id_b": pa.int64(), "sig_a": sig_t},
-        sig_ds,
-        "doc_id",
-        {"sig": sig_t},
-        out_names={"sig": "sig_b"},
-        num_parts=num_parts,
-    )
+        sig_ref = _consolidate.remote(*sig_ds.to_arrow_refs())
 
-    def verify(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        if n == 0:
+        def bverify(batch: pa.Table) -> pa.Table:
+            sorted_ids, sig_mat = _ray.get(sig_ref)
+            a = np.asarray(batch.column("id_a"), dtype=np.int64)
+            b = np.asarray(batch.column("id_b"), dtype=np.int64)
+            if len(a) == 0 or sig_mat is None:
+                return pa.table(
+                    {
+                        "id_a": pa.array([], pa.int64()),
+                        "id_b": pa.array([], pa.int64()),
+                        "jaccard_est": pa.array([], pa.float64()),
+                    }
+                )
+            sa = sig_mat[np.searchsorted(sorted_ids, a)]
+            sb = sig_mat[np.searchsorted(sorted_ids, b)]
+            j = (sa == sb).mean(axis=1)
+            mask = j >= threshold
             return pa.table(
                 {
-                    "id_a": pa.array([], pa.int64()),
-                    "id_b": pa.array([], pa.int64()),
-                    "jaccard_est": pa.array([], pa.float64()),
+                    "id_a": pa.array(a[mask], pa.int64()),
+                    "id_b": pa.array(b[mask], pa.int64()),
+                    "jaccard_est": pa.array(j[mask], pa.float64()),
                 }
             )
-        a = np.asarray(batch.column("id_a"), dtype=np.int64)
-        b = np.asarray(batch.column("id_b"), dtype=np.int64)
-        sa = np.asarray(
-            batch.column("sig_a").combine_chunks().flatten(), dtype=np.uint64
-        ).reshape(n, -1)
-        sb = np.asarray(
-            batch.column("sig_b").combine_chunks().flatten(), dtype=np.uint64
-        ).reshape(n, -1)
-        j = (sa == sb).mean(axis=1)
+
+        # cross-partition duplicate candidates verify twice (identical
+        # value), then collapse — the verified set is tiny
+        from ray.data.aggregate import Max as _Max
+
+        return (
+            candidates.map_batches(bverify, batch_format="pyarrow")
+            .groupby(["id_a", "id_b"])
+            .aggregate(_Max("jaccard_est", alias_name="jaccard_est"))
+        )
+
+    # "join": exchange 1 attaches each pair side's signature (sig table
+    # shipped ONCE, duplicate (pair, side) occurrences from multiple
+    # matching bands collapsed in-partition); exchange 2 brings the two
+    # sides of a pair together and computes the estimated jaccard
+    sided = attach_pair_sides(
+        candidates,
+        {},
+        sig_ds,
+        "doc_id",
+        "sig",
+        pa.list_(pa.uint64()),
+        num_parts=num_parts,
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard_est": pa.array([], pa.float64()),
+            }
+        )
+        n = len(t)
+        if n == 0:
+            return empty
+        a = np.asarray(t.column("id_a"), dtype=np.int64)
+        b = np.asarray(t.column("id_b"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        mat = np.asarray(t.column("sig").combine_chunks().flatten(), dtype=np.uint64).reshape(
+            n, -1
+        )
+        order = np.lexsort((side, b, a))
+        a, b, side, mat = a[order], b[order], side[order], mat[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        # a pair needs both sides present (count==2, sides 0 then 1);
+        # one-sided pairs mean the id was missing from the sig table
+        two = starts[counts == 2]
+        ok = (side[two] == 0) & (side[two + 1] == 1)
+        two = two[ok]
+        if len(two) == 0:
+            return empty
+        j = (mat[two] == mat[two + 1]).mean(axis=1)
         mask = j >= threshold
         return pa.table(
             {
-                "id_a": pa.array(a[mask], pa.int64()),
-                "id_b": pa.array(b[mask], pa.int64()),
+                "id_a": pa.array(a[two][mask], pa.int64()),
+                "id_b": pa.array(b[two][mask], pa.int64()),
                 "jaccard_est": pa.array(j[mask], pa.float64()),
             }
         )
 
-    return with_b.map_batches(verify, batch_format="pyarrow")
+    return sided.groupby("__pp").map_groups(combine, batch_format="pyarrow")
 
 
 def near_dup_after_exact(
@@ -425,7 +494,7 @@ def near_dup_simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    num_parts: int = 64,
+    num_parts: int = 32,
 ) -> "ray.data.Dataset":
     """SimHash near-duplicate pairs: 64-bit fingerprint → split into
     ``max_hamming + 1`` bit-bands → bucket groupby on (band, band
@@ -531,7 +600,7 @@ def shingle_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
-    num_parts: int = 64,
+    num_parts: int = 32,
 ) -> "ray.data.Dataset":
     """EXACT word-k-gram Jaccard near-duplicate pairs (no sketch):
     inverted index on distinct shingles → co-occurrence pair counts →
@@ -542,18 +611,17 @@ def shingle_jaccard_pairs(
     Physical plan: one pass emits ``(shingle_hash64, doc_id)`` rows
     partitioned by shingle hash (the inverted-index exchange — the only
     all-to-all); each partition self-joins its postings into partial
-    pair counts; a second small groupby sums partials; per-doc
-    distinct-shingle counts are themselves a distributed partial-count
-    + hash-partition reduction over the same exploded rows, attached to
-    the pair counts by two co-partitioned joins on ``hash(doc_id)``
-    (never collected on the driver).  Unlike LSH this is exact but
-    quadratic in posting lengths — use it when recall must be 1.0 at a
-    hard threshold and boilerplate has been collapsed by exact dedup
-    first."""
+    pair counts; the partial counts and per-batch partial per-doc
+    distinct-shingle sizes then meet in ONE co-partitioned pair-side
+    join on ``hash(doc_id)``
+    (:func:`textpipe_ray.stages.joins.attach_pair_sides`), and a final
+    pair-keyed exchange sums each pair's partials and computes the
+    exact jaccard — never collected on the driver.  Unlike LSH this is
+    exact but quadratic in posting lengths — use it when recall must be
+    1.0 at a hard threshold and boilerplate has been collapsed by exact
+    dedup first."""
     import hashlib as _hashlib
     import re as _re
-
-    from textpipe_ray.stages.joins import copartition_attach
 
     tok_re = _re.compile(SHINGLE_TOKEN_RE2)
 
@@ -562,7 +630,7 @@ def shingle_jaccard_pairs(
         return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids_out, hash_out = [], []
+        ids_out, hash_out, size_out = [], [], []
         for did, t in zip(
             np.asarray(batch.column(id_col), dtype=np.int64),
             batch.column(text_col).to_pylist(),
@@ -573,8 +641,10 @@ def shingle_jaccard_pairs(
                     f"{id_col} must fit in 31 bits for pair packing (got {did}); "
                     "renumber ids (e.g. dense rank) before shingle_jaccard_pairs"
                 )
-            for sh in doc_shingles(t):
+            shs = doc_shingles(t)
+            for sh in shs:
                 ids_out.append(did)
+                size_out.append(len(shs))
                 hash_out.append(
                     int.from_bytes(
                         _hashlib.blake2b(sh.encode("utf8"), digest_size=8).digest(), "little"
@@ -585,6 +655,11 @@ def shingle_jaccard_pairs(
         return pa.table(
             {
                 "doc_id": pa.array(ids_out, pa.int64()),
+                # the doc's TOTAL distinct-shingle count rides along in
+                # every posting row (known for free at tokenize time) —
+                # this is what lets the final jaccard be computed with NO
+                # size-table join and NO driver state
+                "n_sh": pa.array(size_out, pa.int64()),
                 "sh": pa.array(h, pa.int64()),
                 "__part": pa.array(
                     (h.astype(np.uint64) % np.uint64(num_parts)).astype(np.int32), pa.int32()
@@ -592,155 +667,90 @@ def shingle_jaccard_pairs(
             }
         )
 
-    # materialize once: BOTH the pair generation and the per-doc size
-    # table derive from the exploded rows (a second pass would repeat
-    # the tokenize+blake2b work, the operator's most expensive stage)
-    exploded = ds.map_batches(explode, batch_format="pyarrow").materialize()
-
     def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        """Partial pair intersection counts for this inverted-index
+        partition, each carrying both docs' total shingle sizes."""
         g = part.sort_values(["sh", "doc_id"], kind="mergesort")
         sh = g["sh"].to_numpy()
         ids = g["doc_id"].to_numpy()
+        szs = g["n_sh"].to_numpy()
         _, starts, counts = np.unique(sh, return_index=True, return_counts=True)
-        a_out, b_out = [], []
+        a_out, b_out, sa_out, sb_out = [], [], [], []
         for s, c in zip(starts[counts > 1], counts[counts > 1]):
             bucket = ids[s : s + c]
+            bsz = szs[s : s + c]
             xs, ys = np.triu_indices(c, k=1)
             a_out.append(bucket[xs])
             b_out.append(bucket[ys])
+            sa_out.append(bsz[xs])
+            sb_out.append(bsz[ys])
         if not a_out:
-            return pd.DataFrame({"id_a": [], "id_b": [], "n": []}).astype("int64")
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "n": [], "sa": [], "sb": [], "__pp": []}
+            ).astype("int64")
         a = np.concatenate(a_out)
         b = np.concatenate(b_out)
+        sa = np.concatenate(sa_out)
+        sb = np.concatenate(sb_out)
         # partial pair counts within this partition (shrinks the second
-        # exchange from one row per co-occurrence to one per pair)
+        # exchange from one row per co-occurrence to one per pair); the
+        # sizes are constant per pair, so `first` per group is exact
         key = a.astype(np.int64) * np.int64(1 << 32) + b.astype(np.int64)
-        uk, cnt = np.unique(key, return_counts=True)
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        firsts = np.ones(len(key_s), dtype=bool)
+        firsts[1:] = key_s[1:] != key_s[:-1]
+        idx = order[firsts]
+        uk = key_s[firsts]
+        cnt = np.diff(np.append(np.flatnonzero(firsts), len(key_s)))
         return pd.DataFrame(
             {
                 "id_a": (uk >> 32).astype("int64"),
                 "id_b": (uk & np.int64(0xFFFFFFFF)).astype("int64"),
                 "n": cnt.astype("int64"),
+                "sa": sa[idx].astype("int64"),
+                "sb": sb[idx].astype("int64"),
+                "__pp": (
+                    (uk.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                    % np.uint64(num_parts)
+                ).astype("int64"),
             }
         )
 
-    # Collapse partial pair counts WITHOUT Dataset.groupby(...).aggregate:
-    # with ~1M near-unique (id_a, id_b) groups Ray's aggregate pays
-    # per-group python dispatch (measured 155 s at sf0.1 vs 3 s for
-    # everything else).  Same exchange shape, vectorized combine: pack
-    # the pair into one int64 key, hash-partition on it, np.unique +
-    # bincount per partition.
-    def add_pair_part(batch: pa.Table) -> pa.Table:
-        key = (
-            np.asarray(batch.column("id_a"), dtype=np.int64) * np.int64(1 << 32)
-        ) + np.asarray(batch.column("id_b"), dtype=np.int64)
-        part = (key.astype(np.uint64) % np.uint64(num_parts)).astype(np.int32)
-        return pa.table(
-            {
-                "key": pa.array(key, pa.int64()),
-                "n": batch.column("n"),
-                "__p2": pa.array(part, pa.int32()),
-            }
-        )
+    # Exactly TWO exchanges, no driver state: (1) the inverted-index
+    # groupby above; (2) a coarse pair-hash groupby that sums each
+    # pair's partial counts vectorized (np.unique + bincount — NOT a
+    # per-pair map_groups, which pays python dispatch on near-unique
+    # keys).  Sizes ride with the partials, so no size join is needed.
+    pair_partials = ds.map_batches(explode, batch_format="pyarrow").groupby(
+        "__part"
+    ).map_groups(partition_pairs, batch_format="pandas")
 
-    def sum_pairs(part: pd.DataFrame) -> pd.DataFrame:
-        key = part["key"].to_numpy()
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jac": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "jac": "float64"}
+            )
+        a = part["id_a"].to_numpy()
+        b = part["id_b"].to_numpy()
+        key = a * np.int64(1 << 32) + b
         uk, inv = np.unique(key, return_inverse=True)
-        sums = np.bincount(inv, weights=part["n"].to_numpy()).astype(np.int64)
+        inter = np.bincount(inv, weights=part["n"].to_numpy()).astype(np.int64)
+        sa = np.zeros(len(uk), dtype=np.int64)
+        sa[inv] = part["sa"].to_numpy()  # constant per pair — overwrite is exact
+        sb = np.zeros(len(uk), dtype=np.int64)
+        sb[inv] = part["sb"].to_numpy()
+        jac = inter.astype(np.float64) / (sa + sb - inter).astype(np.float64)
+        m = jac >= threshold
         return pd.DataFrame(
             {
-                "id_a": (uk >> 32).astype("int64"),
-                "id_b": (uk & np.int64(0xFFFFFFFF)).astype("int64"),
-                "n": sums,
+                "id_a": (uk[m] >> 32).astype("int64"),
+                "id_b": (uk[m] & np.int64(0xFFFFFFFF)).astype("int64"),
+                "jac": jac[m],
             }
         )
 
-    pair_counts = (
-        exploded.groupby("__part")
-        .map_groups(partition_pairs, batch_format="pandas")
-        .map_batches(add_pair_part, batch_format="pyarrow")
-        .groupby("__p2")
-        .map_groups(sum_pairs, batch_format="pandas")
-    )
-
-    # per-doc distinct-shingle sizes: exploded already holds exactly one
-    # row per (doc, distinct shingle) — the size table is a row count
-    # per doc_id over those rows, built DISTRIBUTED: per-batch partial
-    # counts (a doc may straddle batches) → hash-partition on doc_id →
-    # vectorized sum per partition.  Same combine-then-small-shuffle
-    # shape as the pair counts; nothing ever lands on the driver.
-    def partial_sizes(batch: pa.Table) -> pa.Table:
-        ids_arr = np.asarray(batch.column("doc_id"), dtype=np.int64)
-        uniq, cnt = np.unique(ids_arr, return_counts=True)
-        p = (
-            (uniq.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_parts)
-        ).astype(np.int32)
-        return pa.table(
-            {
-                "doc_id": pa.array(uniq, pa.int64()),
-                "n_sh": pa.array(cnt.astype(np.int64), pa.int64()),
-                "__sp": pa.array(p, pa.int32()),
-            }
-        )
-
-    def sum_sizes(part: pd.DataFrame) -> pd.DataFrame:
-        ids_arr = part["doc_id"].to_numpy()
-        uniq, inv = np.unique(ids_arr, return_inverse=True)
-        sums = np.bincount(inv, weights=part["n_sh"].to_numpy()).astype(np.int64)
-        return pd.DataFrame({"doc_id": uniq.astype("int64"), "n_sh": sums})
-
-    sizes_ds = (
-        exploded.map_batches(partial_sizes, batch_format="pyarrow")
-        .groupby("__sp")
-        .map_groups(sum_sizes, batch_format="pandas")
-    )
-
-    with_a = copartition_attach(
-        pair_counts,
-        "id_a",
-        {"id_a": pa.int64(), "id_b": pa.int64(), "n": pa.int64()},
-        sizes_ds,
-        "doc_id",
-        {"n_sh": pa.int64()},
-        out_names={"n_sh": "size_a"},
-        num_parts=num_parts,
-    )
-    with_b = copartition_attach(
-        with_a,
-        "id_b",
-        {"id_a": pa.int64(), "id_b": pa.int64(), "n": pa.int64(), "size_a": pa.int64()},
-        sizes_ds,
-        "doc_id",
-        {"n_sh": pa.int64()},
-        out_names={"n_sh": "size_b"},
-        num_parts=num_parts,
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch.column("id_a"), dtype=np.int64)
-        b = np.asarray(batch.column("id_b"), dtype=np.int64)
-        n = np.asarray(batch.column("n"), dtype=np.int64)
-        if len(a) == 0:
-            return pa.table(
-                {
-                    "id_a": pa.array([], pa.int64()),
-                    "id_b": pa.array([], pa.int64()),
-                    "jac": pa.array([], pa.float64()),
-                }
-            )
-        sa = np.asarray(batch.column("size_a"), dtype=np.int64)
-        sb = np.asarray(batch.column("size_b"), dtype=np.int64)
-        jac = n.astype(np.float64) / (sa + sb - n).astype(np.float64)
-        m = jac >= threshold
-        return pa.table(
-            {
-                "id_a": pa.array(a[m], pa.int64()),
-                "id_b": pa.array(b[m], pa.int64()),
-                "jac": pa.array(jac[m], pa.float64()),
-            }
-        )
-
-    return with_b.map_batches(finish, batch_format="pyarrow")
+    return pair_partials.groupby("__pp").map_groups(combine, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

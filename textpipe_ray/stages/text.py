@@ -164,6 +164,9 @@ def _lang_stopword_pattern(lang: str) -> str | None:
     terms = STOPWORDS.get(lang)
     if not terms:
         return None
+    from textpipe_ray.functions.tokenize import assert_plain_terms
+
+    assert_plain_terms(terms, f"STOPWORDS[{lang}]")
     alt = "|".join(terms)
     # \b is a \w-relative anchor (ASCII in RE2) — unusable for CJK chars,
     # which are not \w; count bare occurrences for zh instead.
