@@ -94,3 +94,34 @@ def test_lone_surrogate_robustness():
     assert p > 0
     many = PerplexityModel.load().perplexity_many([bad, "hello world"], ["en", "en"])
     assert len(many) == 2
+
+
+def test_detect_many_matches_per_doc():
+    """Batched langid must reproduce per-doc detect(): identical lang /
+    reliable decisions and margins to ~1 ulp (only summation grouping
+    differs: reduceat vs pairwise sum)."""
+    import json
+
+    import numpy as np
+
+    from textpipe_ray.functions.langid import LangIdModel
+
+    m = LangIdModel.load()
+    texts = [
+        "The quick brown fox jumps over the lazy dog and keeps on running through the field.",
+        "",
+        "x",
+        "Le renard brun rapide saute par-dessus le chien paresseux près de la rivière.",
+        "1234 5678 !!!",
+        "Der schnelle braune Fuchs springt über den faulen Hund im tiefen dunklen Wald.",
+        json.loads('"lone surrogate \\ud800 in the middle of english text about dogs"'),
+        "ab",
+        "́̂",  # marks only → stripped → no letters
+    ]
+    hints = ["en", "en", "nl", "fr", "en", "de", "en", "nl", "en"]
+    rel_b, lang_b, mar_b = m.detect_many(texts, hints)
+    for i, (t, h) in enumerate(zip(texts, hints)):
+        ok, lang, margin = m.detect(t or "", h)
+        assert lang_b[i] == lang, (i, t)
+        assert bool(rel_b[i]) == ok, (i, t)
+        np.testing.assert_allclose(mar_b[i], margin, rtol=1e-9, atol=1e-12)

@@ -170,6 +170,115 @@ class LangIdModel:
         reliable = margin >= RELIABLE_MARGIN and n_letters >= MIN_LETTERS
         return (reliable, lang, margin)
 
+    # Chunk size for detect_many: keeps the (keys × langs) gathered
+    # score block L2/L3-resident.  Unchunked concatenation of a large
+    # batch materializes ~100s of MB and goes memory-bandwidth-bound —
+    # measured 10× SLOWER than the per-doc path; at 128 docs the
+    # batched path matches the cache-resident per-doc rate.
+    DETECT_CHUNK = 128
+
+    def detect_many(
+        self, texts: list, hints: list
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batched :meth:`detect` — same per-document decisions, one
+        table-lookup pass per cache-sized chunk (the ``perplexity_many``
+        concatenation pattern, functions/perplexity.py:135-182):
+        stripped texts are concatenated, trigram keys are built and
+        searchsorted once per chunk, and per-doc score vectors come from
+        ``np.add.reduceat`` over segment boundaries.  Summation grouping
+        differs from ``detect``'s per-doc ``.sum(axis=0)`` by at most a
+        few ulps (asserted in tests); decisions are identical away from
+        exact thresholds.
+
+        → (reliable: bool[n], lang: object[n], margin: float64[n])."""
+        cs = self.DETECT_CHUNK
+        if len(texts) > cs:
+            parts = [
+                self.detect_many(texts[i : i + cs], hints[i : i + cs])
+                for i in range(0, len(texts), cs)
+            ]
+            return (
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+                np.concatenate([p[2] for p in parts]),
+            )
+        cls = _cls_table()
+        n_docs = len(texts)
+        langs_out = np.full(n_docs, "un", dtype=object)
+        reliable_out = np.zeros(n_docs, dtype=bool)
+        margins_out = np.zeros(n_docs, dtype=np.float64)
+        kept: list[int] = []
+        pieces: list[np.ndarray] = []
+        letters: list[int] = []
+        for i, text in enumerate(texts):
+            codes = np.frombuffer(
+                (text or "").encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+            )
+            cc = cls[codes]
+            n_letters = int((cc == _LETTER).sum())
+            if n_letters == 0:
+                continue
+            stripped = codes[cc != _STRIP].tobytes().decode("utf-32-le")
+            padded = " " + stripped.lower()[:MAX_CHARS] + " "
+            pieces.append(
+                np.frombuffer(padded.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+            )
+            kept.append(i)
+            letters.append(n_letters)
+        if not kept:
+            return reliable_out, langs_out, margins_out
+        lens = np.array([len(p) - 2 for p in pieces], dtype=np.int64)  # keys per doc
+        codes_cat = np.concatenate(pieces)
+        keys_all = codes_cat[:-2] * _K2 + codes_cat[1:-1] * _K1 + codes_cat[2:]
+        # doc k's own keys are [o_k, o_k + len_k) in key-space; positions
+        # beyond that span doc boundaries and are excluded by reduceat
+        starts = np.concatenate(([0], np.cumsum(lens + 2)[:-1]))
+        bounds = np.empty(2 * len(lens), dtype=np.int64)
+        bounds[0::2] = starts
+        bounds[1::2] = starts + lens
+        pos = np.searchsorted(self._keys, keys_all)
+        pos_c = np.minimum(pos, len(self._keys) - 1)
+        found = self._keys[pos_c] == keys_all
+        # per-doc known counts (reduceat over the 0/1 mask; sentinel
+        # keeps the final bound valid — same trick as perplexity_many)
+        found_i = found.astype(np.int64)
+        known = np.add.reduceat(np.append(found_i, 0), bounds)[0::2]
+        # per-doc per-lang sums over FOUND rows only: compact the found
+        # positions, convert each doc's bound to its rank among found
+        gathered = self._mat[pos_c[found]]  # (n_found, n_langs)
+        cum_found = np.concatenate(([0], np.cumsum(found_i)))
+        fbounds = cum_found[bounds]
+        scores = np.add.reduceat(
+            np.vstack([gathered, np.zeros((1, len(self.langs)))]), fbounds, axis=0
+        )[0::2]
+        scores += (lens - known)[:, None] * self._unk[None, :]
+        # coverage + hint + argmax, vectorized across docs
+        kept_a = np.asarray(kept, dtype=np.int64)
+        letters_a = np.asarray(letters, dtype=np.int64)
+        covered = known >= MIN_COVERAGE * lens
+        hint_idx = np.array(
+            [self._idx.get(hints[i] if hints[i] is not None else "", -1) for i in kept],
+            dtype=np.int64,
+        )
+        has_hint = hint_idx >= 0
+        rows = np.flatnonzero(has_hint)
+        scores[rows, hint_idx[rows]] += HINT_BONUS * lens[rows]
+        order = np.argsort(-scores, axis=1, kind="stable")
+        best = order[:, 0]
+        second = order[:, 1] if scores.shape[1] > 1 else best
+        r = np.arange(len(kept))
+        margins = (scores[r, best] - scores[r, second]) / np.maximum(1, lens)
+        langs_arr = np.asarray(self.langs, dtype=object)[best]
+        reliable = (margins >= RELIABLE_MARGIN) & (letters_a >= MIN_LETTERS)
+        # uncovered docs → (False, 'un', 0.0), same as detect()
+        langs_arr = np.where(covered, langs_arr, "un")
+        reliable = reliable & covered
+        margins = np.where(covered, margins, 0.0)
+        langs_out[kept_a] = langs_arr
+        reliable_out[kept_a] = reliable
+        margins_out[kept_a] = margins
+        return reliable_out, langs_out, margins_out
+
 
 def main() -> None:  # pragma: no cover  (exercised via scripts/train_models.py)
     from textpipe_ray.data.seed_corpora import SEED_CORPORA

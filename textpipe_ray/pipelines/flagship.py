@@ -165,7 +165,15 @@ def build_pages_pipeline(
     return ds
 
 
-def read_pages(paths, columns=(S.URL, S.WARC_TS, S.HTML, S.LANG)) -> "ray.data.Dataset":
+def read_pages(
+    paths, columns=(S.URL, S.WARC_TS, S.HTML, S.LANG), include_paths: bool = False
+) -> "ray.data.Dataset":
     """Column-pruned read: ``text`` is never loaded (north-rule invariant
-    makes it redundant with the extraction output)."""
-    return ray.data.read_parquet([str(p) for p in (paths if isinstance(paths, (list, tuple)) else [paths])], columns=list(columns))
+    makes it redundant with the extraction output).  ``include_paths``
+    adds the source file as a ``path`` column (the runner uses it to tag
+    rows with their resume partition)."""
+    return ray.data.read_parquet(
+        [str(p) for p in (paths if isinstance(paths, (list, tuple)) else [paths])],
+        columns=list(columns),
+        include_paths=include_paths,
+    )

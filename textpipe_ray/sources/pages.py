@@ -240,6 +240,11 @@ def write_pages(out_dir: str | Path, num_rows: int, seed: int = SEED, num_files:
     if marker.exists():
         return out
     out.mkdir(parents=True, exist_ok=True)
+    # a different config wrote here before: clear its shards AND marker,
+    # or a smaller num_files would leave stale extra shards behind that
+    # a glob would silently mix into the new table
+    for stale in list(out.glob("pages-*.parquet")) + list(out.glob(".complete-*")):
+        stale.unlink()
     shards = _shard_spec(num_rows, num_files, seed)
 
     def build(n, s, base):

@@ -28,6 +28,8 @@ class LangIdStage:
         self.hint = hint_language
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         texts = batch.column(S.CLEAN).to_pylist()
         # per-row hint: a provided `lang` column acts as the hint when present
         hints = (
@@ -35,19 +37,16 @@ class LangIdStage:
             if S.LANG in batch.column_names
             else [self.hint] * len(texts)
         )
-        langs, reliable, margins, resolved = [], [], [], []
-        for text, hint in zip(texts, hints):
-            hint = hint or self.hint
-            ok, lang, margin = self.model.detect(text or "", hint)
-            langs.append(lang)
-            reliable.append(ok)
-            margins.append(margin)
-            resolved.append(lang if ok else hint)
+        hints = [h or self.hint for h in hints]
+        # batched scorer: one searchsorted + reduceat pass for the whole
+        # batch instead of a python call per document
+        reliable, langs, margins = self.model.detect_many(texts, hints)
+        resolved = np.where(reliable, langs, np.asarray(hints, dtype=object))
         return (
-            batch.append_column(S.PRED_LANG, pa.array(langs, pa.string()))
-            .append_column(S.LANG_RELIABLE, pa.array(reliable, pa.bool_()))
+            batch.append_column(S.PRED_LANG, pa.array(langs.tolist(), pa.string()))
+            .append_column(S.LANG_RELIABLE, pa.array(reliable.tolist(), pa.bool_()))
             .append_column(S.LANG_MARGIN, pa.array(margins, pa.float64()))
-            .append_column(S.RESOLVED_LANG, pa.array(resolved, pa.string()))
+            .append_column(S.RESOLVED_LANG, pa.array(resolved.tolist(), pa.string()))
         )
 
 
