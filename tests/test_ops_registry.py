@@ -117,3 +117,116 @@ def test_pipeline_transform_dataset(ray_session):
     out = p.transform(ds).to_pandas()
     assert list(out["NWords"]) == [6, 4]
     assert "Complexity" in out.columns
+
+
+# ---- pluggable custom models (reference pipeline.py:54-60 mechanism) ----
+
+MODELS_DIR = "/root/repo/models/custom"
+
+
+def test_entities_custom_gazetteer_changes_output():
+    from textpipe_ray.pipelines.spec import Pipeline
+
+    text = "Rembrandt moved from Rotterdam while Google watched."
+    default = Pipeline(["Entities"])(text)["Entities"]
+    custom = Pipeline(
+        [("Entities", {"model_name": "nl_gaz"})],
+        models=[("nl_gaz", "*", f"{MODELS_DIR}/nl_gazetteer.json")],
+    )(text)["Entities"]
+    assert default != custom
+    assert ["Rembrandt", "PERSON"] in custom
+    assert ["Google", "SEARCH_ENGINE"] in custom  # label overridden by the file
+    assert ["Rotterdam", "GPE"] in custom
+
+
+def test_entities_missing_model_raises():
+    import pytest
+
+    from textpipe_ray.functions.entities import MissingModelException
+    from textpipe_ray.pipelines.spec import Pipeline
+
+    p = Pipeline([("Entities", {"model_name": "nope"})])
+    with pytest.raises(MissingModelException):
+        p("some text")
+
+
+def test_categories_honors_labels_file():
+    from textpipe_ray.pipelines.spec import Pipeline
+
+    p = Pipeline(
+        [("Categories", {"model_name": "news"})],
+        models=[("news", "*", f"{MODELS_DIR}/news_textcat.json")],
+    )
+    got = dict(p("The team scored a late goal and won the match in the league.")["Categories"])
+    assert set(got) == {"sports", "politics", "tech"}  # all labels present
+    assert got["sports"] == 1.0 and got["politics"] == 0.0
+    # default (no model) keeps the no-label textcat contract: {}
+    assert Pipeline(["Categories"])("any text")["Categories"] == []
+
+
+def test_word_vectors_pick_up_registered_keyed_vectors():
+    import json
+
+    import numpy as np
+
+    from textpipe_ray.pipelines.spec import Pipeline
+
+    spec = ("tiny", "en", f"{MODELS_DIR}/tiny_vectors.json")
+    text = "test vector"
+    got = dict(Pipeline(["WordVectors"], models=[spec])(text)["WordVectors"])
+    filed = json.load(open(spec[2]))
+    assert got["test"]["has_vector"] is True
+    np.testing.assert_allclose(got["test"]["vector"], filed["vectors"]["test"])
+    assert len(got["test"]["vector"]) == 8  # file dim, not the hash model's 96
+    # DocumentVector aggregates the same file vectors
+    dv = Pipeline([("DocumentVector", {"aggregation": "mean"})], models=[spec])(text)[
+        "DocumentVector"
+    ]
+    want = np.mean([filed["vectors"]["test"], filed["vectors"]["vector"]], axis=0)
+    np.testing.assert_allclose(dv, want)
+
+
+def test_pipeline_models_roundtrip(tmp_path):
+    from textpipe_ray.pipelines.spec import Pipeline
+
+    spec = [("news", "*", f"{MODELS_DIR}/news_textcat.json")]
+    p = Pipeline([("Categories", {"model_name": "news"})], models=spec)
+    f = tmp_path / "pipe.json"
+    p.save(f)
+    p2 = Pipeline.load(f)
+    assert p2.models == [tuple(spec[0])]
+    assert p2("election vote policy")["Categories"] == p("election vote policy")["Categories"]
+
+
+def test_transform_with_models(ray_session):
+    """The registry must survive the map_batches closure: specs pickle,
+    files load once per worker."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from textpipe_ray.pipelines.spec import Pipeline
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2], "text": ["Rembrandt in Rotterdam", "nothing here"]})
+    )
+    p = Pipeline(
+        [("Entities", {"model_name": "nl_gaz"})],
+        models=[("nl_gaz", "*", f"{MODELS_DIR}/nl_gazetteer.json")],
+    )
+    out = p.transform(ds).to_pandas().sort_values("doc_id")
+    assert list(out["Entities"].iloc[0][0]) == ["Rembrandt", "PERSON"]
+    assert len(out["Entities"].iloc[1]) == 0
+
+
+def test_emoji_doctest_parity():
+    """Reference doc.py:266-270 doctest values, reproduced exactly from
+    the full public Emoji Sentiment Ranking table."""
+    from textpipe_ray.pipelines.spec import Pipeline
+
+    out = Pipeline(["Emojis"])("Test with emoji 😀 😋 ")["Emojis"]
+    got = [(e["emoji"], e["name"], e["sentiment"]) for e in out]
+    assert got == [
+        ("😀", "GRINNING FACE", 0.571753986332574),
+        ("😋", "FACE SAVOURING DELICIOUS FOOD", 0.6335149863760218),
+    ]

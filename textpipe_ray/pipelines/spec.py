@@ -26,7 +26,13 @@ from textpipe_ray.stages.ops import OPERATIONS
 
 
 class Pipeline:
-    def __init__(self, steps, language=None, hint_language="en", **kwargs):
+    def __init__(self, steps, language=None, hint_language="en", models=None, **kwargs):
+        """``models=[(name, lang, path)]`` registers custom model files
+        (reference pipeline.py:54-60): an op whose settings carry
+        ``model_name`` resolves it through the registry; vector ops pick
+        up a registered keyed-vectors model for their language.  Specs
+        are JSON-serializable and round-trip through save/load; files
+        load lazily once per worker process."""
         self.steps: list[tuple[str, dict]] = []
         for step in steps:
             if isinstance(step, str):
@@ -36,6 +42,12 @@ class Pipeline:
                 self.steps.append((name, dict(settings or {})))
         self.language = language
         self.hint_language = hint_language
+        self.models = [tuple(m) for m in (models or [])]
+        self._registry = None
+        if self.models:
+            from textpipe_ray.functions.registry import ModelRegistry
+
+            self._registry = ModelRegistry(self.models)
         self.kwargs = kwargs
         self._custom: dict = {}
         for name, _ in self.steps:
@@ -62,6 +74,8 @@ class Pipeline:
             batch = ensure_clean_column(batch)
         for name, settings in self.steps:
             fn = self._custom.get(name) or OPERATIONS[name]
+            if self._registry is not None:
+                settings = {**settings, "__registry": self._registry}
             batch = fn(batch, name, settings, hint)
         return batch.drop_columns(
             [c for c in ("__clean",) if c in batch.column_names]
@@ -84,6 +98,7 @@ class Pipeline:
             "steps": [[n, s] for n, s in self.steps if n not in self._custom],
             "language": self.language,
             "hint_language": self.hint_language,
+            "models": [list(m) for m in self.models],
             "kwargs": self.kwargs,
         }
 
@@ -97,6 +112,7 @@ class Pipeline:
             steps=[tuple(s) if isinstance(s, list) else s for s in d["steps"]],
             language=d.get("language"),
             hint_language=d.get("hint_language", "en"),
+            models=d.get("models"),
             **d.get("kwargs", {}),
         )
 

@@ -51,6 +51,25 @@ def _vector_model(lang: str) -> vec_fn.HashVectorModel:
     return vec_fn.HashVectorModel(lang)
 
 
+def _registry(settings):
+    """The Pipeline's ModelRegistry, threaded through ``settings`` under
+    a reserved key (``Pipeline(models=[(name, lang, path)])`` — the
+    reference's custom-model mechanism, pipeline.py:54-60)."""
+    return settings.get("__registry")
+
+
+def _vector_model_for(lang: str, settings) -> "vec_fn.HashVectorModel":
+    """Registered keyed-vectors model for the language if any, else the
+    built-in hash-vector stand-in (en fallback, like the reference's
+    default-language model routing)."""
+    reg = _registry(settings)
+    if reg is not None:
+        m = reg.for_lang("keyed_vectors", lang)
+        if m is not None:
+            return m
+    return _vector_model(lang if lang in ("en",) else "en")
+
+
 def _texts(batch: pa.Table, col: str) -> list[str]:
     return [t or "" for t in batch.column(col).to_pylist()]
 
@@ -157,9 +176,15 @@ def op_nsentences(batch, name, settings, hint):
 def op_entities(batch, name, settings, hint):
     attrs = tuple(settings.get("ent_attributes", ("text", "label_")))
     model_name = settings.get("model_name")
+    gaz = None
+    if model_name is not None:
+        reg = _registry(settings)
+        if reg is None:
+            raise ents_fn.MissingModelException(f"Custom model {model_name} is missing.")
+        gaz = reg.get(model_name, "gazetteer")
     t = pa.list_(pa.list_(pa.string()))
     vals = [
-        [[str(a) for a in tup] for tup in ents_fn.find_ents(x, model_name, attrs)]
+        [[str(a) for a in tup] for tup in ents_fn.find_ents(x, None, attrs, gazetteer=gaz)]
         for x in _clean_col(batch)
     ]
     return batch.append_column(name, pa.array(vals, t))
@@ -228,7 +253,7 @@ def op_word_vectors(batch, name, settings, hint):
     )
     langs = _resolved_langs(batch, hint)
     vals = [
-        sorted(vec_fn.word_vectors(x, _vector_model(lang if lang in ("en",) else "en")).items())
+        sorted(vec_fn.word_vectors(x, _vector_model_for(lang, settings)).items())
         for x, lang in zip(_clean_col(batch), langs)
     ]
     return batch.append_column(name, pa.array(vals, t))
@@ -240,9 +265,7 @@ def op_document_vector(batch, name, settings, hint):
     excl = settings.get("exclude_oov", False)
     langs = _resolved_langs(batch, hint)
     vals = [
-        vec_fn.aggregate_word_vectors(
-            x, _vector_model(lang if lang in ("en",) else "en"), agg, norm, excl
-        )
+        vec_fn.aggregate_word_vectors(x, _vector_model_for(lang, settings), agg, norm, excl)
         for x, lang in zip(_clean_col(batch), langs)
     ]
     return batch.append_column(name, pa.array(vals, pa.list_(pa.float64())))
@@ -252,12 +275,15 @@ def op_gensim_document_embedding(batch, name, settings, hint):
     lowercase = settings.get("lowercase", True)
     weighting = settings.get("idf_weighting", "naive")
     langs = _resolved_langs(batch, hint)
+    reg = _registry(settings)
     vals = []
     for x, lang in zip(_clean_col(batch), langs):
-        try:
-            model = _vector_model(lang)
-        except vec_fn.MissingModelException:
-            model = _vector_model("en")
+        model = reg.for_lang("keyed_vectors", lang) if reg is not None else None
+        if model is None:
+            try:
+                model = _vector_model(lang)
+            except vec_fn.MissingModelException:
+                model = _vector_model("en")
         vals.append(vec_fn.document_embedding(x, model, lowercase, weighting))
     return batch.append_column(name, pa.array(vals, pa.list_(pa.float64())))
 
@@ -276,8 +302,18 @@ def op_lead_sentences(batch, name, settings, hint):
 
 
 def op_categories(batch, name, settings, hint):
-    # default textcat has no labels → {} per doc (reference doc.py:783-802)
-    vals = [[] for _ in range(len(batch))]
+    model_name = settings.get("model_name")
+    if model_name is not None:
+        from textpipe_ray.functions.registry import MissingModelException
+
+        reg = _registry(settings)
+        if reg is None:
+            raise MissingModelException(f"Custom model {model_name} is missing.")
+        model = reg.get(model_name, "textcat")
+        vals = [sorted(model.predict(x).items()) for x in _clean_col(batch)]
+    else:
+        # default textcat has no labels → {} per doc (reference doc.py:783-802)
+        vals = [[] for _ in range(len(batch))]
     return batch.append_column(name, pa.array(vals, pa.map_(pa.string(), pa.float64())))
 
 
