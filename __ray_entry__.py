@@ -70,6 +70,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from textpipe_ray.pipelines.oracle import build_oracle_sql
+    from textpipe_ray.pipelines.oracle import build_oracle_sql, golden_oracle_sql
 
-    return build_oracle_sql()
+    # SQL-expressible queries get true DuckDB oracles; deterministic
+    # model/sketch/pipeline queries get committed golden-parquet oracles
+    # (scripts/make_goldens.py) — value-checked either way
+    return {**build_oracle_sql(), **golden_oracle_sql()}

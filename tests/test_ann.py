@@ -57,4 +57,4 @@ def test_ivf_ranks_sorted(emb_ds):
     out = ann_ivf_topk(ds, np.array([0]), vecs[:1], k=5, num_centroids=8, nprobe=4).to_pandas()
     g = out.sort_values("rank")
     assert list(g["rank"]) == [1, 2, 3, 4, 5]
-    assert (np.diff(g["cos"].to_numpy()) <= 1e-12).all()
+    assert (np.diff(g["cos_q"].to_numpy()) <= 0).all()  # quantized cos, descending

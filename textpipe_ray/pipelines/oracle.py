@@ -378,6 +378,35 @@ WHERE CAST(n AS DOUBLE) / CAST(sa.sz + sb.sz - n AS DOUBLE) >= 0.8"""
     return out
 
 
+def golden_oracle_sql() -> dict[str, str]:
+    """Golden-parquet oracles for queries DuckDB cannot compute
+    (model-scored / sketch / pipeline outputs): the committed golden
+    table for the running input scale is read back, discriminated by a
+    content hash of the input's first document (see
+    scripts/make_goldens.py — regenerate + recommit after intentional
+    kernel changes).  Moves these queries from rows-only to full
+    value-hash checks."""
+    import json
+    from pathlib import Path
+
+    manifest_path = Path(__file__).resolve().parents[2] / "goldens" / "manifest.json"
+    if not manifest_path.exists():
+        return {}
+    with open(manifest_path, "r", encoding="utf8") as f:
+        manifest = json.load(f)
+    disc = manifest["discriminator_sql"]
+    base = manifest_path.parent
+    out: dict[str, str] = {}
+    for name, entries in manifest["queries"].items():
+        branches = [
+            f"SELECT g.* FROM read_parquet('{base / e['file']}') g "
+            f"WHERE {disc} = '{e['input_md5']}'"
+            for e in entries
+        ]
+        out[name] = "\nUNION ALL\n".join(branches)
+    return out
+
+
 def complexity_expr(text: str = "text") -> str:
     w = count_expr(f"lower({text})", ALPHA_WORD_RE2)
     vg = count_expr(f"lower({text})", VOWEL_GROUP_RE2)

@@ -969,12 +969,42 @@ def q_perplexity(sf_dir: str):
 
 
 def q_minhash(sf_dir: str):
-    """MinHash signatures (datasketch-compatible digests; no SQL oracle)."""
+    """MinHash signatures, emitted as VALUE-CHECKABLE scalars: an md5
+    digest of the full 128×uint64 signature plus its first/last
+    components (the raw ``list<uint64>`` signature stays available via
+    ``stages.dedup.minhash_batch`` / the ``MinHash`` op — scalar columns
+    let the driver hash-compare this query against a committed golden
+    table, list columns would not survive the compare canonically)."""
     from textpipe_ray.stages.dedup import minhash_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(minhash_batch, batch_format="pyarrow").select_columns(
-        ["doc_id", "minhash"]
+
+    def digest(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], _I64),
+                    "sig_md5": pa.array([], pa.string()),
+                    "sig_first": pa.array([], _I64),
+                    "sig_last": pa.array([], _I64),
+                }
+            )
+        sigs = np.asarray(
+            batch.column("minhash").combine_chunks().flatten(), dtype=np.uint64
+        ).reshape(n, -1)
+        md5s = [hashlib.md5(row.tobytes()).hexdigest() for row in sigs]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "sig_md5": pa.array(md5s, pa.string()),
+                "sig_first": pa.array(sigs[:, 0].astype(np.int64), _I64),
+                "sig_last": pa.array(sigs[:, -1].astype(np.int64), _I64),
+            }
+        )
+
+    return ds.map_batches(minhash_batch, batch_format="pyarrow").map_batches(
+        digest, batch_format="pyarrow"
     )
 
 
@@ -1048,6 +1078,32 @@ def _video_summary(batch: pa.Table) -> pa.Table:
     return batch.append_column("n_frames", pa.array(n, _I64))
 
 
+def _media_digests(batch: pa.Table) -> pa.Table:
+    """Scalar digests of the list-valued feature columns (bit-exact md5
+    over the float64 bytes) so the driver can value-check this query
+    against a committed golden table."""
+
+    def col_digest(colname: str) -> pa.Array:
+        out = []
+        for v in batch.column(colname).to_pylist():
+            if v is None:
+                out.append(None)
+            else:
+                out.append(hashlib.md5(np.asarray(v, dtype=np.float64).tobytes()).hexdigest())
+        return pa.array(out, pa.string())
+
+    return pa.table(
+        {
+            "media_id": batch.column("media_id"),
+            "kind": batch.column("kind"),
+            "decoded_ok": batch.column("decoded_ok"),
+            "image_feat_md5": col_digest("image_features"),
+            "rms_md5": col_digest("rms_envelope"),
+            "n_frames": batch.column("n_frames"),
+        }
+    )
+
+
 def q_media_features(sf_dir: str):
     """Multimodal actor-pool stages over the synthetic media table
     (decode stubbed deterministically; Ray plumbing real)."""
@@ -1074,18 +1130,11 @@ def q_media_features(sf_dir: str):
         )
         # frame_ts_ms is a UNIFORM-length list — Ray's pandas conversion
         # tries a tensor-extension cast and fails on the null (non-video)
-        # rows, so the driver-facing output carries a scalar summary
+        # rows — and list feature columns don't canonicalize in the
+        # value compare, so the driver-facing output is all scalars
+        # (digests for the feature vectors)
         .map_batches(_video_summary, batch_format="pyarrow")
-        .select_columns(
-            [
-                "media_id",
-                "kind",
-                "decoded_ok",
-                "image_features",
-                "rms_envelope",
-                "n_frames",
-            ]
-        )
+        .map_batches(_media_digests, batch_format="pyarrow")
     )
 
 

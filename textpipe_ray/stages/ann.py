@@ -115,9 +115,17 @@ def ann_ivf_topk(
 
     scored = ds.map_batches(score, batch_format="pyarrow")
 
+    # rank and emit the cosine QUANTIZED to floor(cos*1e9): BLAS picks
+    # different accumulation blockings for different batch shapes, so
+    # raw doubles drift by ~1 ulp across parallelism levels — quantized
+    # output is bit-stable run-to-run (golden-oracle requirement) and
+    # the neighbor_id tie-break decides near-equal ranks
     def topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
+        g = group.assign(
+            cos_q=np.floor(group["cos"].to_numpy() * 1e9).astype(np.int64)
+        )
+        g = g.sort_values(["cos_q", "neighbor_id"], ascending=[False, True]).head(k)
         g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g[["query_id", "neighbor_id", "rank", "cos"]]
+        return g[["query_id", "neighbor_id", "rank", "cos_q"]]
 
     return scored.groupby("query_id").map_groups(topk, batch_format="pandas")
