@@ -1202,14 +1202,24 @@ def pages_dir_for(sf_dir: str) -> str:
 
 def q_pages_flagship(sf_dir: str):
     """The full quality-filter pipeline over the synthetic pages table
-    (extract → langid → perplexity → rules → scrub → keep/drop)."""
+    (extract → langid → perplexity → rules → scrub → keep/drop).
+    ``warc_ts`` is emitted as epoch microseconds so the driver's
+    value-hash compares primitive int64s on both sides (datetime dtype
+    normalization differs between engines)."""
     from textpipe_ray.pipelines.flagship import build_pages_pipeline, read_pages
 
     import glob as _glob
 
     pages = pages_dir_for(sf_dir)
     ds = read_pages(sorted(_glob.glob(f"{pages}/pages-*.parquet")))
-    return build_pages_pipeline(ds)
+
+    def ts_to_us(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("warc_ts")
+        return batch.set_column(
+            i, "warc_ts_us", pc.cast(pc.cast(batch.column("warc_ts"), pa.timestamp("us")), _I64)
+        )
+
+    return build_pages_pipeline(ds).map_batches(ts_to_us, batch_format="pyarrow")
 
 
 def q_pages_neardup(sf_dir: str):
