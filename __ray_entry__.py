@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_segment_orders": Q.q_segment_orders,
         "q_ann_topk": Q.q_ann_topk,
         "q_ngram_jaccard": Q.q_ngram_jaccard,
+        "q_contamination": Q.q_contamination,
+        "q_pack_sequences": Q.q_pack_sequences,
         # model-scored / non-SQL-expressible (rows-only check)
         "q_langid": Q.q_langid,
         "q_perplexity": Q.q_perplexity,

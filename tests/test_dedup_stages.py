@@ -290,3 +290,50 @@ def test_shingle_jaccard_sizes_distributed(ray_session):
     assert set(got) == set(expected)
     for key in expected:
         assert got[key] == expected[key]
+
+
+def test_pair_clusters_distributed_matches_union_find(ray_session):
+    """Label propagation must produce exactly the driver union-find's
+    deterministic min-id roots: chain + triangle + isolated pair."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from textpipe_ray.stages.dedup import pair_clusters, pair_clusters_distributed
+
+    # components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    pairs = pd.DataFrame(
+        {
+            "id_a": [1, 2, 3, 10, 10, 11, 20],
+            "id_b": [2, 3, 4, 11, 12, 12, 21],
+        }
+    )
+    want = pair_clusters(pairs)
+    got_df = pair_clusters_distributed(
+        ray.data.from_arrow(pa.Table.from_pandas(pairs)), num_partitions=4
+    ).to_pandas()
+    got = dict(zip(got_df["doc_id"], got_df["root"]))
+    assert got == want
+
+
+def test_drop_near_dups_modes_agree(ray_session):
+    """driver union-find and distributed label-prop + anti-join must
+    keep the identical survivor set."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from textpipe_ray.stages.dedup import drop_near_dups
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"])
+    kw = dict(threshold=0.7, num_bands=16, shingle_size=5)
+    a = sorted(
+        drop_near_dups(ray.data.from_arrow(t), cluster_mode="driver", **kw).to_pandas()["doc_id"]
+    )
+    b = sorted(
+        drop_near_dups(ray.data.from_arrow(t), cluster_mode="distributed", **kw).to_pandas()[
+            "doc_id"
+        ]
+    )
+    assert a == b and len(a) > 0

@@ -375,6 +375,45 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(n AS DOUBLE) / CAST(sa.sz + sb.sz - n AS DOUBLE) >= 0.8"""
 
+    # benchmark decontamination: any shared word-5-gram with docs 0-4;
+    # same token regex / shingle construction as queries.q_contamination
+    out["q_contamination"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i.i, i.i + 4), ' ') AS s
+  FROM toks CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i
+  ) i
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+cand AS (SELECT doc_id, s FROM sh WHERE doc_id >= 5),
+ov AS (
+  SELECT c.doc_id, CAST(count(b.s) AS BIGINT) AS n_overlap
+  FROM cand c LEFT JOIN bench b ON c.s = b.s GROUP BY c.doc_id
+),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM cand GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(sz.n_shingles, 0) AS n_shingles,
+       COALESCE(ov.n_overlap, 0) AS n_overlap,
+       COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 5) d
+LEFT JOIN sz ON sz.doc_id = d.doc_id
+LEFT JOIN ov ON ov.doc_id = d.doc_id"""
+
+    # token-budget sequence packing: bin = floor(preceding tokens / B)
+    out["q_pack_sequences"] = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+       CAST((COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) // 2048 AS BIGINT) AS bin_id
+FROM t"""
+
     return out
 
 

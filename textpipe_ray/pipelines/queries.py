@@ -640,6 +640,139 @@ def q_tfidf_topk(sf_dir: str):
     )
 
 
+CONTAM_K = 5  # word-shingle size for the decontamination check
+CONTAM_BENCH_DOCS = 5  # doc_id < 5 play the "benchmark set"
+
+
+def q_contamination(sf_dir: str):
+    """Benchmark decontamination check — the step every training corpus
+    runs before release: flag documents sharing any word ``k``-gram with
+    a benchmark set.  The benchmark side (here: docs with ``doc_id <
+    5``) is a SMALL FIXED set, so its distinct shingles broadcast once
+    via ``ray.put`` and the scan is a pure per-batch ``np.isin`` — no
+    shuffle at all, the right plan at any corpus size.  String shingles
+    (not hashes) on both engines keep the DuckDB oracle bit-exact."""
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    tok_re = _re.compile(TFIDF_TOKEN_RE)
+
+    def shingles_of(text: str) -> set:
+        ws = tok_re.findall((text or "").lower())
+        return {" ".join(ws[i : i + CONTAM_K]) for i in range(len(ws) - CONTAM_K + 1)}
+
+    bench_t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bench_t = bench_t.filter(pc.less(bench_t.column("doc_id"), CONTAM_BENCH_DOCS))
+    bench = sorted(set().union(*(shingles_of(t) for t in bench_t.column("text").to_pylist())))
+    bench_ref = ray.put(np.asarray(bench, dtype=object))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def check(batch: pa.Table) -> pa.Table:
+        bench_arr = ray.get(bench_ref)
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        keep = ids >= CONTAM_BENCH_DOCS
+        out_id, out_n, out_ov = [], [], []
+        for did, t in zip(ids[keep], np.asarray(batch.column("text").to_pylist(), dtype=object)[keep]):
+            sh = np.asarray(sorted(shingles_of(t)), dtype=object)
+            out_id.append(did)
+            out_n.append(len(sh))
+            out_ov.append(int(np.isin(sh, bench_arr).sum()) if len(sh) else 0)
+        n_ov = np.asarray(out_ov, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, _I64),
+                "n_shingles": pa.array(out_n, _I64),
+                "n_overlap": pa.array(n_ov, _I64),
+                "contaminated": pa.array(n_ov > 0, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(check, batch_format="pyarrow")
+
+
+PACK_BUDGET = 2048  # tokens per bin
+PACK_RANGE = 256  # doc ids per prefix-sum range
+
+
+def q_pack_sequences(sf_dir: str):
+    """Token-budget sequence sharding — packing a corpus into
+    fixed-token-budget bins for training: documents in ``doc_id`` order
+    are assigned ``bin_id = floor(preceding_token_total / budget)``.
+
+    A global prefix sum on a distributed engine: (1) per-batch token
+    counts; (2) doc-id-range partitions compute LOCAL prefix sums + one
+    per-range total; (3) the per-range totals (one int per ~256 docs —
+    metadata-scale, like the lineage ledger) come to the driver for a
+    tiny cumsum and broadcast back; (4) the final map adds range offset
+    + local prefix.  Exact integer arithmetic end to end; oracle is a
+    SUM ... OVER window."""
+    import re as _re
+
+    import pandas as pd
+
+    tok_re = _re.compile(TFIDF_TOKEN_RE)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        n = np.asarray(
+            [len(tok_re.findall((t or "").lower())) for t in batch.column("text").to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, _I64),
+                "n_tokens": pa.array(n, _I64),
+                "__rg": pa.array((ids // PACK_RANGE).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def local_prefix(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values("doc_id", kind="mergesort")
+        n = g["n_tokens"].to_numpy()
+        prev = np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": n,
+                "local_prev": prev,
+                "rg": g["__rg"].to_numpy().astype("int64"),
+            }
+        )
+
+    counted = ds.map_batches(counts, batch_format="pyarrow").materialize()
+    local = counted.groupby("__rg").map_groups(local_prefix, batch_format="pandas")
+
+    # per-range totals: one row per PACK_RANGE docs — metadata-sized
+    totals = (
+        counted.groupby("__rg")
+        .aggregate(Sum("n_tokens", alias_name="total"))
+        .to_pandas()
+        .sort_values("__rg")
+    )
+    rgs = totals["__rg"].to_numpy().astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(totals["total"].to_numpy())[:-1])).astype(np.int64)
+    off_ref = ray.put((rgs, offs))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        s_rg, s_off = ray.get(off_ref)
+        rg = np.asarray(batch.column("rg"), dtype=np.int64)
+        prev = np.asarray(batch.column("local_prev"), dtype=np.int64) + s_off[
+            np.searchsorted(s_rg, rg)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(_I64),
+                "n_tokens": batch.column("n_tokens").cast(_I64),
+                "bin_id": pa.array(prev // PACK_BUDGET, _I64),
+            }
+        )
+
+    return local.map_batches(assign, batch_format="pyarrow")
+
+
 QUANTILES = ((25, 100), (50, 100), (90, 100), (99, 100))  # exact rationals
 
 

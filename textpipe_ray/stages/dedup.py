@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -758,6 +759,17 @@ def shingle_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _join_partitions(cap: int = 64) -> int:
+    """Partition count for ``Dataset.join``: the join's hash-shuffle
+    aggregator actors must fit the cluster's CPU slots — requesting far
+    more partitions than CPUs deadlocks a small cluster (measured: 32
+    partitions hang at 4 CPUs; ≤4× CPUs is safe)."""
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    return max(2, min(cap, cpus * 2))
+
+
 def pair_clusters(pairs_df) -> dict[int, int]:
     """Union-find over near-dup pairs → {doc_id: cluster_root}.
 
@@ -791,34 +803,199 @@ def pair_clusters(pairs_df) -> dict[int, int]:
     return {x: find(x) for x in seen}
 
 
+def pair_clusters_distributed(
+    pairs: "ray.data.Dataset", num_partitions: int | None = None, max_rounds: int = 64
+) -> "ray.data.Dataset":
+    """Distributed connected components over the near-dup pair graph:
+    iterative min-label propagation.  Returns a Dataset ``(doc_id,
+    root)`` covering every node that appears in a pair; ``root`` is the
+    component's minimum doc id (identical to the driver union-find's
+    deterministic roots).
+
+    Each round joins the current labels onto the symmetric edge list
+    (``Dataset.join`` hash shuffle) and takes a per-node min — labels
+    only ever decrease, so a round that leaves ``sum(label)`` unchanged
+    is the fixpoint.  Rounds = component diameter; near-dup clusters
+    are star-like (diameter 2-4).  This is the cluster-formation scale
+    path for when even the PAIR LIST outgrows one process (most of the
+    corpus duplicated) — nothing here touches the driver beyond one
+    8-byte convergence scalar per round."""
+    from ray.data.aggregate import Min as _Min
+
+    if num_partitions is None:
+        num_partitions = _join_partitions()
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("id_a"), dtype=np.int64)
+        b = np.asarray(batch.column("id_b"), dtype=np.int64)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    # repartition coalesces schema-less empty blocks (all-to-all
+    # leftovers pass through map_batches untouched and break the join's
+    # schema resolution) — applied to every dataset that feeds a join
+    edges = (
+        pairs.map_batches(sym, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+    )
+
+    # initial label = min(node, min neighbor) — folds round one in
+    labels = (
+        edges.groupby("node")
+        .aggregate(_Min("nbr", alias_name="label"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "label": pa.array(
+                        np.minimum(
+                            np.asarray(t.column("node"), dtype=np.int64),
+                            np.asarray(t.column("label"), dtype=np.int64),
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(num_partitions)
+        .materialize()
+    )
+    if labels.count() == 0:
+        return labels
+
+    prev_sum = labels.sum("label")
+    for _ in range(max_rounds):
+        lhs = labels.map_batches(
+            lambda t: t.rename_columns(["lnode", "label"]), batch_format="pyarrow"
+        )
+        cand = edges.join(
+            lhs,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("nbr",),
+            right_on=("lnode",),
+        ).select_columns(["node", "label"])
+        labels = (
+            cand.union(labels.select_columns(["node", "label"]))
+            .groupby("node")
+            .aggregate(_Min("label", alias_name="label"))
+            .repartition(num_partitions)
+            .materialize()
+        )
+        new_sum = labels.sum("label")
+        if new_sum == prev_sum:  # labels are monotone non-increasing
+            break
+        prev_sum = new_sum
+    return labels.map_batches(
+        lambda t: t.rename_columns(["doc_id", "root"]), batch_format="pyarrow"
+    )
+
+
 def drop_near_dups(
     ds: "ray.data.Dataset",
     text_col: str = "text",
     id_col: str = "doc_id",
+    cluster_mode: str = "auto",
+    driver_pairs_limit: int = 50_000_000,
     **near_dup_kwargs,
 ) -> "ray.data.Dataset":
     """End-to-end near-dup removal: exact dedup → MinHash-LSH pairs →
-    union-find clusters → keep the min-id survivor of each cluster.
+    connected components → keep the min-id survivor of each cluster.
 
-    Physical plan: the pair list (small) collapses to clusters on the
-    driver; the droplist ships once via ``ray.put`` and the final pass
-    is a vectorized membership filter — the corpus itself is only ever
-    streamed, never collected."""
+    ``cluster_mode`` selects the component algorithm (same strategy
+    selection as the signature verify):
+
+    * ``"driver"`` — union-find over the collected pair list, droplist
+      broadcast once as a sorted int64 array.  Right while pairs ≪
+      corpus (the usual case: a pair list that doesn't fit one process
+      means most of the corpus is duplicated).
+    * ``"distributed"`` — :func:`pair_clusters_distributed` label
+      propagation + hash-join anti-filter; nothing corpus-derived
+      touches the driver.
+    * ``"auto"`` (default) — driver below ``driver_pairs_limit`` pairs,
+      distributed above.
+
+    Both modes produce identical survivor sets (tested)."""
     import ray as _ray
 
     survivors, pairs = exact_survivors_and_pairs(ds, text_col, id_col, **near_dup_kwargs)
-    roots = pair_clusters(pairs.to_pandas())
-    # every doc whose cluster root is not itself gets dropped
-    droplist = np.array(sorted(x for x, r in roots.items() if r != x), dtype=np.int64)
-    if len(droplist) == 0:
-        return survivors  # no near-dup clusters at all
-    drop_ref = _ray.put(droplist)
+    if cluster_mode == "auto":
+        pairs = pairs.materialize()
+        cluster_mode = "driver" if pairs.count() <= driver_pairs_limit else "distributed"
 
-    def keep_batch(batch: pa.Table) -> pa.Table:
-        drops = _ray.get(drop_ref)
-        ids = np.asarray(batch.column(id_col), dtype=np.int64)
-        pos = np.minimum(np.searchsorted(drops, ids), len(drops) - 1)
-        is_dup = drops[pos] == ids
-        return batch.filter(pa.array(~is_dup))
+    if cluster_mode == "driver":
+        roots = pair_clusters(pairs.to_pandas())
+        # every doc whose cluster root is not itself gets dropped
+        droplist = np.array(sorted(x for x, r in roots.items() if r != x), dtype=np.int64)
+        if len(droplist) == 0:
+            return survivors  # no near-dup clusters at all
+        drop_ref = _ray.put(droplist)
 
-    return survivors.map_batches(keep_batch, batch_format="pyarrow")
+        def keep_batch(batch: pa.Table) -> pa.Table:
+            drops = _ray.get(drop_ref)
+            ids = np.asarray(batch.column(id_col), dtype=np.int64)
+            pos = np.minimum(np.searchsorted(drops, ids), len(drops) - 1)
+            is_dup = drops[pos] == ids
+            return batch.filter(pa.array(~is_dup))
+
+        return survivors.map_batches(keep_batch, batch_format="pyarrow")
+
+    # distributed: anti-join survivors against the non-root cluster
+    # members via the native hash join (left_outer + null-marker filter)
+    clusters = pair_clusters_distributed(pairs)
+
+    def non_roots(t: pa.Table) -> pa.Table:
+        # schema-less empty blocks (all-to-all leftovers) must still
+        # emit the join schema or Dataset.join can't resolve the key
+        if len(t) == 0 or "doc_id" not in t.column_names:
+            return pa.table(
+                {
+                    "__dup_id": pa.array([], pa.int64()),
+                    "__is_dup": pa.array([], pa.int8()),
+                }
+            )
+        dup = t.filter(
+            pa.array(
+                np.asarray(t.column("doc_id"), dtype=np.int64)
+                != np.asarray(t.column("root"), dtype=np.int64)
+            )
+        )
+        return pa.table(
+            {
+                "__dup_id": pa.array(np.asarray(dup.column("doc_id"), dtype=np.int64), pa.int64()),
+                "__is_dup": pa.array(np.ones(len(dup), dtype=np.int8), pa.int8()),
+            }
+        )
+
+    # repartition coalesces the schema-less empty blocks all-to-all ops
+    # leave behind (map_batches skips empty blocks, so they'd survive to
+    # the join and break its schema resolution); both join inputs are
+    # materialized first so the join's aggregator actors never compete
+    # for CPUs with a still-running upstream (deadlocks tiny clusters)
+    np_join = _join_partitions()
+    drops = (
+        clusters.map_batches(non_roots, batch_format="pyarrow")
+        .repartition(np_join)
+        .materialize()
+    )
+    joined = survivors.materialize().join(
+        drops,
+        join_type="left_outer",
+        num_partitions=np_join,
+        on=(id_col,),
+        right_on=("__dup_id",),
+    )
+
+    def keep_unmatched(batch: pa.Table) -> pa.Table:
+        mask = pc.is_null(batch.column("__is_dup"))
+        return batch.filter(mask).drop_columns(
+            [c for c in ("__is_dup", "__dup_id") if c in batch.column_names]
+        )
+
+    return joined.map_batches(keep_unmatched, batch_format="pyarrow")
