@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_jaccard": Q.q_ngram_jaccard,
         "q_contamination": Q.q_contamination,
         "q_pack_sequences": Q.q_pack_sequences,
+        "q_events_sliding": Q.q_events_sliding,
         # model-scored / non-SQL-expressible (rows-only check)
         "q_langid": Q.q_langid,
         "q_perplexity": Q.q_perplexity,

@@ -38,6 +38,10 @@ BENCH_QUERIES = [
     "q_sessionize",
     "q_simhash_neardup",
     "q_pages_neardup",
+    "q_tfidf_topk",
+    "q_contamination",
+    "q_pack_sequences",
+    "q_embedding_neardup",
 ]
 
 

@@ -86,3 +86,25 @@ def test_stats_readable(ray_session, pages_dir):
     ds = build_pages_pipeline(read_pages(files))
     ds.take(5)
     assert "ScoringStage" in ds.stats()
+
+
+def test_wave_size_bounds_commits(ray_session, pages_dir, tmp_path_factory, job_out):
+    """wave_size=2 runs two streaming jobs of two partitions each, and
+    the final output is identical to the single-wave run's content."""
+    out, _, _ = job_out
+    wout = tmp_path_factory.mktemp("waves")
+    from textpipe_ray.pipelines.runner import run_pages_job
+
+    s = run_pages_job(f"{pages_dir}/pages-*.parquet", wout, num_partitions=4, wave_size=2)
+    assert s["partitions_ran"] == [0, 1, 2, 3]
+    import json
+
+    rec = json.load(open(f"{wout}/_lineage/part-00000.json"))
+    assert rec["wave"] == [0, 1]
+    h1 = duckdb.sql(
+        f"SELECT md5(string_agg(url || clean || keep, '|' ORDER BY url)) FROM '{out}/part-*/*.parquet'"
+    ).fetchone()[0]
+    h2 = duckdb.sql(
+        f"SELECT md5(string_agg(url || clean || keep, '|' ORDER BY url)) FROM '{wout}/part-*/*.parquet'"
+    ).fetchone()[0]
+    assert h1 == h2

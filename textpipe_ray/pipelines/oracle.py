@@ -375,6 +375,18 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(n AS DOUBLE) / CAST(sa.sz + sb.sz - n AS DOUBLE) >= 0.8"""
 
+    # sliding 1-hour window hopping every 30 min: each event lands in
+    # the windows starting at its half-hour slot and the one before
+    out["q_events_sliding"] = """
+WITH f AS (SELECT event_type,
+                  CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1800000000.0) AS BIGINT) AS hh,
+                  CAST(floor(value * 1000.0) AS BIGINT) AS vmilli
+           FROM events),
+w AS (SELECT event_type, vmilli, unnest([hh, hh - 1]) AS window_start FROM f)
+SELECT event_type, window_start, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(vmilli) AS BIGINT) AS sum_value_milli
+FROM w GROUP BY event_type, window_start"""
+
     # benchmark decontamination: any shared word-5-gram with docs 0-4;
     # same token regex / shingle construction as queries.q_contamination
     out["q_contamination"] = """

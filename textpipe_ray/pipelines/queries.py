@@ -257,6 +257,51 @@ def q_events_window(sf_dir: str):
     return agg.map_batches(post, batch_format="pyarrow")
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding (hopping) window aggregate: 1-hour windows hopping every
+    30 minutes — each event lands in exactly 2 windows (the flat-map +
+    groupby expression of overlapping windows; complements the tumbling
+    ``q_events_window``).  ``window_start`` is the window's start index
+    in half-hours since epoch; integer-exact math keeps the DuckDB
+    oracle bit-identical."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), _I64)
+        hh = np.asarray(
+            pc.cast(pc.floor(pc.divide(pc.cast(us, _F64), 1800000000.0)), _I64)
+        )
+        vmilli = np.asarray(
+            pc.cast(pc.floor(pc.multiply(batch.column("value"), 1000.0)), _I64)
+        )
+        et = batch.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        # a window covers 2 half-hour slots → slot h belongs to the
+        # windows starting at h and h-1
+        return pa.table(
+            {
+                "event_type": pa.concat_arrays([et, et]),
+                "window_start": pa.array(np.concatenate([hh, hh - 1]), _I64),
+                "vmilli": pa.array(np.concatenate([vmilli, vmilli]), _I64),
+            }
+        )
+
+    agg = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("vmilli", alias_name="sum_value_milli"))
+    )
+
+    def post(batch: pa.Table) -> pa.Table:
+        for c in ("n_events", "sum_value_milli"):
+            i = batch.column_names.index(c)
+            batch = batch.set_column(i, c, pc.cast(batch.column(c), _I64))
+        return batch
+
+    return agg.map_batches(post, batch_format="pyarrow")
+
+
 ROLLING_WINDOW = 3
 
 
