@@ -337,3 +337,52 @@ def test_drop_near_dups_modes_agree(ray_session):
         ]
     )
     assert a == b and len(a) > 0
+
+
+def test_incremental_index_dedup(ray_session, tmp_path):
+    """write_minhash_index + near_dup_against_index: a new snapshot's
+    near-dups of the INDEXED corpus are found without recomputing the
+    old corpus, and the pair set matches a fresh full near_dup_minhash
+    run restricted to cross-corpus pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from textpipe_ray.stages.dedup import (
+        near_dup_against_index,
+        near_dup_minhash,
+        write_minhash_index,
+    )
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"])
+    old = t.slice(0, 400)
+    # new snapshot: 100 fresh docs re-using texts of docs 0-49 (planted
+    # cross-corpus dups) + 50 unrelated; ids offset to stay disjoint
+    texts = t.column("text").to_pylist()
+    new_t = pa.table(
+        {
+            "doc_id": [10_000 + i for i in range(100)],
+            "text": texts[:50] + texts[400:450],
+        }
+    )
+    kw = dict(num_bands=16, threshold=0.7, shingle_size=5)
+
+    write_minhash_index(ray.data.from_arrow(old), str(tmp_path / "idx"), **{k: v for k, v in kw.items() if k != "threshold"})
+    inc = near_dup_against_index(
+        ray.data.from_arrow(new_t), str(tmp_path / "idx"), **kw
+    ).to_pandas()
+    got = {(a, b) for a, b in zip(inc["new_id"], inc["index_id"])}
+
+    # reference: full joint run, keep only new-vs-old pairs
+    joint = near_dup_minhash(
+        ray.data.from_arrow(pa.concat_tables([old, new_t])), **kw
+    ).to_pandas()
+    want = set()
+    for a, b in zip(joint["id_a"], joint["id_b"]):
+        lo, hi = (a, b) if a < b else (b, a)
+        if lo < 10_000 <= hi:
+            want.add((hi, lo))  # (new_id, index_id)
+    assert got == want
+    # every planted text-reuse pair must be recovered
+    assert all((10_000 + i, i) in got for i in range(50))

@@ -999,3 +999,246 @@ def drop_near_dups(
         )
 
     return joined.map_batches(keep_unmatched, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup: new snapshot vs a persisted corpus index
+# ---------------------------------------------------------------------------
+
+
+def write_minhash_index(
+    ds: "ray.data.Dataset",
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bands: int = 32,
+    shingle_size: int | None = None,
+    num_buckets: int = 32,
+) -> None:
+    """Persist a MinHash-LSH index of a corpus as partitioned parquet:
+    ``{path}/sigs`` (doc_id, sig) and ``{path}/bands`` (doc_id, band,
+    band_hash), both hive-partitioned by a hash bucket so incremental
+    runs read/join them co-partitioned.  This is how a 100 TB pipeline
+    dedups each NEW crawl snapshot against everything already ingested
+    without recomputing the old corpus: signatures are computed once
+    per document ever, and the index grows by appending each snapshot's
+    buckets."""
+    from textpipe_ray.functions.minhash import minhash_signature_shingles
+
+    def sig_of(t: str) -> np.ndarray:
+        if shingle_size is None:
+            return minhash_signature(_tokenize(t))
+        return minhash_signature_shingles(t or "", shingle_size)
+
+    def compute(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        sigs = [sig_of(t) for t in batch.column(text_col).to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+                "bucket": pa.array(
+                    ((ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    sig_ds = ds.map_batches(compute, batch_format="pyarrow").materialize()
+    sig_ds.write_parquet(f"{path}/sigs", partition_cols=["bucket"])
+
+    def bands_of(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_band, out_hash = [], [], []
+        for i, s in zip(ids, batch.column("sig").to_pylist()):
+            for b, h in enumerate(lsh_band_hashes(np.asarray(s, dtype=np.uint64), num_bands)):
+                out_id.append(i)
+                out_band.append(b)
+                out_hash.append(h)
+        hashes = np.asarray(out_hash, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(hashes, pa.int64()),
+                "bucket": pa.array(
+                    (hashes.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    sig_ds.map_batches(bands_of, batch_format="pyarrow").write_parquet(
+        f"{path}/bands", partition_cols=["bucket"]
+    )
+
+
+def near_dup_against_index(
+    ds: "ray.data.Dataset",
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bands: int = 32,
+    threshold: float = 0.7,
+    shingle_size: int | None = None,
+    num_parts: int = 32,
+) -> "ray.data.Dataset":
+    """Near-dup pairs between a NEW snapshot and a persisted corpus
+    index (:func:`write_minhash_index`): the incremental path — only the
+    new documents are shingled/minhashed; the old corpus contributes its
+    stored band and signature tables.  Returns ``(new_id, index_id,
+    jaccard_est)``; doc ids must be disjoint between snapshot and index
+    (use a snapshot-id prefix in the high bits).
+
+    Physical plan: new band rows union with the INDEX band table,
+    bucket-grouped exactly like :func:`near_dup_minhash`; only
+    new-vs-index pairs leave a bucket (new-vs-new is a separate
+    self-dedup concern, index-vs-index was settled when the index was
+    built).  Verification joins candidates against the union of the new
+    signatures and the stored signature table — the pair-side join, no
+    driver state."""
+    import ray.data as _rd
+
+    from textpipe_ray.functions.minhash import minhash_signature_shingles
+    from textpipe_ray.stages.joins import attach_pair_sides
+
+    def sig_of(t: str) -> np.ndarray:
+        if shingle_size is None:
+            return minhash_signature(_tokenize(t))
+        return minhash_signature_shingles(t or "", shingle_size)
+
+    def compute_sigs(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        sigs = [sig_of(t) for t in batch.column(text_col).to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+            }
+        )
+
+    new_sigs = ds.map_batches(compute_sigs, batch_format="pyarrow").materialize()
+
+    def new_bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_id, out_band, out_hash = [], [], []
+        for i, s in zip(ids, batch.column("sig").to_pylist()):
+            for b, h in enumerate(lsh_band_hashes(np.asarray(s, dtype=np.uint64), num_bands)):
+                out_id.append(i)
+                out_band.append(b)
+                out_hash.append(h)
+        hashes = np.asarray(out_hash, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(hashes, pa.int64()),
+                "is_new": pa.array(np.ones(len(out_id), dtype=np.int8), pa.int8()),
+                "__part": pa.array(
+                    (hashes.astype(np.uint64) % np.uint64(num_parts)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def tag_index_bands(batch: pa.Table) -> pa.Table:
+        hashes = np.asarray(batch.column("band_hash"), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "band": batch.column("band").cast(pa.int32()),
+                "band_hash": pa.array(hashes, pa.int64()),
+                "is_new": pa.array(np.zeros(len(batch), dtype=np.int8), pa.int8()),
+                "__part": pa.array(
+                    (hashes.astype(np.uint64) % np.uint64(num_parts)).astype(np.int32),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    idx_bands = _rd.read_parquet(
+        f"{index_path}/bands", columns=["doc_id", "band", "band_hash"]
+    ).map_batches(tag_index_bands, batch_format="pyarrow")
+
+    both = new_sigs.map_batches(new_bands, batch_format="pyarrow").union(idx_bands)
+
+    def cross_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        """Within each (band, band_hash) bucket: new × index pairs only."""
+        g = part.sort_values(["band", "band_hash"], kind="mergesort")
+        band = g["band"].to_numpy()
+        bhash = g["band_hash"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        isnew = g["is_new"].to_numpy().astype(bool)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = (band[1:] != band[:-1]) | (bhash[1:] != bhash[:-1])
+        starts = np.flatnonzero(new_run)
+        counts = np.diff(np.append(starts, n))
+        a_out, b_out = [], []
+        for s, k in zip(starts, counts):
+            sl = slice(s, s + k)
+            news = ids[sl][isnew[sl]]
+            olds = ids[sl][~isnew[sl]]
+            if len(news) and len(olds):
+                a_out.append(np.repeat(news, len(olds)))
+                b_out.append(np.tile(olds, len(news)))
+        if not a_out:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        a = np.concatenate(a_out).astype("int64")
+        b = np.concatenate(b_out).astype("int64")
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+
+    candidates = both.groupby("__part").map_groups(cross_pairs, batch_format="pandas")
+
+    idx_sigs = _rd.read_parquet(f"{index_path}/sigs", columns=["doc_id", "sig"])
+    all_sigs = new_sigs.union(idx_sigs)
+
+    sided = attach_pair_sides(
+        candidates, {}, all_sigs, "doc_id", "sig", pa.list_(pa.uint64()), num_parts=num_parts
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "new_id": pa.array([], pa.int64()),
+                "index_id": pa.array([], pa.int64()),
+                "jaccard_est": pa.array([], pa.float64()),
+            }
+        )
+        n = len(t)
+        if n == 0:
+            return empty
+        a = np.asarray(t.column("id_a"), dtype=np.int64)
+        b = np.asarray(t.column("id_b"), dtype=np.int64)
+        side = np.asarray(t.column("side"), dtype=np.int8)
+        mat = np.asarray(t.column("sig").combine_chunks().flatten(), dtype=np.uint64).reshape(
+            n, -1
+        )
+        order = np.lexsort((side, b, a))
+        a, b, side, mat = a[order], b[order], side[order], mat[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        two = starts[counts == 2]
+        ok = (side[two] == 0) & (side[two + 1] == 1)
+        two = two[ok]
+        if len(two) == 0:
+            return empty
+        j = (mat[two] == mat[two + 1]).mean(axis=1)
+        mask = j >= threshold
+        return pa.table(
+            {
+                "new_id": pa.array(a[two][mask], pa.int64()),
+                "index_id": pa.array(b[two][mask], pa.int64()),
+                "jaccard_est": pa.array(j[mask], pa.float64()),
+            }
+        )
+
+    return sided.groupby("__pp").map_groups(combine, batch_format="pyarrow")
