@@ -56,6 +56,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_contamination": Q.q_contamination,
         "q_pack_sequences": Q.q_pack_sequences,
         "q_events_sliding": Q.q_events_sliding,
+        "q_chunk_dedup": Q.q_chunk_dedup,
+        "q_anti_join": Q.q_anti_join,
+        "q_range_join": Q.q_range_join,
+        "q_token_count": Q.q_token_count,
+        "q_distinct_tokens": Q.q_distinct_tokens,
+        "q_topk_per_group": Q.q_topk_per_group,
         # model-scored / non-SQL-expressible (rows-only check)
         "q_langid": Q.q_langid,
         "q_perplexity": Q.q_perplexity,

@@ -25,6 +25,8 @@ def oracle_names():
     "q_events_window", "q_agg_lineitem", "q_segment_orders", "q_ann_topk",
     "q_ngram_jaccard", "q_sessionize", "q_len_quantiles", "q_tfidf_topk", "q_repetition", "q_native_join", "q_asof_join", "q_train_split", "q_rolling_sum", "q_stratified_sample",
     "q_contamination", "q_pack_sequences", "q_events_sliding",
+    "q_chunk_dedup", "q_anti_join", "q_range_join", "q_token_count",
+    "q_distinct_tokens", "q_topk_per_group",
     # golden-parquet oracles (scripts/make_goldens.py)
     "q_langid", "q_perplexity", "q_minhash", "q_simhash", "q_simhash_neardup",
     "q_ann_ivf", "q_embedding_neardup", "q_pages_flagship", "q_pages_neardup",

@@ -32,6 +32,19 @@ SENT_PATTERN = r"[^.!?]+[.!?]*"
 ALPHA_WORD_PATTERN = r"[a-z]+"
 VOWEL_GROUP_PATTERN = r"[aeiouy]+"
 
+# GPT-2-style BPE pretokenizer, lookahead-free so it runs identically
+# under RE2 (Arrow / DuckDB) and python-regex: English contractions,
+# letter runs, digit runs and symbol runs, each with an optional single
+# leading space, plus residual whitespace runs.  Counting matches of
+# this pattern approximates a BPE tokenizer's pre-split token budget.
+BPE_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\p{L}\p{N}\t\n\f\r ]+"
+    r"|[\t\n\f\r ]+"
+)
+
 _RE_WORD = re.compile(WORD_PATTERN)
 _RE_SENT = re.compile(SENT_PATTERN)
 _RE_ALPHA_WORD = re.compile(ALPHA_WORD_PATTERN)

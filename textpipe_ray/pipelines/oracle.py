@@ -426,6 +426,68 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) // 2048 AS BIGINT) AS bin_id
 FROM t"""
 
+    # corpus-level exact duplicated-span removal (C4-style line dedup at
+    # fixed 4-token chunks); pos packing mirrors queries.q_chunk_dedup
+    out["q_chunk_dedup"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS i
+  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr FROM documents)
+), chunks AS (
+  SELECT doc_id, (i - 1) // 4 AS chunk_idx, string_agg(tok, ' ' ORDER BY i) AS chunk
+  FROM toks GROUP BY doc_id, (i - 1) // 4
+), marked AS (
+  SELECT doc_id, chunk_idx, chunk,
+         doc_id * 1048576 + chunk_idx AS pos,
+         min(doc_id * 1048576 + chunk_idx) OVER (PARTITION BY chunk) AS min_pos
+  FROM chunks
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       string_agg(chunk, ' ' ORDER BY chunk_idx) AS dedup_text,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM marked WHERE pos = min_pos
+GROUP BY doc_id ORDER BY doc_id"""
+
+    out["q_anti_join"] = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+ORDER BY c_custkey"""
+
+    from textpipe_ray.pipelines.queries import RANGE_JOIN_WINDOW_US
+
+    out["q_range_join"] = f"""
+SELECT CAST(p.event_id AS BIGINT) AS event_id,
+       CAST(count(b.event_id) AS BIGINT) AS n_views
+FROM events p LEFT JOIN events b
+  ON b.user_id = p.user_id AND b.event_type = 'view'
+ AND epoch_us(b.ts) BETWEEN epoch_us(p.ts) - {RANGE_JOIN_WINDOW_US} AND epoch_us(p.ts)
+WHERE p.event_type = 'click'
+GROUP BY p.event_id ORDER BY event_id"""
+
+    from textpipe_ray.functions.tokenize import BPE_PATTERN
+
+    out["q_token_count"] = (
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"CAST(len(regexp_extract_all(text, {q(BPE_PATTERN)})) AS BIGINT) AS n_tokens "
+        f"FROM documents ORDER BY doc_id"
+    )
+
+    out["q_distinct_tokens"] = f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), {q(RE2_PATTERNS['nwords'])})) AS tok
+  FROM documents
+)
+SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM toks GROUP BY lang ORDER BY lang"""
+
+    out["q_topk_per_group"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3
+ORDER BY lang, doc_id"""
+
     return out
 
 

@@ -1459,3 +1459,453 @@ def q_pages_dedup(sf_dir: str):
         num_bands=16,
     )
     return out.select_columns(["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# corpus-span dedup / relational extensions (all oracle-checked)
+# ---------------------------------------------------------------------------
+
+_POS_SHIFT = 20  # chunk_idx packs into the low 20 bits of pos
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _part_col(keys: np.ndarray, num_parts: int) -> pa.Array:
+    p = ((keys.astype(np.uint64) * _GOLDEN) % np.uint64(num_parts)).astype(np.int32)
+    return pa.array(p, pa.int32())
+
+
+def q_chunk_dedup(sf_dir: str, chunk_words: int = 4):
+    """Corpus-level exact duplicated-span removal (the C4 / Lee-et-al
+    line-dedup pattern at fixed token-chunk granularity): split every
+    document into consecutive ``chunk_words``-token chunks, keep only
+    the FIRST occurrence of each distinct chunk corpus-wide (first =
+    min (doc_id, chunk_idx)), and reassemble documents from their kept
+    chunks.  A document whose every chunk first appeared elsewhere
+    disappears entirely.
+
+    Scale shape — three exchanges, no driver state:
+      1. winner selection: ``groupby(chunk).Min(pos)`` over exploded
+         chunks, ``pos = doc_id·2^20 + chunk_idx`` packing the global
+         order (chunk text crosses the wire exactly once here);
+      2. keep-marking: winners are reduced to their int64 ``pos`` only
+         and semi-joined back co-partitioned on ``pos`` (tagged union +
+         hash partition + vectorized ``np.isin``) — no second shuffle
+         of chunk text;
+      3. reassembly: kept chunks hash-partitioned on ``doc_id``,
+         sorted and joined per partition.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    num_parts = 32
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        empty = pa.table(
+            {
+                "chunk": pa.array([], pa.string()),
+                "pos": pa.array([], _I64),
+                "doc_id": pa.array([], _I64),
+                "chunk_idx": pa.array([], _I64),
+            }
+        )
+        if n == 0:
+            return empty
+        doc = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        lists = pc.utf8_split_whitespace(pc.cast(batch.column("text"), pa.string()))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        counts = np.asarray(lists.value_lengths(), dtype=np.int64)
+        row_rep = np.repeat(np.arange(n, dtype=np.int64), counts)
+        # split_whitespace emits empty edge tokens ('' for leading /
+        # trailing space) that regexp_extract_all('\\S+') never does —
+        # drop them so both engines see the same token stream
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        keep &= ~np.asarray(pc.is_null(flat).to_numpy(zero_copy_only=False))
+        row_rep = row_rep[keep]
+        if len(row_rep) == 0:
+            return empty
+        toks = flat.filter(pa.array(keep)).to_pylist()
+        per_row = np.bincount(row_rep, minlength=n)
+        starts = np.concatenate(([0], np.cumsum(per_row)))[:-1]
+        tok_idx = np.arange(len(row_rep), dtype=np.int64) - np.repeat(starts, per_row)
+        chunk_idx = tok_idx // chunk_words
+        chg = np.ones(len(row_rep), dtype=bool)
+        chg[1:] = (row_rep[1:] != row_rep[:-1]) | (chunk_idx[1:] != chunk_idx[:-1])
+        cstart = np.flatnonzero(chg)
+        cend = np.append(cstart[1:], len(row_rep))
+        # one python join per CHUNK (≈ n_tokens/chunk_words) — same
+        # object-level cost class as the findall in q_token_freq
+        chunks = [" ".join(toks[s:e]) for s, e in zip(cstart, cend)]
+        cdoc = doc[row_rep[cstart]]
+        cidx = chunk_idx[cstart]
+        if cidx.max() >= (1 << _POS_SHIFT):
+            raise ValueError("chunk_idx overflows the 2^20 pos packing")
+        pos = (cdoc << _POS_SHIFT) + cidx
+        return pa.table(
+            {
+                "chunk": pa.array(chunks, pa.string()),
+                "pos": pa.array(pos, _I64),
+                "doc_id": pa.array(cdoc, _I64),
+                "chunk_idx": pa.array(cidx, _I64),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    winners = (
+        exploded.map_batches(
+            lambda b: b.select(["chunk", "pos"]), batch_format="pyarrow"
+        )
+        .groupby("chunk")
+        .aggregate(Min("pos", alias_name="min_pos"))
+    )
+
+    def tag_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b.column("pos"),
+                "doc_id": b.column("doc_id"),
+                "chunk_idx": b.column("chunk_idx"),
+                "chunk": b.column("chunk"),
+                "is_row": pa.array(np.ones(len(b), dtype=bool)),
+            }
+        )
+
+    def tag_winners(b: pa.Table) -> pa.Table:
+        k = len(b)
+        return pa.table(
+            {
+                "key": b.column("min_pos"),
+                "doc_id": pa.array(np.zeros(k, dtype=np.int64), _I64),
+                "chunk_idx": pa.array(np.zeros(k, dtype=np.int64), _I64),
+                "chunk": pa.array([""] * k, pa.string()),
+                "is_row": pa.array(np.zeros(k, dtype=bool)),
+            }
+        )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("key"), dtype=np.int64)
+        return b.append_column("__p", _part_col(k, num_parts))
+
+    both = (
+        exploded.map_batches(tag_rows, batch_format="pyarrow")
+        .union(winners.map_batches(tag_winners, batch_format="pyarrow"))
+        .map_batches(add_part, batch_format="pyarrow")
+    )
+
+    import pandas as pd
+
+    def mark(part: pd.DataFrame) -> pd.DataFrame:
+        rows = part[part["is_row"]]
+        wins = part.loc[~part["is_row"], "key"].to_numpy()
+        kept = rows[np.isin(rows["key"].to_numpy(), wins)]
+        return kept[["doc_id", "chunk_idx", "chunk"]]
+
+    kept = both.groupby("__p").map_groups(mark, batch_format="pandas")
+
+    def add_doc_part(b: pa.Table) -> pa.Table:
+        d = np.asarray(b.column("doc_id"), dtype=np.int64)
+        return b.append_column("__p", _part_col(d, num_parts))
+
+    def reassemble(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["doc_id", "chunk_idx"], kind="mergesort")
+        out = (
+            g.groupby("doc_id", sort=True)
+            .agg(dedup_text=("chunk", " ".join), n_kept=("chunk", "size"))
+            .reset_index()
+        )
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["n_kept"] = out["n_kept"].astype("int64")
+        return out[["doc_id", "dedup_text", "n_kept"]]
+
+    return (
+        kept.map_batches(add_doc_part, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(reassemble, batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
+def q_anti_join(sf_dir: str):
+    """Distributed anti-join: customers with NO urgent-priority order.
+    Scale shape: the order side is filtered + key-deduped per batch
+    (combiner), both sides tagged and unioned, hash-partitioned on the
+    key, and differenced with one vectorized ``np.isin`` per partition
+    — a shuffle anti-join whose build side never funnels through the
+    driver (contrast broadcast ``q_segment_orders``, which is the
+    small-dimension case)."""
+    import pandas as pd
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    num_parts = 32
+
+    def tag_cust(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "key": pc.cast(b.column("c_custkey"), _I64),
+                "c_name": b.column("c_name"),
+                "c_acctbal": pc.cast(b.column("c_acctbal"), _F64),
+                "is_cust": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("o_orderpriority"), "1-URGENT")
+        k = pc.unique(pc.cast(pc.filter(b.column("o_custkey"), m), _I64))
+        n = len(k)
+        return pa.table(
+            {
+                "key": k,
+                "c_name": pa.nulls(n, pa.string()),
+                "c_acctbal": pa.nulls(n, _F64),
+                "is_cust": pa.array(np.zeros(n, dtype=bool)),
+            }
+        )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        k = np.asarray(b.column("key"), dtype=np.int64)
+        return b.append_column("__p", _part_col(k, num_parts))
+
+    both = (
+        cust.map_batches(tag_cust, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .map_batches(add_part, batch_format="pyarrow")
+    )
+
+    def anti(part: pd.DataFrame) -> pd.DataFrame:
+        c = part[part["is_cust"]]
+        have = part.loc[~part["is_cust"], "key"].to_numpy()
+        out = c[~np.isin(c["key"].to_numpy(), have)]
+        return pd.DataFrame(
+            {
+                "c_custkey": out["key"].astype("int64"),
+                "c_name": out["c_name"].astype(str),
+                "c_acctbal": out["c_acctbal"].astype("float64"),
+            }
+        )
+
+    return both.groupby("__p").map_groups(anti, batch_format="pandas").sort("c_custkey")
+
+
+RANGE_JOIN_WINDOW_US = 86_400_000_000  # 24 h
+
+
+def q_range_join(sf_dir: str):
+    """Banded time-range join (an operator Ray Data lacks natively):
+    for every 'click' event, count the same user's 'view' events inside
+    the 24 h window ``[ts - W, ts]`` — zeros included (LEFT-join
+    semantics).
+
+    Scale shape: probes replicate into the (exactly two) W-wide time
+    bands their window overlaps; builds land in their own band; each
+    (user, band) group co-locates via a coarse hash partition, where
+    counts resolve as a difference of two vectorized ``merge_asof``
+    cumcount lookups (#builds ≤ t minus #builds ≤ t−W−1µs).  A final
+    small ``groupby(event_id).Sum`` collapses the two replicas.  No
+    all-pairs expansion, no driver state; skew is bounded by the
+    hottest (user, band), not by user volume."""
+    import pandas as pd
+
+    W = RANGE_JOIN_WINDOW_US
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    num_parts = 32
+
+    def band(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        ts = np.asarray(pc.cast(batch.column("ts"), _I64), dtype=np.int64)
+        uid = np.asarray(pc.cast(batch.column("user_id"), _I64), dtype=np.int64)
+        eid = np.asarray(pc.cast(batch.column("event_id"), _I64), dtype=np.int64)
+        is_probe = pc.equal(et, "click").to_numpy(zero_copy_only=False)
+        is_build = pc.equal(et, "view").to_numpy(zero_copy_only=False)
+        bucket = ts // W
+        # builds: own band once; probes: bands b-1 and b (window spans 2)
+        b_u, b_t, b_b = uid[is_build], ts[is_build], bucket[is_build]
+        p_u, p_t, p_b, p_e = uid[is_probe], ts[is_probe], bucket[is_probe], eid[is_probe]
+        out_u = np.concatenate([b_u, p_u, p_u])
+        out_t = np.concatenate([b_t, p_t, p_t])
+        out_b = np.concatenate([b_b, p_b - 1, p_b])
+        out_e = np.concatenate([np.full(len(b_u), -1, dtype=np.int64), p_e, p_e])
+        out_p = np.concatenate(
+            [np.zeros(len(b_u), dtype=bool), np.ones(2 * len(p_u), dtype=bool)]
+        )
+        mixed = out_u.astype(np.uint64) * _GOLDEN + out_b.astype(np.uint64)
+        return pa.table(
+            {
+                "user_id": pa.array(out_u, _I64),
+                "ts_us": pa.array(out_t, _I64),
+                "bucket": pa.array(out_b, _I64),
+                "event_id": pa.array(out_e, _I64),
+                "is_probe": pa.array(out_p),
+                "__p": _part_col(mixed.astype(np.int64), num_parts),
+            }
+        )
+
+    def count_part(part: pd.DataFrame) -> pd.DataFrame:
+        p = part[part["is_probe"]]
+        if p.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "partial": pd.Series([], dtype="int64"),
+                }
+            )
+        b = part[~part["is_probe"]]
+        if b.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": p["event_id"].astype("int64"),
+                    "partial": np.zeros(len(p), dtype=np.int64),
+                }
+            )
+        b = b.sort_values(["user_id", "bucket", "ts_us"], kind="mergesort")
+        b = b.assign(cc=b.groupby(["user_id", "bucket"]).cumcount() + 1)
+        bb = b[["ts_us", "user_id", "bucket", "cc"]].sort_values(
+            "ts_us", kind="mergesort"
+        )
+        ps = p[["ts_us", "user_id", "bucket", "event_id"]].sort_values(
+            "ts_us", kind="mergesort"
+        )
+        hi = pd.merge_asof(
+            ps, bb, on="ts_us", by=["user_id", "bucket"], direction="backward"
+        )["cc"].fillna(0)
+        # ts−W−1 preserves the probes' ts sort order (monotone shift),
+        # so one sorted frame serves both lookups
+        lo = pd.merge_asof(
+            ps.assign(ts_us=ps["ts_us"] - W - 1),
+            bb,
+            on="ts_us",
+            by=["user_id", "bucket"],
+            direction="backward",
+        )["cc"].fillna(0)
+        return pd.DataFrame(
+            {
+                "event_id": ps["event_id"].astype("int64").to_numpy(),
+                "partial": (hi - lo).astype("int64").to_numpy(),
+            }
+        )
+
+    counted = (
+        ev.map_batches(band, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(count_part, batch_format="pandas")
+    )
+    return (
+        counted.groupby("event_id")
+        .aggregate(Sum("partial", alias_name="n_views"))
+        .sort("event_id")
+    )
+
+
+def q_token_count(sf_dir: str):
+    """BPE-ish token budget per document: one RE2 scan with a
+    GPT-2-style pretokenizer pattern (contractions / letter runs /
+    digit runs / symbol runs with optional leading space) — the pattern
+    is lookahead-free, so Arrow's ``count_substring_regex`` and
+    DuckDB's ``regexp_extract_all`` count identically."""
+    from textpipe_ray.functions.tokenize import BPE_PATTERN
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(batch.column("text"), pattern=BPE_PATTERN), _I64
+        )
+        return pa.table(
+            {"doc_id": pc.cast(batch.column("doc_id"), _I64), "n_tokens": n}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+def q_distinct_tokens(sf_dir: str):
+    """Per-language EXACT distinct-token and total-occurrence counts:
+    per-batch partial ``np.unique`` combiner (one findall over the
+    '\\n'-joined texts per language present in the batch) →
+    ``groupby(lang, token).Sum`` → per-lang ``Sum`` over ones/counts.
+    Both exchanges carry pre-reduced (lang, token) rows, never one row
+    per occurrence."""
+    from textpipe_ray.functions.quality import RE2_PATTERNS
+
+    import regex as _re
+
+    creg = _re.compile(RE2_PATTERNS["nwords"])
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        texts = np.asarray(
+            pc.utf8_lower(batch.column("text")).to_pylist(), dtype=object
+        )
+        uniq_langs, inv = np.unique(langs, return_inverse=True)
+        out_lang: list[str] = []
+        out_tok: list[str] = []
+        out_cnt: list[np.ndarray] = []
+        for li, lang in enumerate(uniq_langs):
+            joined = "\n".join(t or "" for t in texts[inv == li])
+            toks = creg.findall(joined)
+            if not toks:
+                continue
+            u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            out_lang.extend([str(lang)] * len(u))
+            out_tok.extend(u.tolist())
+            out_cnt.append(c.astype(np.int64))
+        cnt = np.concatenate(out_cnt) if out_cnt else np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "lang": pa.array(out_lang, pa.string()),
+                "token": pa.array(out_tok, pa.string()),
+                "partial": pa.array(cnt, _I64),
+            }
+        )
+
+    per_token = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("partial", alias_name="cnt"))
+    )
+
+    def shrink(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": b.column("lang"),
+                "one": pa.array(np.ones(len(b), dtype=np.int64), _I64),
+                "cnt": b.column("cnt"),
+            }
+        )
+
+    return (
+        per_token.map_batches(shrink, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("one", alias_name="n_distinct"), Sum("cnt", alias_name="n_total")
+        )
+        .sort("lang")
+    )
+
+
+def q_topk_per_group(sf_dir: str, k: int = 3):
+    """Top-k documents per language by (n_chars DESC, doc_id ASC):
+    per-batch partial top-k (combiner — at most k rows per language
+    leave any batch), then a final per-language top-k.  The final
+    ``map_groups`` dispatch is bounded by the number of languages, not
+    by corpus size."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["lang", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return g.groupby("lang", sort=False).head(k)
+
+    return (
+        ds.map_batches(topk, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(topk, batch_format="pandas")
+        .sort(["lang", "doc_id"])
+    )
