@@ -42,6 +42,12 @@ BENCH_QUERIES = [
     "q_contamination",
     "q_pack_sequences",
     "q_embedding_neardup",
+    "q_chunk_dedup",
+    "q_anti_join",
+    "q_range_join",
+    "q_token_count",
+    "q_distinct_tokens",
+    "q_topk_per_group",
 ]
 
 

@@ -84,8 +84,16 @@ class PerplexityModel:
     five vectorized ``searchsorted`` lookups instead of a per-char
     python loop."""
 
+    # dense log-prob tables are built only while D^3 stays small (all
+    # Latin-alphabet langs qualify; pt is the largest at ~51k cells).
+    # Past the bound the sparse searchsorted path wins: zh's 172-char
+    # alphabet would cost 5.1M cells / ~0.1 s per actor init and its
+    # sparse tables are tiny (247 trigrams) anyway.
+    DENSE_MAX_CELLS = 100_000
+
     def __init__(self, model: dict):
         self.tables = {}
+        self.dense: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
         for lang, t in model["tables"].items():
             tri, bi, uni = t["tri"], t["bi"], t["uni"]
             tri_ctx: dict[str, int] = {}
@@ -105,7 +113,58 @@ class PerplexityModel:
                 uni_total,
                 vocab,
             )
+            dense = self._build_dense(tri, tri_ctx, bi, bi_ctx, uni, uni_total, vocab)
+            if dense is not None:
+                self.dense[lang] = dense
         self.langs = sorted(self.tables)
+
+    @classmethod
+    def _build_dense(cls, tri, tri_ctx, bi, bi_ctx, uni, uni_total, vocab):
+        """Precompute ``log(l3·P3 + l2·P2 + l1·P1 + l0·U)`` for every
+        dense-alphabet (c0, c1, c2) triple, so scoring is ONE gather per
+        character instead of five ``searchsorted`` lookups.  The
+        alphabet is exactly ``uni``'s keys (training guarantees every
+        n-gram char appears there) plus one OOV id whose cells stay 0 —
+        matching the sparse path's miss-as-zero, so results are
+        BIT-IDENTICAL: every count, smoothing term and interpolation is
+        computed in the same IEEE-double expression order."""
+        alphabet = sorted(uni)
+        D = len(alphabet) + 1  # last id = OOV
+        if D**3 > cls.DENSE_MAX_CELLS:
+            return None
+        cid = {ch: j for j, ch in enumerate(alphabet)}
+        if any(ch not in cid for k in tri for ch in k) or any(
+            ch not in cid for k in bi for ch in k
+        ):
+            return None  # defensive: never alias distinct OOV chars
+        oov = D - 1
+        max_cp = max(ord(ch) for ch in alphabet)
+        cmap = np.full(max_cp + 2, oov, dtype=np.int64)
+        for ch, j in cid.items():
+            cmap[ord(ch)] = j
+
+        tri_c = np.zeros((D, D, D), dtype=np.float64)
+        for k, c in tri.items():
+            tri_c[cid[k[0]], cid[k[1]], cid[k[2]]] = c
+        tri_ctx_c = np.zeros((D, D), dtype=np.float64)
+        for k, c in tri_ctx.items():
+            tri_ctx_c[cid[k[0]], cid[k[1]]] = c
+        bi_c = np.zeros((D, D), dtype=np.float64)
+        for k, c in bi.items():
+            bi_c[cid[k[0]], cid[k[1]]] = c
+        bi_ctx_c = np.zeros(D, dtype=np.float64)
+        for k, c in bi_ctx.items():
+            bi_ctx_c[cid[k]] = c
+        uni_c = np.zeros(D, dtype=np.float64)
+        for k, c in uni.items():
+            uni_c[cid[k]] = c
+
+        l3, l2, l1, l0 = LAMBDAS
+        p3 = (tri_c + ALPHA) / (tri_ctx_c[:, :, None] + ALPHA * vocab)
+        p2 = (bi_c + ALPHA) / (bi_ctx_c[:, None] + ALPHA * vocab)
+        p1 = (uni_c + ALPHA) / (uni_total + ALPHA * vocab)
+        logp = np.log(l3 * p3 + l2 * p2[None, :, :] + l1 * p1[None, None, :] + l0 * UNIFORM)
+        return cmap, np.ascontiguousarray(logp.reshape(-1)), D
 
     @classmethod
     def load(cls, path: str | Path = DEFAULT_MODEL_PATH) -> "PerplexityModel":
@@ -158,13 +217,22 @@ class PerplexityModel:
             lens = np.array([len(t) for _, t in keep], dtype=np.int64)
             concat = "".join("  " + t for _, t in keep)
             codes = np.frombuffer(concat.encode("utf-32-le", "surrogatepass"), dtype=np.uint32).astype(np.uint64)
-            c0, c1, c2 = codes[:-2], codes[1:-1], codes[2:]
-            p3 = (_lookup(*tri, c0 * _K2 + c1 * _K1 + c2) + ALPHA) / (
-                _lookup(*tri_ctx, c0 * _K1 + c1) + ALPHA * vocab
-            )
-            p2 = (_lookup(*bi, c1 * _K1 + c2) + ALPHA) / (_lookup(*bi_ctx, c1) + ALPHA * vocab)
-            p1 = (_lookup(*uni, c2) + ALPHA) / (uni_total + ALPHA * vocab)
-            logp = np.log(l3 * p3 + l2 * p2 + l1 * p1 + l0 * UNIFORM)
+            dense = self.dense.get(lang)
+            if dense is not None:
+                # one gather per char position (bit-identical to the
+                # sparse expression — see _build_dense)
+                cmap, logp_flat, D = dense
+                ids = cmap[np.minimum(codes, np.uint64(len(cmap) - 1)).astype(np.int64)]
+                idx = (ids[:-2] * D + ids[1:-1]) * D + ids[2:]
+                logp = logp_flat[idx]
+            else:
+                c0, c1, c2 = codes[:-2], codes[1:-1], codes[2:]
+                p3 = (_lookup(*tri, c0 * _K2 + c1 * _K1 + c2) + ALPHA) / (
+                    _lookup(*tri_ctx, c0 * _K1 + c1) + ALPHA * vocab
+                )
+                p2 = (_lookup(*bi, c1 * _K1 + c2) + ALPHA) / (_lookup(*bi_ctx, c1) + ALPHA * vocab)
+                p1 = (_lookup(*uni, c2) + ALPHA) / (uni_total + ALPHA * vocab)
+                logp = np.log(l3 * p3 + l2 * p2 + l1 * p1 + l0 * UNIFORM)
             # doc k (2 pad + len chars) starts at offset o_k in c2-space;
             # its own trigram positions are [o_k, o_k + len_k)
             starts = np.concatenate(([0], np.cumsum(lens + 2)[:-1]))
