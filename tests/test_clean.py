@@ -166,3 +166,55 @@ def test_fast_path_fuzz():
         assert html_to_text(raw) == want, raw
 
     check()
+
+
+def test_normalize_texts_batched_equivalence():
+    """Property: the batched NUL-join normalisation is byte-identical to
+    per-doc clean_text(remove_html=False) — including the str.replace
+    substitution for the quote regexes and str.split() for \\s+ collapse."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from textpipe_ray.functions.clean import clean_text, normalize_texts
+
+    assert normalize_texts([]) == []
+    # NUL in input takes the per-doc fallback
+    assert normalize_texts(["a\0b…"]) == [clean_text("a\0b…", remove_html=False)]
+
+    alphabet = st.sampled_from(list("a'b,\t\n `‘’‛⸂⸃⸌⸍⸜⸝„“…\"x\x1c\x1d\xa0 ") + ["''", ",,", "  "])
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.lists(alphabet, max_size=20).map("".join), min_size=1, max_size=6))
+    def check(batch):
+        assert normalize_texts(batch) == [clean_text(t, remove_html=False) for t in batch]
+
+    check()
+
+
+def test_counts_complement_trick_exact():
+    """n_alpha via length-minus-complement and n_space via literal count
+    must equal the direct RE2 pattern counts on adversarial unicode."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from textpipe_ray.functions.quality import FEATURE_ORDER, LOWERED_FEATURES, RE2_PATTERNS
+    from textpipe_ray.stages.text import _F64, _counts
+
+    texts = [
+        "",
+        "abc def",
+        "ĄŻÓŁĆ gęślą jaźń 123",
+        "汉字 テスト 한글",
+        "a b c\td",
+        "ALL CAPS!!! 999 ___",
+        "é" * 50 + " " * 10,
+    ]
+    arr = pa.array(texts, type=pa.string())
+    lowered = pc.utf8_lower(arr)
+    got = _counts(arr, lowered)
+    for name in FEATURE_ORDER:
+        target = lowered if name in LOWERED_FEATURES else arr
+        want = pc.cast(pc.count_substring_regex(target, RE2_PATTERNS[name]), _F64)
+        assert got[name].to_pylist() == want.to_pylist(), name

@@ -135,6 +135,47 @@ def clean_text(
     return text
 
 
+def normalize_texts(texts: list[str]) -> list[str]:
+    """Batched dots→quotes→whitespace normalisation, identical bytes to
+    per-doc :func:`clean_text` (``remove_html=False``).
+
+    The four passes run once over a NUL-joined concatenation instead of
+    4×n_docs times: no pattern can match across ``\\0`` (the quote/dots
+    classes are single codepoints, the two-char double-quote alternates
+    ``''``/``,,`` cannot straddle ``x\\0y``, and python-``re`` ``\\s``
+    does not match NUL), so splitting back yields exactly the per-doc
+    results.  The trailing per-part ``strip()`` matches the reference's
+    (after ``\\s+``→' ' collapse the only whitespace left is ' ').
+    Inputs containing NUL (never produced by html_to_text on real pages,
+    but possible) take the per-doc path.
+    """
+    if not texts:
+        return []
+    if any("\0" in t for t in texts):
+        return [clean_text(t, remove_html=False) for t in texts]
+    joined = "\0".join(texts)
+    # dots / quotes via C-speed str.replace, guarded by `in` prescans.
+    # Sequential replaces ≡ the one-scan regex alternation: all four
+    # literals are over disjoint characters (so no overlap is possible)
+    # and every replacement INSERTS a char, so collapsing '' / ,, can
+    # never bring a new adjacent pair together (fuzz-verified against
+    # the per-doc kernel in tests/test_clean.py).
+    if "…" in joined:
+        joined = joined.replace("…", "...")
+    for ch in "`‘’‛⸂⸃⸌⸍⸜⸝":
+        if ch in joined:
+            joined = joined.replace(ch, "'")
+    for lit in ("„", "“", "''", ",,"):
+        if lit in joined:
+            joined = joined.replace(lit, '"')
+    # \s+ collapse: str.split() splits on exactly the chars python-re
+    # \s matches (both are Py_UNICODE_ISSPACE), \0 is not one of them,
+    # and the final per-part strip supplies the reference's .strip()
+    # (post-collapse the only whitespace left is ' ').
+    joined = " ".join(joined.split())
+    return [p.strip() for p in joined.split("\0")]
+
+
 def resolve_lang(lang: str, is_reliable: bool, hint_lang: str) -> str:
     """The reference's language-resolution rule, applied at every
     model-dispatch site (doc.py:146,242,533,587,615,801)."""

@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from textpipe_ray import schema as S
-from textpipe_ray.functions.clean import clean_text
+from textpipe_ray.functions.clean import html_to_text, normalize_texts
 from textpipe_ray.functions.quality import (
     FEATURE_ORDER,
     LOWERED_FEATURES,
@@ -43,7 +43,8 @@ def clean_batch(batch: pa.Table, source_col: str = S.HTML, out_col: str = S.CLEA
     if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
         col = pc.cast(col, pa.string())
     vals = col.to_pylist()
-    cleaned = [clean_text(v) if v is not None else "" for v in vals]
+    extracted = [html_to_text(v) if v is not None else "" for v in vals]
+    cleaned = normalize_texts(extracted)
     return batch.append_column(out_col, pa.array(cleaned, type=pa.string()))
 
 
@@ -85,7 +86,19 @@ def _counts(text: pa.ChunkedArray | pa.Array, lowered) -> dict[str, pa.ChunkedAr
     out = {"n_chars": pc.cast(pc.utf8_length(text), _F64)}
     for name in FEATURE_ORDER:
         target = lowered if name in LOWERED_FEATURES else text
-        out[name] = pc.cast(pc.count_substring_regex(target, RE2_PATTERNS[name]), _F64)
+        # two implementation substitutions with provably identical
+        # counts (RE2 count cost scales with MATCHES, and these two
+        # patterns match nearly every char):
+        if name == "n_alpha":
+            # every codepoint is \p{L} or not → n_alpha = len − n_non_alpha;
+            # the complement has ~5× fewer matches (42 → 9 µs/doc)
+            non = pc.count_substring_regex(target, r"[^\p{L}]")
+            out[name] = pc.cast(pc.subtract(pc.utf8_length(target), non), _F64)
+        elif name == "n_space":
+            # the pattern is the literal ' ' → memchr-speed literal count
+            out[name] = pc.cast(pc.count_substring(target, pattern=" "), _F64)
+        else:
+            out[name] = pc.cast(pc.count_substring_regex(target, RE2_PATTERNS[name]), _F64)
     return out
 
 
