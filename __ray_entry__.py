@@ -62,6 +62,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_token_count": Q.q_token_count,
         "q_distinct_tokens": Q.q_distinct_tokens,
         "q_topk_per_group": Q.q_topk_per_group,
+        "q_quality_score": Q.q_quality_score,
+        "q_dup_stats": Q.q_dup_stats,
+        "q_embedding_centroid": Q.q_embedding_centroid,
+        "q_domain_mix": Q.q_domain_mix,
         # model-scored / non-SQL-expressible (rows-only check)
         "q_langid": Q.q_langid,
         "q_perplexity": Q.q_perplexity,

@@ -482,6 +482,50 @@ SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,
        CAST(count(*) AS BIGINT) AS n_total
 FROM toks GROUP BY lang ORDER BY lang"""
 
+    # learned linear quality score — the SAME left-nested float64 chain
+    # as functions/quality_score.score_batch, over the bit-exact feature
+    # CTEs, so the score doubles match bitwise (no quantization needed)
+    from textpipe_ray.functions.quality_score import load_weights, score_sql_expr
+
+    _w = load_weights()
+    out["q_quality_score"] = f"""
+WITH f AS (SELECT doc_id, {feats} FROM documents),
+r AS (SELECT *, {ratios} FROM f)
+SELECT doc_id, {score_sql_expr(_w)} AS score,
+       {score_sql_expr(_w)} > 0.0 AS quality_label
+FROM r"""
+
+    out["q_dup_stats"] = """
+SELECT source,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source ORDER BY source"""
+
+    # fixed-point centroid: element-wise floor(x*1e6) BEFORE the sum
+    # makes the aggregate exact integers (order-independent), and the
+    # mean an exact int/int double division — matching any distributed
+    # summation order on the Ray side
+    out["q_embedding_centroid"] = """
+WITH u AS (
+  SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS sum_q,
+       CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS centroid_micro
+FROM u GROUP BY label, dim ORDER BY label, dim"""
+
+    from textpipe_ray.pipelines.queries import DOMAIN_MIX_CAP
+
+    out["q_domain_mix"] = f"""
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+r AS (SELECT source, least(1000, ({DOMAIN_MIX_CAP} * 1000) // n) AS rate FROM c)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE CAST(('0x' || substr(md5(d.text), 1, 8)) AS BIGINT) % 1000 < r.rate"""
+
     out["q_topk_per_group"] = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents

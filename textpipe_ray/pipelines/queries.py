@@ -1885,6 +1885,189 @@ def q_distinct_tokens(sf_dir: str):
     )
 
 
+def q_quality_score(sf_dir: str):
+    """Learned quality classifier (models/quality_weights.json): one
+    linear dot product over the vectorized quality features — the
+    fasttext-style scale path for quality filtering (one model score
+    per doc instead of N rule comparisons).  Because the model is
+    linear and both engines fold the SAME left-nested float64 chain
+    (functions/quality_score.py), the score doubles are bit-identical
+    to the DuckDB oracle — a fully value-checked model-inference op."""
+    from textpipe_ray.functions.quality_score import load_weights, score_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    weights = load_weights()
+
+    def f(batch: pa.Table) -> pa.Table:
+        b = quality_batch(batch, text_col="text")
+        score = score_batch(b, weights)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), _I64),
+                "score": score,
+                "quality_label": pc.greater(score, pa.scalar(0.0, _F64)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_dup_stats(sf_dir: str):
+    """Per-source duplication profile (corpus-health dashboard query):
+    exact distinct-content counts via two pre-reduced exchanges —
+    per-batch (source, md5) partial dedup, ``groupby(source, hash)``
+    to finish the distinct, then a per-source count/sum.  No row ever
+    carries text past the first map; no driver state."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        src = batch.column("source").to_pylist()
+        hashes = [
+            hashlib.md5((t or "").encode("utf8")).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        df = pd.DataFrame({"source": src, "h": hashes})
+        g = df.groupby(["source", "h"], sort=False).size().reset_index(name="partial")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_hash = (
+        ds.map_batches(hash_batch, batch_format="pyarrow")
+        .groupby(["source", "h"])
+        .aggregate(Sum("partial", alias_name="cnt"))
+    )
+
+    def shrink(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b.column("source"),
+                "one": pa.array(np.ones(len(b), dtype=np.int64), _I64),
+                "cnt": pc.cast(b.column("cnt"), _I64),
+            }
+        )
+
+    return (
+        per_hash.map_batches(shrink, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("one", alias_name="n_unique"), Sum("cnt", alias_name="n_docs"))
+        .sort("source")
+    )
+
+
+def q_embedding_centroid(sf_dir: str):
+    """Per-label centroids in fixed-point: each element is quantized to
+    int64 micros BEFORE aggregation, so the distributed sum is exact
+    and order-independent (float sums are not associative; integer sums
+    are) — the same trick q_events_window uses for values.  Per-batch
+    partial sums pre-reduce to (labels × dims) rows, then one small
+    groupby finishes.  The mean is an exact int/int double division,
+    identical on both engines."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], _I64),
+                    "dim": pa.array([], _I64),
+                    "sum_q": pa.array([], _I64),
+                    "n": pa.array([], _I64),
+                }
+            )
+        labels = np.asarray(batch.column("label"), dtype=np.int64)
+        lst = batch.column("embedding").combine_chunks()
+        emb = np.asarray(lst.values, dtype=np.float64).reshape(len(batch), -1)
+        q = np.floor(emb * 1e6).astype(np.int64)
+        dims = q.shape[1]
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dims), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dims), _I64),
+                "dim": pa.array(np.tile(np.arange(1, dims + 1, dtype=np.int64), len(uniq)), _I64),
+                "sum_q": pa.array(sums.ravel(), _I64),
+                "n": pa.array(np.repeat(counts, dims), _I64),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("sum_q", alias_name="sum_q"), Sum("n", alias_name="n"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        sum_q = pc.cast(b.column("sum_q"), _I64)
+        n = pc.cast(b.column("n"), _I64)
+        return pa.table(
+            {
+                "label": pc.cast(b.column("label"), _I64),
+                "dim": pc.cast(b.column("dim"), _I64),
+                "n": n,
+                "sum_q": sum_q,
+                "centroid_micro": pc.divide(pc.cast(sum_q, _F64), pc.cast(n, _F64)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(["label", "dim"])
+
+
+DOMAIN_MIX_CAP = 30
+
+
+def q_domain_mix(sf_dir: str):
+    """Deterministic mixture rebalancing: cap every source (domain) at
+    ~DOMAIN_MIX_CAP docs by hash-thresholding — two passes: a tiny
+    ``groupby(source).count()`` whose result is broadcast via
+    ``ray.put`` (sorted-key + searchsorted lookup, no shuffle of the
+    big side), then a pure per-batch filter ``md5_bucket < rate``.
+    Integer-millis rate arithmetic matches the oracle exactly.  At
+    web scale (millions of domains) the broadcast side becomes a
+    co-partitioned join on source — stages/joins.py — but domain
+    counts up to ~10M rows are comfortably one object-store put."""
+    import hashlib as _hl
+
+    rows = (
+        _read(sf_dir, "documents", ["source"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    src = np.asarray([r["source"] for r in rows], dtype=object)
+    n = np.asarray([r["n"] for r in rows], dtype=np.int64)
+    order = np.argsort(src)
+    src_sorted, n_sorted = src[order], n[order]
+    rate_millis = np.minimum(1000, (DOMAIN_MIX_CAP * 1000) // n_sorted)
+    ref = ray.put((src_sorted, rate_millis))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        src_s, rates = ray.get(ref)
+        s = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        idx = np.searchsorted(src_s, s)
+        buckets = np.array(
+            [
+                int(_hl.md5((t or "").encode("utf8")).hexdigest()[:8], 16) % 1000
+                for t in batch.column("text").to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        keep = buckets < rates[idx]
+        out = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": pc.cast(out.column("doc_id"), _I64),
+                "source": out.column("source"),
+            }
+        )
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 def q_topk_per_group(sf_dir: str, k: int = 3):
     """Top-k documents per language by (n_chars DESC, doc_id ASC):
     per-batch partial top-k (combiner — at most k rows per language
