@@ -14,6 +14,7 @@ else changes.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 from collections import Counter
@@ -34,9 +35,17 @@ class IDFWeightingMismatchException(Exception):
     pass
 
 
-def _hash_vector(word: str, dim: int = DIM) -> np.ndarray:
+def _hash_vector_uncached(word: str, dim: int = DIM) -> np.ndarray:
     seed = int.from_bytes(hashlib.blake2b(word.encode("utf8"), digest_size=4).digest(), "little")
     return np.random.RandomState(seed).standard_normal(dim).astype(np.float64)
+
+
+@functools.lru_cache(maxsize=1 << 18)
+def _hash_vector(word: str, dim: int = DIM) -> np.ndarray:
+    """Memoized per process: RandomState construction is ~10µs/word and
+    web-corpus tokens repeat heavily (callers copy via np.stack /
+    arithmetic, so sharing the cached array is safe)."""
+    return _hash_vector_uncached(word, dim)
 
 
 class HashVectorModel:

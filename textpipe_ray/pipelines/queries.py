@@ -48,7 +48,25 @@ RATIO_COLS = [
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """Pruned parquet read with size-proportional block count.
+
+    Ray's default parallelism targets ≥2×CPUs blocks regardless of input
+    size; on small tables that yields dozens of tiny blocks whose
+    per-block shuffle coordination dominates wall time (measured 4-6×
+    end-to-end overhead at sf0.1).  Below 256 MB we size blocks at
+    ~4 MB with a floor of 8 for map parallelism; at real scale the
+    override is off and Ray's own splitting governs."""
+    import os as _os
+
+    path = f"{sf_dir}/{table}.parquet"
+    kw: dict = {}
+    try:
+        size = _os.path.getsize(path)
+        if size < 256 * 2**20:
+            kw["override_num_blocks"] = int(max(8, size // (4 * 2**20)))
+    except OSError:
+        pass
+    return ray.data.read_parquet(path, columns=columns, **kw)
 
 
 def _cast_counts(batch: pa.Table) -> pa.Table:
@@ -1791,9 +1809,25 @@ def q_range_join(sf_dir: str):
         .groupby("__p")
         .map_groups(count_part, batch_format="pandas")
     )
+
+    # collapse the two replicas: coarse hash partition on event_id +
+    # one vectorized pandas groupby-sum per partition.  (A native
+    # .aggregate(Sum) here measured 80s of remote wall for 40k rows at
+    # sf0.1 — the sort-aggregate's per-reducer overhead dwarfs the work;
+    # this shape is the same cheap Sort+map_groups the first exchange
+    # uses.)
+    def add_p2(batch: pa.Table) -> pa.Table:
+        e = np.asarray(batch.column("event_id"), dtype=np.int64)
+        return batch.append_column("__p2", _part_col(e, 16))
+
+    def sum_partials(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("event_id", sort=False)["partial"].sum().reset_index(name="n_views")
+        return g[["event_id", "n_views"]].astype("int64")
+
     return (
-        counted.groupby("event_id")
-        .aggregate(Sum("partial", alias_name="n_views"))
+        counted.map_batches(add_p2, batch_format="pyarrow")
+        .groupby("__p2")
+        .map_groups(sum_partials, batch_format="pandas")
         .sort("event_id")
     )
 

@@ -217,7 +217,9 @@ def near_dup_minhash(
             a_out.append(bucket[xs])
             b_out.append(bucket[ys])
         if not a_out:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
         a_cat = np.concatenate(a_out).astype("int64")
         b_cat = np.concatenate(b_out).astype("int64")
         # local dedup: a pair firing in several buckets of THIS partition
@@ -227,7 +229,9 @@ def near_dup_minhash(
         a_cat, b_cat = a_cat[order], b_cat[order]
         keep = np.ones(len(a_cat), dtype=bool)
         keep[1:] = (a_cat[1:] != a_cat[:-1]) | (b_cat[1:] != b_cat[:-1])
-        return pd.DataFrame({"id_a": a_cat[keep], "id_b": b_cat[keep]})
+        return pa.table(
+            {"id_a": pa.array(a_cat[keep], pa.int64()), "id_b": pa.array(b_cat[keep], pa.int64())}
+        )
 
     candidates = (
         sig_ds.map_batches(explode_bands, batch_format="pyarrow")
@@ -444,10 +448,17 @@ def near_dup_embeddings(
             }
         )
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
+    def verify(group: pd.DataFrame) -> pa.Table:
+        # returns ARROW: the downstream .aggregate() over pandas blocks
+        # measured ~10x slower than over arrow blocks (sort-aggregate
+        # falls off its vectorized path)
         if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
             )
         g = group.sort_values("vec_id")
         ids = g["vec_id"].to_numpy()
@@ -456,11 +467,11 @@ def near_dup_embeddings(
         sims = (emb @ emb.T) / (norms[:, None] * norms[None, :])
         xs, ys = np.triu_indices(len(ids), k=1)
         mask = sims[xs, ys] >= threshold
-        return pd.DataFrame(
+        return pa.table(
             {
-                "id_a": pd.array(ids[xs[mask]], dtype="int64"),
-                "id_b": pd.array(ids[ys[mask]], dtype="int64"),
-                "cosine": pd.array(sims[xs, ys][mask], dtype="float64"),
+                "id_a": pa.array(ids[xs[mask]].astype(np.int64), pa.int64()),
+                "id_b": pa.array(ids[ys[mask]].astype(np.int64), pa.int64()),
+                "cosine": pa.array(sims[xs, ys][mask], pa.float64()),
             }
         )
 
@@ -565,14 +576,20 @@ def near_dup_simhash(
             b_out.append(bid[ys[keep]])
             h_out.append(ham[keep])
         if not a_out:
-            return pd.DataFrame(
-                {"id_a": [], "id_b": [], "hamming": []}
-            ).astype({"id_a": "int64", "id_b": "int64", "hamming": "int64"})
-        return pd.DataFrame(
+            # arrow out: the downstream .aggregate() is ~10x slower
+            # over pandas blocks than arrow blocks
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
             {
-                "id_a": np.concatenate(a_out).astype("int64"),
-                "id_b": np.concatenate(b_out).astype("int64"),
-                "hamming": np.concatenate(h_out).astype("int64"),
+                "id_a": pa.array(np.concatenate(a_out).astype(np.int64), pa.int64()),
+                "id_b": pa.array(np.concatenate(b_out).astype(np.int64), pa.int64()),
+                "hamming": pa.array(np.concatenate(h_out).astype(np.int64), pa.int64()),
             }
         )
 
