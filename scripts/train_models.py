@@ -30,6 +30,12 @@ def main() -> None:
         with open(out_dir / name, "w", encoding="utf8") as f:
             json.dump(model, f, ensure_ascii=False, sort_keys=True)
         print(f"wrote {out_dir / name}")
+    from textpipe_ray.functions import quality_score
+
+    model = quality_score.train()
+    with open(out_dir / "quality_weights.json", "w", encoding="utf8") as f:
+        json.dump(model, f, ensure_ascii=False, sort_keys=True, indent=1)
+    print(f"wrote {out_dir / 'quality_weights.json'} (acc {model['train_accuracy']:.4f})")
     # thresholds / scrub rules are hand-versioned JSON, not trained —
     # they are validated (not regenerated) here
     repo_models = Path(__file__).resolve().parents[1] / "models"

@@ -969,9 +969,10 @@ CUTOFF = datetime(1998, 9, 3)
 def q_agg_lineitem(sf_dir: str):
     """TPC-H Q1-shaped grouped aggregate with integer-exact money math
     (floor to centi-units so the double-summation order can't matter)."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=[
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        [
             "l_returnflag",
             "l_linestatus",
             "l_quantity",
@@ -982,18 +983,36 @@ def q_agg_lineitem(sf_dir: str):
     )
 
     def f(batch: pa.Table) -> pa.Table:
+        # filter + integer-quantize + PARTIAL aggregate (combiner): the
+        # handful of (returnflag, linestatus) groups collapse inside the
+        # batch, so the exchange carries ~6 rows per block instead of
+        # every line item (int64 sums are exact and associative, so the
+        # two-level sum is identical to the one-level one)
         mask = pc.less(batch.column("l_shipdate"), pa.scalar(CUTOFF))
         batch = batch.filter(mask)
         qty = pc.cast(pc.floor(batch.column("l_quantity")), _I64)
         cents = pc.cast(pc.floor(pc.multiply(batch.column("l_extendedprice"), 100.0)), _I64)
         disc4 = pc.cast(pc.floor(pc.multiply(batch.column("l_discount"), 10000.0)), _I64)
-        return pa.table(
+        local = pa.table(
             {
                 "l_returnflag": batch.column("l_returnflag"),
                 "l_linestatus": batch.column("l_linestatus"),
                 "qty": qty,
                 "price_cents": cents,
                 "disc_e4": disc4,
+            }
+        )
+        part = local.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price_cents", "sum"), ("disc_e4", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": part.column("l_returnflag"),
+                "l_linestatus": part.column("l_linestatus"),
+                "qty": part.column("qty_sum"),
+                "price_cents": part.column("price_cents_sum"),
+                "disc_e4": part.column("disc_e4_sum"),
+                "partial_n": pc.cast(part.column("count_all"), _I64),
             }
         )
 
@@ -1004,7 +1023,7 @@ def q_agg_lineitem(sf_dir: str):
             Sum("qty", alias_name="sum_qty"),
             Sum("price_cents", alias_name="sum_price_cents"),
             Sum("disc_e4", alias_name="sum_disc_e4"),
-            Count(alias_name="n"),
+            Sum("partial_n", alias_name="n"),
         )
     )
 
@@ -1390,7 +1409,7 @@ def pages_dir_for(sf_dir: str) -> str:
     m = _re.search(r"sf([0-9.]+)", sf_dir)
     sf = m.group(1) if m else "0.001"
     rows = int(_os.environ.get("TEXTPIPE_PAGES_ROWS", _PAGES_ROWS.get(sf, 500)))
-    num_files = 8 if rows <= 20000 else 32
+    num_files = 8 if rows <= 20000 else (32 if rows <= 600000 else 64)
     out = f"/tmp/textpipe_ray_pages/sf{sf}-{rows}"
     write_pages(out, rows, num_files=num_files)
     return out
