@@ -47,14 +47,18 @@ RATIO_COLS = [
 ]
 
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+def _read(
+    sf_dir: str, table: str, columns: list[str] | None = None, min_blocks: int = 8
+):
     """Pruned parquet read with size-proportional block count.
 
     Ray's default parallelism targets ≥2×CPUs blocks regardless of input
     size; on small tables that yields dozens of tiny blocks whose
     per-block shuffle coordination dominates wall time (measured 4-6×
     end-to-end overhead at sf0.1).  Below 256 MB we size blocks at
-    ~4 MB with a floor of 8 for map parallelism; at real scale the
+    ~4 MB with a floor of ``min_blocks`` for map parallelism (queries
+    whose per-row compute is heavy — chunk explosion, MinHash — pass
+    ``min_blocks=cpus`` to keep every core busy); at real scale the
     override is off and Ray's own splitting governs."""
     import os as _os
 
@@ -63,10 +67,14 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     try:
         size = _os.path.getsize(path)
         if size < 256 * 2**20:
-            kw["override_num_blocks"] = int(max(8, size // (4 * 2**20)))
+            kw["override_num_blocks"] = int(max(min_blocks, size // (4 * 2**20)))
     except OSError:
         pass
     return ray.data.read_parquet(path, columns=columns, **kw)
+
+
+def _cpus() -> int:
+    return int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
 
 
 def _cast_counts(batch: pa.Table) -> pa.Table:
@@ -1246,7 +1254,7 @@ def q_ngram_jaccard(sf_dir: str, k: int = 3, threshold: float = 0.8):
     DuckDB oracle parity, unlike the sketch-based dedup queries."""
     from textpipe_ray.stages.dedup import shingle_jaccard_pairs
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], min_blocks=_cpus())
     return shingle_jaccard_pairs(ds, k=k, threshold=threshold)
 
 
@@ -1447,8 +1455,13 @@ def q_pages_neardup(sf_dir: str):
     import glob as _glob
 
     pages = pages_dir_for(sf_dir)
+    # compute-heavy path (html extract + 128-perm MinHash): block count
+    # = CPU count — enough for full map parallelism without the 2×CPU
+    # over-split that doubles every all-to-all's coordination cost
     ds = ray.data.read_parquet(
-        sorted(_glob.glob(f"{pages}/pages-*.parquet")), columns=["url", "html"]
+        sorted(_glob.glob(f"{pages}/pages-*.parquet")),
+        columns=["url", "html"],
+        override_num_blocks=_cpus(),
     )
 
     def pre(batch: pa.Table) -> pa.Table:
@@ -1531,7 +1544,7 @@ def q_chunk_dedup(sf_dir: str, chunk_words: int = 4):
       3. reassembly: kept chunks hash-partitioned on ``doc_id``,
          sorted and joined per partition.
     """
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], min_blocks=_cpus())
     num_parts = 32
 
     def explode(batch: pa.Table) -> pa.Table:
