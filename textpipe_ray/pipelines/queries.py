@@ -56,10 +56,14 @@ def _read(
     size; on small tables that yields dozens of tiny blocks whose
     per-block shuffle coordination dominates wall time (measured 4-6×
     end-to-end overhead at sf0.1).  Below 256 MB we size blocks at
-    ~4 MB with a floor of ``min_blocks`` for map parallelism (queries
-    whose per-row compute is heavy — chunk explosion, MinHash — pass
-    ``min_blocks=cpus`` to keep every core busy); at real scale the
-    override is off and Ray's own splitting governs."""
+    ~4 MB with a floor of ``min_blocks`` for map parallelism; at real
+    scale the override is off and Ray's own splitting governs.
+
+    ``min_blocks`` is for map-compute-heavy, shuffle-light callers
+    only: A/B at sf0.1 showed ``min_blocks=cpus`` HURTS shuffle-bound
+    queries (q_ngram_jaccard 1.7→2.2 s, q_chunk_dedup 2.9→3.5 s warm)
+    while the same cpu-count block floor on the pages MinHash path
+    (map-dominated) wins 6.3→3.7 s — so only the pages read uses it."""
     import os as _os
 
     path = f"{sf_dir}/{table}.parquet"
@@ -1254,7 +1258,7 @@ def q_ngram_jaccard(sf_dir: str, k: int = 3, threshold: float = 0.8):
     DuckDB oracle parity, unlike the sketch-based dedup queries."""
     from textpipe_ray.stages.dedup import shingle_jaccard_pairs
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"], min_blocks=_cpus())
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return shingle_jaccard_pairs(ds, k=k, threshold=threshold)
 
 
@@ -1544,7 +1548,7 @@ def q_chunk_dedup(sf_dir: str, chunk_words: int = 4):
       3. reassembly: kept chunks hash-partitioned on ``doc_id``,
          sorted and joined per partition.
     """
-    ds = _read(sf_dir, "documents", ["doc_id", "text"], min_blocks=_cpus())
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     num_parts = 32
 
     def explode(batch: pa.Table) -> pa.Table:
