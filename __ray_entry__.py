@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pages_dedup": Q.q_pages_dedup,
         "q_textpipe_ops": Q.q_textpipe_ops,
         "q_media_features": Q.q_media_features,
+        "q_host_stats": Q.q_host_stats,
+        "q_paragraph_filter": Q.q_paragraph_filter,
     }
 
 

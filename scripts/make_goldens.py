@@ -40,6 +40,8 @@ GOLDEN_QUERIES = [
     "q_pages_dedup",
     "q_textpipe_ops",
     "q_media_features",
+    "q_host_stats",
+    "q_paragraph_filter",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

@@ -218,3 +218,44 @@ def test_counts_complement_trick_exact():
         target = lowered if name in LOWERED_FEATURES else arr
         want = pc.cast(pc.count_substring_regex(target, RE2_PATTERNS[name]), _F64)
         assert got[name].to_pylist() == want.to_pylist(), name
+
+
+def test_html_to_paragraphs():
+    from textpipe_ray.functions.clean import html_to_paragraphs
+
+    # block tags delimit; inline tags don't; empties dropped; per-para
+    # normalisation applies the dots/quotes/whitespace passes
+    html = (
+        "<html><body><p>One  two… three.</p><div>Four <b>five</b>!</div>"
+        "<p>   </p><ul><li>item one here</li><li>item two</li></ul>"
+        "A tail “quoted„ bit</body></html>"
+    )
+    assert html_to_paragraphs(html) == [
+        "One two... three.",
+        "Four five!",
+        "item one here",
+        "item two",
+        'A tail "quoted" bit',
+    ]
+    # <br> splits; malformed input degrades to the single-para clean
+    assert html_to_paragraphs("a<br/>b") == ["a", "b"]
+    assert html_to_paragraphs("") == []
+
+
+def test_paragraph_rules_consistent_with_query_constants():
+    import re
+
+    from textpipe_ray.pipelines.queries import PARA_MIN_WORDS, PARA_TERMINAL_RE
+
+    assert PARA_MIN_WORDS == 5
+    keep = "this line has five words."
+    drop_short = "too few words."
+    drop_nopunct = "this line has five words"
+    drop_brace = "this line has five {words}."
+    for s, want in [(keep, True), (drop_short, False), (drop_nopunct, False), (drop_brace, False)]:
+        ok = (
+            len(re.findall(r"\S+", s)) >= PARA_MIN_WORDS
+            and re.search(PARA_TERMINAL_RE, s) is not None
+            and "{" not in s
+        )
+        assert ok == want, s

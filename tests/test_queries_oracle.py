@@ -32,6 +32,7 @@ def oracle_names():
     "q_langid", "q_perplexity", "q_minhash", "q_simhash", "q_simhash_neardup",
     "q_ann_ivf", "q_embedding_neardup", "q_pages_flagship", "q_pages_neardup",
     "q_pages_dedup", "q_textpipe_ops", "q_media_features",
+    "q_host_stats", "q_paragraph_filter",
 ])
 def test_query_matches_oracle(ray_session, name):
     from textpipe_ray.pipelines.compare import compare, run_oracle

@@ -176,6 +176,69 @@ def normalize_texts(texts: list[str]) -> list[str]:
     return [p.strip() for p in joined.split("\0")]
 
 
+# Block-level elements whose boundaries delimit paragraphs.  The
+# reference's ``get_text()`` (doc.py:206) concatenates text nodes with
+# no separators — correct for the byte-identity north rule but it
+# destroys the line structure C4-style paragraph filtering needs, so
+# this is a separate extraction mode, not a change to `html_to_text`.
+_BLOCK_TAGS = frozenset(
+    "p div br li h1 h2 h3 h4 h5 h6 tr table ul ol blockquote pre "
+    "section article header footer title".split()
+)
+
+
+class _ParagraphExtractor(HTMLParser):
+    """Collects text nodes grouped into paragraphs at block-element
+    boundaries (both open and close of any ``_BLOCK_TAGS`` member start
+    a new group).  Inline markup (<a>, <b>, <i>, <span>...) does not
+    break a paragraph."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._parts: list[str] = []
+        self._paras: list[str] = []
+
+    def _flush(self) -> None:
+        if self._parts:
+            self._paras.append("".join(self._parts))
+            self._parts = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        self._parts.append(data)
+
+    def paragraphs(self) -> list[str]:
+        self._flush()
+        return self._paras
+
+
+def html_to_paragraphs(raw: str) -> list[str]:
+    """Extract text grouped into paragraphs at block-tag boundaries,
+    each paragraph normalised with the reference's dots/quotes/
+    whitespace passes; whitespace-only paragraphs are dropped.
+
+    >>> html_to_paragraphs('<p>One two.</p><p>Three <b>four</b>!</p>')
+    ['One two.', 'Three four!']
+    >>> html_to_paragraphs('A line<br/>another… line')
+    ['A line', 'another... line']
+    """
+    parser = _ParagraphExtractor()
+    try:
+        parser.feed(raw)
+        parser.close()
+    except Exception:  # malformed input: single tag-stripped paragraph
+        return [p for p in (clean_text(raw),) if p]
+    paras = normalize_texts(parser.paragraphs())
+    return [p for p in paras if p]
+
+
 def resolve_lang(lang: str, is_reliable: bool, hint_lang: str) -> str:
     """The reference's language-resolution rule, applied at every
     model-dispatch site (doc.py:146,242,533,587,615,801)."""

@@ -1515,6 +1515,134 @@ def q_pages_dedup(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def q_host_stats(sf_dir: str):
+    """Per-host quality rollup of the flagship output (the CCNet /
+    RefinedWeb domain-filtering primitive: hosts are kept or dropped by
+    their aggregate keep-rate, so the per-host table IS the filter
+    input).  Scale shape: host is extracted vectorized from ``url``,
+    each batch pre-aggregates to one row per host seen (combiner), and
+    only the tiny per-batch partials hit the ``groupby`` exchange —
+    the shuffle moves O(hosts × blocks) rows, never O(pages).
+
+    Deterministic outputs only (int64 counts/sums + a basis-point
+    rate), so the golden-parquet oracle value-checks exactly.  nwords
+    is integral (a count stored as float64 upstream), so the int64
+    cast is lossless and the sum order-independent."""
+    from textpipe_ray.pipelines.flagship import build_pages_pipeline, read_pages
+
+    import glob as _glob
+
+    pages = pages_dir_for(sf_dir)
+    ds = build_pages_pipeline(
+        read_pages(sorted(_glob.glob(f"{pages}/pages-*.parquet")))
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        host = pc.extract_regex(batch.column("url"), r"^[a-z]+://(?P<host>[^/]+)")
+        host = pc.struct_field(host, "host")
+        keep = pc.cast(batch.column("keep"), _I64)
+        nwords = pc.cast(batch.column("nwords"), _I64)
+        t = pa.table({"host": host, "n_keep": keep, "sum_nwords": nwords})
+        g = t.group_by("host").aggregate(
+            [("n_keep", "sum"), ("sum_nwords", "sum"), ("n_keep", "count")]
+        )
+        return pa.table(
+            {
+                "host": g.column("host"),
+                "n_pages": pc.cast(g.column("n_keep_count"), _I64),
+                "n_keep": g.column("n_keep_sum"),
+                "sum_nwords": g.column("sum_nwords_sum"),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n_pages"), Sum("n_keep"), Sum("sum_nwords"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n_pages)")
+        k = batch.column("sum(n_keep)")
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "n_pages": n,
+                "n_keep": k,
+                "sum_nwords": batch.column("sum(sum_nwords)"),
+                # basis points, exact integer arithmetic on both sides
+                "keep_bp": pc.divide(pc.multiply(k, 10000), n),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("host")
+
+
+# C4-style paragraph rules (Raffel et al. 2020, §2.2 heuristics): a
+# paragraph survives iff it has ≥ MIN_WORDS words, ends in terminal
+# punctuation, and contains no curly brace (code indicator).
+PARA_MIN_WORDS = 5
+PARA_TERMINAL_RE = r"[.!?]['\"]?$"
+
+
+def q_paragraph_filter(sf_dir: str):
+    """C4-style paragraph-level filtering over the pages table: extract
+    text PER PARAGRAPH (block-tag boundaries — a separate extraction
+    mode from the byte-identity ``clean`` kernel, which deliberately
+    flattens whitespace), drop paragraphs failing the C4 line rules,
+    and reassemble each page from its surviving paragraphs.
+
+    Scale shape: entirely row-local (no shuffle) — the HTML parse is
+    per-row python (inherent to parsing), but every rule runs as one
+    Arrow kernel over the batch's flattened paragraph list, and
+    reassembly is one ragged join per page."""
+    from textpipe_ray.functions.clean import html_to_paragraphs
+
+    import glob as _glob
+
+    pages = pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(
+        sorted(_glob.glob(f"{pages}/pages-*.parquet")), columns=["url", "html"]
+    )
+
+    def filt(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        paras: list[str] = []
+        offsets = [0]
+        for h in htmls:
+            paras.extend(html_to_paragraphs(h.decode("utf8", "replace")))
+            offsets.append(len(paras))
+        arr = pa.array(paras, pa.string())
+        nw = pc.count_substring_regex(arr, r"\S+")
+        ok = pc.and_(
+            pc.and_(
+                pc.greater_equal(nw, PARA_MIN_WORDS),
+                pc.match_substring_regex(arr, PARA_TERMINAL_RE),
+            ),
+            pc.invert(pc.match_substring(arr, "{")),
+        )
+        okv = ok.to_numpy(zero_copy_only=False)
+        n_kept, filtered = [], []
+        for i in range(len(urls)):
+            lo, hi = offsets[i], offsets[i + 1]
+            kept = [paras[j] for j in range(lo, hi) if okv[j]]
+            n_kept.append(len(kept))
+            filtered.append("\n".join(kept))
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "n_paras": pa.array(
+                    [offsets[i + 1] - offsets[i] for i in range(len(urls))], _I64
+                ),
+                "n_kept_paras": pa.array(n_kept, _I64),
+                "filtered_text": pa.array(filtered, pa.string()),
+            }
+        )
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # corpus-span dedup / relational extensions (all oracle-checked)
 # ---------------------------------------------------------------------------
