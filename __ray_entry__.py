@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dup_stats": Q.q_dup_stats,
         "q_embedding_centroid": Q.q_embedding_centroid,
         "q_domain_mix": Q.q_domain_mix,
+        "q_lang_temperature": Q.q_lang_temperature,
         # model-scored / non-SQL-expressible (rows-only check)
         "q_langid": Q.q_langid,
         "q_perplexity": Q.q_perplexity,
@@ -81,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_media_features": Q.q_media_features,
         "q_host_stats": Q.q_host_stats,
         "q_paragraph_filter": Q.q_paragraph_filter,
+        "q_boilerplate_dedup": Q.q_boilerplate_dedup,
+        "q_ppl_buckets": Q.q_ppl_buckets,
     }
 
 

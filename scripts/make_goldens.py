@@ -42,6 +42,8 @@ GOLDEN_QUERIES = [
     "q_media_features",
     "q_host_stats",
     "q_paragraph_filter",
+    "q_boilerplate_dedup",
+    "q_ppl_buckets",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

@@ -28,11 +28,12 @@ def oracle_names():
     "q_chunk_dedup", "q_anti_join", "q_range_join", "q_token_count",
     "q_distinct_tokens", "q_topk_per_group",
     "q_quality_score", "q_dup_stats", "q_embedding_centroid", "q_domain_mix",
+    "q_lang_temperature",
     # golden-parquet oracles (scripts/make_goldens.py)
     "q_langid", "q_perplexity", "q_minhash", "q_simhash", "q_simhash_neardup",
     "q_ann_ivf", "q_embedding_neardup", "q_pages_flagship", "q_pages_neardup",
     "q_pages_dedup", "q_textpipe_ops", "q_media_features",
-    "q_host_stats", "q_paragraph_filter",
+    "q_host_stats", "q_paragraph_filter", "q_boilerplate_dedup", "q_ppl_buckets",
 ])
 def test_query_matches_oracle(ray_session, name):
     from textpipe_ray.pipelines.compare import compare, run_oracle

@@ -532,6 +532,21 @@ FROM documents
 QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3
 ORDER BY lang, doc_id"""
 
+    # temperature rebalancing: rate = floor(1000 * sqrt(n_min/n_l)) —
+    # sqrt and / are correctly-rounded IEEE ops, so DuckDB and numpy
+    # produce bit-identical doubles and the floor cannot disagree
+    # (a pow()-based rate would not have that guarantee)
+    out["q_lang_temperature"] = """
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+m AS (SELECT min(n) AS n_min FROM c),
+r AS (SELECT lang,
+             least(1000, CAST(floor(1000 * sqrt(CAST((SELECT n_min FROM m) AS DOUBLE)
+                                                / CAST(n AS DOUBLE))) AS BIGINT)) AS rate
+      FROM c)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE CAST(('0x' || substr(md5(d.text), 1, 8)) AS BIGINT) % 1000 < r.rate"""
+
     return out
 
 

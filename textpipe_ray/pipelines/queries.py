@@ -2290,3 +2290,285 @@ def q_topk_per_group(sf_dir: str, k: int = 3):
         .map_groups(topk, batch_format="pandas")
         .sort(["lang", "doc_id"])
     )
+
+
+# ---------------------------------------------------------------------------
+# training-mix shaping / corpus-level boilerplate removal (round-2 additions)
+# ---------------------------------------------------------------------------
+
+LANG_TEMPERATURE_T = 2.0  # mT5-style temperature; T=2 → keep-rate = sqrt
+
+
+def q_lang_temperature(sf_dir: str):
+    """Temperature-based language-mix rebalancing (mT5 §3.1 idea):
+    downsample each language toward p_l ∝ n_l^(1/T) by keeping every
+    document with probability ``q_l = (n_min / n_l)^(1 - 1/T)``; with
+    the default T=2 that is ``sqrt(n_min / n_l)``.
+
+    ``sqrt`` (unlike ``pow``) is CORRECTLY ROUNDED under IEEE-754, so
+    numpy and DuckDB compute bit-identical doubles for
+    ``floor(1000 * sqrt(n_min/n_l))`` — the integer-millis rate cannot
+    straddle engines the way a ``pow``-based rate could.
+
+    Scale shape: one tiny ``groupby(lang).count()`` (rows = #languages)
+    broadcast via ``ray.put``; selection is then a pure per-batch
+    deterministic hash-threshold filter (md5 bucket of the text), the
+    same idiom as :func:`q_domain_mix` — no shuffle of the corpus."""
+    rows = (
+        _read(sf_dir, "documents", ["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    langs = np.asarray([r["lang"] for r in rows], dtype=object)
+    n = np.asarray([r["n"] for r in rows], dtype=np.int64)
+    order = np.argsort(langs)
+    langs_sorted, n_sorted = langs[order], n[order]
+    n_min = int(n_sorted.min())
+    # floor(1000 * sqrt(n_min/n_l)) in exactly the op order the SQL uses
+    rate_millis = np.minimum(
+        1000,
+        np.floor(1000.0 * np.sqrt(np.float64(n_min) / n_sorted.astype(np.float64))).astype(
+            np.int64
+        ),
+    )
+    ref = ray.put((langs_sorted, rate_millis))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        lang_s, rates = ray.get(ref)
+        lg = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        idx = np.searchsorted(lang_s, lg)
+        buckets = np.array(
+            [
+                int(hashlib.md5((t or "").encode("utf8")).hexdigest()[:8], 16) % 1000
+                for t in batch.column("text").to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        out = batch.filter(pa.array(buckets < rates[idx]))
+        return pa.table(
+            {
+                "doc_id": pc.cast(out.column("doc_id"), _I64),
+                "lang": out.column("lang"),
+            }
+        )
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+BOILER_MAX_OCCURRENCES = 1  # paragraphs occurring more often are removed everywhere
+BOILER_MIN_WORDS = 5  # shorter fragments never count as boilerplate (C4-style guard)
+
+
+def q_boilerplate_dedup(sf_dir: str):
+    """Corpus-wide duplicate-paragraph removal over the pages table
+    (RefinedWeb/C4-style boilerplate scrub): any paragraph whose exact
+    text occurs more than ``BOILER_MAX_OCCURRENCES`` times ANYWHERE in
+    the corpus is dropped from every page, and pages are reassembled
+    from their surviving paragraphs.  Fragments shorter than
+    ``BOILER_MIN_WORDS`` words (stray list items, language names,
+    symbols) are exempt — without the guard they dominate the banned
+    set and gut nearly every page.
+
+    Scale shape — two streaming passes over pages, no O(corpus)
+    driver state:
+
+    1. count pass: paragraphs hash to 64-bit ``blake2b`` keys, counts
+       pre-reduce per batch (combiner), one small ``groupby(hash)`` sum
+       whose exchange carries one row per DISTINCT paragraph per block.
+       The banned set (hashes with count > threshold) is bounded by
+       corpus_paragraphs / threshold and in practice by the boilerplate
+       vocabulary — ~10^6-10^8 hashes at web scale, a few hundred MB of
+       int64s: broadcast once via ``ray.put`` as a sorted array (the
+       :func:`q_contamination` idiom).  Past that bound the filter
+       becomes a co-partitioned join on the hash (stages/joins.py).
+    2. scrub pass: re-extract paragraphs (recompute beats shuffling
+       paragraph text), drop members of the banned set with a
+       vectorized ``np.isin`` against the sorted array, reassemble
+       per page.  Entirely row-local.
+    """
+    from textpipe_ray.functions.clean import html_to_paragraphs
+
+    import glob as _glob
+
+    pages = pages_dir_for(sf_dir)
+    files = sorted(_glob.glob(f"{pages}/pages-*.parquet"))
+
+    def _para_hashes(htmls: list) -> tuple[np.ndarray, np.ndarray, list[int], list[str]]:
+        paras: list[str] = []
+        offsets = [0]
+        for h in htmls:
+            paras.extend(html_to_paragraphs(h.decode("utf8", "replace")))
+            offsets.append(len(paras))
+        hashes = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(p.encode("utf8"), digest_size=8).digest(), "big"
+                )
+                >> 1  # keep int64-positive; 63 bits is ample
+                for p in paras
+            ],
+            dtype=np.int64,
+        )
+        if len(paras):
+            nw = pc.count_substring_regex(pa.array(paras, pa.string()), r"\S+")
+            eligible = np.asarray(nw, dtype=np.int64) >= BOILER_MIN_WORDS
+        else:
+            eligible = np.zeros(0, dtype=bool)
+        return hashes, eligible, offsets, paras
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        hashes, eligible, _, _ = _para_hashes(batch.column("html").to_pylist())
+        uniq, cnt = np.unique(hashes[eligible], return_counts=True)
+        return pa.table(
+            {"h": pa.array(uniq, _I64), "cnt": pa.array(cnt.astype(np.int64), _I64)}
+        )
+
+    banned_rows = (
+        ray.data.read_parquet(files, columns=["html"], override_num_blocks=_cpus())
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .filter(expr=f"cnt > {BOILER_MAX_OCCURRENCES}")
+        .take_all()
+    )
+    banned = np.sort(np.asarray([r["h"] for r in banned_rows], dtype=np.int64))
+    ref = ray.put(banned)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        banned_sorted = ray.get(ref)
+        urls = batch.column("url").to_pylist()
+        hashes, eligible, offsets, paras = _para_hashes(batch.column("html").to_pylist())
+        bad = (
+            np.isin(hashes, banned_sorted) & eligible
+            if len(hashes)
+            else np.zeros(0, dtype=bool)
+        )
+        n_kept, out_text = [], []
+        for i in range(len(urls)):
+            lo, hi = offsets[i], offsets[i + 1]
+            kept = [paras[j] for j in range(lo, hi) if not bad[j]]
+            n_kept.append(len(kept))
+            out_text.append("\n".join(kept))
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "n_paras": pa.array(
+                    [offsets[i + 1] - offsets[i] for i in range(len(urls))], _I64
+                ),
+                "n_kept_paras": pa.array(n_kept, _I64),
+                "boiler_free_text": pa.array(out_text, pa.string()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        files, columns=["url", "html"], override_num_blocks=_cpus()
+    ).map_batches(scrub, batch_format="pyarrow")
+
+
+PPL_BUCKET_QUANTILES = [(1, 3), (2, 3)]  # CCNet head/middle/tail tertiles
+
+
+def q_ppl_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing (head / middle / tail) of the
+    documents table, per language: score every document with the
+    char-LM perplexity stage, quantize to integer CENTI-perplexity
+    (``floor(ppl * 100)``), compute per-language tertile thresholds,
+    and label each document's bucket.
+
+    Scale shape: the threshold pass is the :func:`q_len_quantiles`
+    value-histogram idiom — the exchange carries one row per distinct
+    ``(lang, ppl_centi)``, and the centi quantization BOUNDS that
+    cardinality by the perplexity range × 100 (a few thousand values)
+    regardless of corpus size, so no global sort and no O(docs)
+    driver state ever appears.  Thresholds (rows = #langs) broadcast
+    via ``ray.put``; bucket assignment is a pure integer per-batch
+    compare.  All arithmetic is integer (quantile index via exact
+    rational ``ceil(q*n)-1``), so output is deterministic and
+    golden-checkable."""
+    from textpipe_ray.stages.actors import PerplexityStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return batch.append_column("clean", batch.column("text"))
+
+    scored = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .map_batches(PerplexityStage, batch_format="pyarrow", batch_size=1024, concurrency=2)
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pc.cast(b.column("doc_id"), _I64),
+                    "lang": b.column("lang"),
+                    "ppl_centi": pa.array(
+                        np.floor(
+                            np.asarray(b.column("perplexity"), dtype=np.float64) * 100.0
+                        ).astype(np.int64),
+                        _I64,
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # scored once, read twice (thresholds + labels)
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "lang": batch.column("lang").to_pylist(),
+                "ppl_centi": np.asarray(batch.column("ppl_centi"), dtype=np.int64),
+            }
+        )
+        g = df.groupby(["lang", "ppl_centi"], sort=False).size().reset_index(name="cnt")
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "ppl_centi": pa.array(g["ppl_centi"].astype("int64"), _I64),
+                "cnt": pa.array(g["cnt"].astype("int64"), _I64),
+            }
+        )
+
+    hist = (
+        scored.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "ppl_centi"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # tiny: one row per distinct (lang, centi value)
+    )
+    lang_list, t_lo, t_hi = [], [], []
+    for lang, g in hist.groupby("lang", sort=True):
+        g = g.sort_values("ppl_centi")
+        vals = g["ppl_centi"].to_numpy()
+        cum = np.cumsum(g["cnt"].to_numpy())
+        n = int(cum[-1])
+        ts = []
+        for num, den in PPL_BUCKET_QUANTILES:
+            idx = max(0, -(-(num * n) // den) - 1)  # exact ceil(q*n)-1
+            ts.append(int(vals[np.searchsorted(cum, idx + 1)]))
+        lang_list.append(lang)
+        t_lo.append(ts[0])
+        t_hi.append(ts[1])
+    lang_arr = np.asarray(lang_list, dtype=object)
+    order = np.argsort(lang_arr)
+    ref = ray.put(
+        (
+            lang_arr[order],
+            np.asarray(t_lo, dtype=np.int64)[order],
+            np.asarray(t_hi, dtype=np.int64)[order],
+        )
+    )
+
+    def label(batch: pa.Table) -> pa.Table:
+        lang_s, lo, hi = ray.get(ref)
+        lg = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        idx = np.searchsorted(lang_s, lg)
+        v = np.asarray(batch.column("ppl_centi"), dtype=np.int64)
+        bucket = np.where(v <= lo[idx], "head", np.where(v <= hi[idx], "middle", "tail"))
+        return batch.append_column("bucket", pa.array(bucket.tolist(), pa.string()))
+
+    return scored.map_batches(label, batch_format="pyarrow")
