@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "q_token_count",
     "q_distinct_tokens",
     "q_topk_per_group",
+    "q_lang_temperature",
+    "q_boilerplate_dedup",
+    "q_ppl_buckets",
 ]
 
 

@@ -1,0 +1,108 @@
+"""Semantic tests for the training-mix shaping operators — invariants
+the golden/oracle parity checks don't spell out."""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lang_temperature_keeps_rarest_language_fully(ray_session):
+    """The rarest language has keep-rate exactly 1000 millis — every one
+    of its documents survives; over-represented languages shrink."""
+    import duckdb
+
+    from textpipe_ray.pipelines.queries import q_lang_temperature
+
+    kept = q_lang_temperature(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    totals = dict(
+        con.execute("SELECT lang, count(*) FROM documents GROUP BY lang").fetchall()
+    )
+    kept_by_lang = kept.groupby("lang").size().to_dict()
+    rarest = min(totals, key=totals.get)
+    assert kept_by_lang[rarest] == totals[rarest]
+    biggest = max(totals, key=totals.get)
+    if totals[biggest] > totals[rarest]:
+        assert kept_by_lang.get(biggest, 0) < totals[biggest]
+    # expected rate reproduced from the formula for every language
+    n_min = totals[rarest]
+    for lang, n in totals.items():
+        rate = min(1000, int(np.floor(1000.0 * np.sqrt(np.float64(n_min) / np.float64(n)))))
+        # hash-threshold sampling is exact-in-expectation, not per-lang
+        # exact; but rate==1000 must mean all kept, rate<1000 not more
+        # than n kept
+        if rate == 1000:
+            assert kept_by_lang.get(lang, 0) == n
+
+
+def test_boilerplate_dedup_removes_planted_dup_paragraphs(ray_session):
+    """Pages planted as exact duplicates share every eligible paragraph
+    with their source page — after the scrub both lose those
+    paragraphs; unique-paragraph pages are untouched."""
+    import collections
+
+    from textpipe_ray.functions.clean import html_to_paragraphs
+    from textpipe_ray.pipelines.queries import (
+        BOILER_MIN_WORDS,
+        pages_dir_for,
+        q_boilerplate_dedup,
+    )
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = q_boilerplate_dedup(SF).to_pandas().set_index("url")
+
+    files = sorted(glob.glob(pages_dir_for(SF) + "/pages-*.parquet"))
+    t = pq.read_table(files, columns=["url", "html"])
+    counts: collections.Counter = collections.Counter()
+    per_page: dict[str, list[str]] = {}
+    for url, h in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
+        paras = [
+            p for p in html_to_paragraphs(h.decode("utf8")) if len(p.split()) >= BOILER_MIN_WORDS
+        ]
+        per_page[url] = paras
+        counts.update(set())  # keep type checkers honest
+        for p in paras:
+            counts[p] += 1
+
+    for url, paras in per_page.items():
+        expect_kept_missing = [p for p in paras if counts[p] > 1]
+        row = out.loc[url]
+        if expect_kept_missing:
+            assert row.n_kept_paras < row.n_paras, url
+            for p in expect_kept_missing:
+                assert p not in row.boiler_free_text.split("\n"), (url, p[:40])
+        # every unique eligible paragraph must survive
+        for p in paras:
+            if counts[p] == 1:
+                assert p in row.boiler_free_text.split("\n"), (url, p[:40])
+
+
+def test_ppl_buckets_are_ordered_and_balanced(ray_session):
+    """Within every language: every head doc has perplexity <= every
+    middle doc <= every tail doc, and the three buckets are within one
+    quantile step of a third each."""
+    from textpipe_ray.pipelines.queries import q_ppl_buckets
+
+    df = q_ppl_buckets(SF).to_pandas()
+    assert set(df.bucket) == {"head", "middle", "tail"}
+    for lang, g in df.groupby("lang"):
+        h = g[g.bucket == "head"].ppl_centi
+        m = g[g.bucket == "middle"].ppl_centi
+        t = g[g.bucket == "tail"].ppl_centi
+        if len(h) and len(m):
+            assert h.max() <= m.min()
+        if len(m) and len(t):
+            assert m.max() <= t.min()
+        n = len(g)
+        # tertiles: no bucket may exceed a third by more than the mass
+        # tied at the threshold value
+        for part in (h, m, t):
+            assert len(part) <= n // 3 + int((g.ppl_centi.value_counts().max())), lang
