@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_centroid": Q.q_embedding_centroid,
         "q_domain_mix": Q.q_domain_mix,
         "q_lang_temperature": Q.q_lang_temperature,
+        "q_json_extract": Q.q_json_extract,
         # model-scored / non-SQL-expressible (rows-only check)
         "q_langid": Q.q_langid,
         "q_perplexity": Q.q_perplexity,

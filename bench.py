@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "q_lang_temperature",
     "q_boilerplate_dedup",
     "q_ppl_buckets",
+    "q_json_extract",
 ]
 
 
@@ -173,6 +174,9 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             RAY_GRAFT_ONLY="q_pages_flagship",
             TEXTPIPE_PAGES_ROWS=str(SCALING_ROWS),
+            # the outer run() already takes min over reps; a min-of-2
+            # inside each leg would just double the wall time
+            RAY_GRAFT_BENCH_REPS="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -547,6 +547,20 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
 FROM documents d JOIN r USING (lang)
 WHERE CAST(('0x' || substr(md5(d.text), 1, 8)) AS BIGINT) % 1000 < r.rate"""
 
+    out["q_json_extract"] = """
+WITH e AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM e GROUP BY event_type ORDER BY event_type"""
+
     return out
 
 

@@ -2572,3 +2572,72 @@ def q_ppl_buckets(sf_dir: str):
         return batch.append_column("bucket", pa.array(bucket.tolist(), pa.string()))
 
     return scored.map_batches(label, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# semi-structured (JSON) extraction
+# ---------------------------------------------------------------------------
+
+
+def q_json_extract(sf_dir: str):
+    """Semi-structured field extraction: pull the integer field ``$.k``
+    out of the events table's JSON ``props`` column and roll it up per
+    event type (the Spark ``get_json_object`` / ``json_tuple`` analog;
+    the reference has no JSON surface — web-pipeline metadata sidecars
+    motivate it).
+
+    Scale shape: the parse is polars' Rust JSON-path kernel over the
+    whole column (no per-row Python), and the per-batch ``group_by`` is
+    the partial-aggregate combiner — the shuffle moves
+    O(event_types x blocks) partial rows, never O(events).  Missing or
+    non-integer ``k`` becomes null: counted out of ``n_with_k`` and
+    ignored by the null-skipping Sum/Min/Max on both engines."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        part = (
+            df.with_columns(
+                pl.col("props")
+                .str.json_path_match("$.k")
+                .cast(pl.Int64, strict=False)
+                .alias("k")
+            )
+            .group_by("event_type")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_events"),
+                pl.col("k").count().cast(pl.Int64).alias("n_with_k"),
+                pl.col("k").sum().cast(pl.Int64).alias("sum_k"),
+                pl.col("k").min().cast(pl.Int64).alias("min_k"),
+                pl.col("k").max().cast(pl.Int64).alias("max_k"),
+            )
+        )
+        out = part.to_arrow()
+        return out.cast(
+            pa.schema(
+                [("event_type", pa.string())]
+                + [(c, pa.int64()) for c in ("n_events", "n_with_k", "sum_k", "min_k", "max_k")]
+            )
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_with_k", alias_name="n_with_k"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )
+
+    def post(batch: pa.Table) -> pa.Table:
+        for c in ("n_events", "n_with_k", "sum_k", "min_k", "max_k"):
+            i = batch.column_names.index(c)
+            batch = batch.set_column(i, c, pc.cast(batch.column(c), _I64))
+        return batch
+
+    return agg.map_batches(post, batch_format="pyarrow").sort("event_type")
