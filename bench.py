@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "q_boilerplate_dedup",
     "q_ppl_buckets",
     "q_json_extract",
+    "q_shuffle_shards",
 ]
 
 

@@ -561,6 +561,21 @@ SELECT event_type,
        CAST(max(k) AS BIGINT) AS max_k
 FROM e GROUP BY event_type ORDER BY event_type"""
 
+    from textpipe_ray.pipelines.queries import N_SHUFFLE_SHARDS
+
+    out["q_shuffle_shards"] = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {N_SHUFFLE_SHARDS} AS shard_id,
+         md5('pos:' || CAST(doc_id AS VARCHAR)) AS pos_key
+  FROM documents
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY pos_key, doc_id) - 1 AS BIGINT) AS pos,
+       CAST(doc_id AS BIGINT) AS doc_id
+FROM h ORDER BY shard_id, pos"""
+
     return out
 
 

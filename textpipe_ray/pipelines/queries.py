@@ -2641,3 +2641,59 @@ def q_json_extract(sf_dir: str):
         return batch
 
     return agg.map_batches(post, batch_format="pyarrow").sort("event_type")
+
+
+# ---------------------------------------------------------------------------
+# deterministic training-shard shuffle
+# ---------------------------------------------------------------------------
+
+N_SHUFFLE_SHARDS = 8
+
+
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic global shuffle into training shards: every document
+    gets a seed-stable shard (``md5('shard:'||doc_id) % N``) and a
+    position inside that shard (rank of ``md5('pos:'||doc_id)``), so
+    the training-data order is a pure function of the corpus — fully
+    reproducible across reruns and resumable mid-epoch, unlike
+    ``random_shuffle``.
+
+    Scale shape: shard assignment is a row-local map; the only exchange
+    is the per-shard grouping, and within-shard ranking is one sort per
+    shard — with shards sized to ~1 block (thousands of shards at real
+    scale, not 8) the per-group sort is embarrassingly parallel and no
+    global sort exists.  md5 keys keep DuckDB parity; at 100 TB the
+    same plan runs with any salted 64-bit vectorized hash."""
+    import hashlib as _hl
+
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        shard = [
+            int(_hl.md5(f"shard:{i}".encode("utf8")).hexdigest()[:8], 16)
+            % N_SHUFFLE_SHARDS
+            for i in ids
+        ]
+        posk = [_hl.md5(f"pos:{i}".encode("utf8")).hexdigest() for i in ids]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, _I64),
+                "shard_id": pa.array(shard, _I64),
+                "pos_key": pa.array(posk, pa.string()),
+            }
+        )
+
+    def enumerate_shard(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["pos_key", "doc_id"], kind="mergesort").reset_index(drop=True)
+        g["pos"] = np.arange(len(g), dtype=np.int64)
+        return g[["shard_id", "pos", "doc_id"]]
+
+    return (
+        ds.map_batches(key, batch_format="pyarrow")
+        .groupby("shard_id")
+        .map_groups(enumerate_shard, batch_format="pandas")
+        .sort(["shard_id", "pos"])
+    )
