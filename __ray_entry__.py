@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_paragraph_filter": Q.q_paragraph_filter,
         "q_boilerplate_dedup": Q.q_boilerplate_dedup,
         "q_ppl_buckets": Q.q_ppl_buckets,
+        "q_url_filter": Q.q_url_filter,
     }
 
 

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "q_ppl_buckets",
     "q_json_extract",
     "q_shuffle_shards",
+    "q_url_filter",
 ]
 
 

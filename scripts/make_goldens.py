@@ -44,6 +44,7 @@ GOLDEN_QUERIES = [
     "q_paragraph_filter",
     "q_boilerplate_dedup",
     "q_ppl_buckets",
+    "q_url_filter",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

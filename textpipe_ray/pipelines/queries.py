@@ -2697,3 +2697,59 @@ def q_shuffle_shards(sf_dir: str):
         .map_groups(enumerate_shard, batch_format="pandas")
         .sort(["shard_id", "pos"])
     )
+
+
+# ---------------------------------------------------------------------------
+# URL / host blocklist filtering
+# ---------------------------------------------------------------------------
+
+
+def q_url_filter(sf_dir: str):
+    """UT1-style URL blocklist filtering over the pages table (the
+    CCNet / RefinedWeb pre-filter that runs BEFORE any content is
+    parsed: block by host, block by url pattern).  The blocklist is a
+    committed data artifact (``models/url_blocklist.json``) so a real
+    list (e.g. the UT1 categories) drops in without code changes.
+
+    Scale shape: the blocklist is tiny and broadcast once via
+    ``ray.put``; every check is row-local and vectorized (Arrow regex
+    host extraction, sorted-array ``searchsorted`` host membership,
+    one RE2 pattern scan) — no shuffle anywhere, and only ``url``
+    is ever read (a pre-filter must not pay for ``html``)."""
+    import glob as _glob
+    import json as _json
+    from pathlib import Path as _Path
+
+    spec = _json.loads(
+        (_Path(__file__).resolve().parents[2] / "models" / "url_blocklist.json").read_text()
+    )
+    blocked_hosts = np.sort(np.asarray(spec["hosts"], dtype=object))
+    pattern = "|".join(spec["url_patterns"])
+
+    pages = pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(
+        sorted(_glob.glob(f"{pages}/pages-*.parquet")), columns=["url"]
+    )
+    ref = ray.put((blocked_hosts, pattern))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bh, pat = ray.get(ref)
+        host = pc.struct_field(
+            pc.extract_regex(batch.column("url"), r"^[a-z]+://(?P<host>[^/]+)"), "host"
+        )
+        h = np.asarray(host.to_pylist(), dtype=object)
+        idx = np.clip(np.searchsorted(bh, h), 0, len(bh) - 1)
+        blocked_host = bh[idx] == h
+        blocked_pat = np.asarray(pc.match_substring_regex(batch.column("url"), pat))
+        keep = ~(blocked_host | blocked_pat)
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "host": host,
+                "blocked_host": pa.array(blocked_host.tolist(), pa.bool_()),
+                "blocked_pattern": pa.array(blocked_pat.tolist(), pa.bool_()),
+                "keep": pa.array(keep.tolist(), pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
