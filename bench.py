@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "q_json_extract",
     "q_shuffle_shards",
     "q_url_filter",
+    "q_char_coverage",
 ]
 
 

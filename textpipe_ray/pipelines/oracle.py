@@ -576,6 +576,14 @@ SELECT CAST(shard_id AS BIGINT) AS shard_id,
        CAST(doc_id AS BIGINT) AS doc_id
 FROM h ORDER BY shard_id, pos"""
 
+    out["q_char_coverage"] = """
+WITH c AS (
+  SELECT lang, unnest(string_split(text, '')) AS ch FROM documents
+)
+SELECT lang, CAST(unicode(ch) AS BIGINT) AS cp, CAST(count(*) AS BIGINT) AS n
+FROM c WHERE ch <> ''
+GROUP BY lang, cp ORDER BY lang, cp"""
+
     return out
 
 

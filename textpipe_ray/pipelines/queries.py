@@ -2753,3 +2753,71 @@ def q_url_filter(sf_dir: str):
         )
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# character coverage (tokenizer-training prep)
+# ---------------------------------------------------------------------------
+
+
+def q_char_coverage(sf_dir: str):
+    """Per-language codepoint histogram — the corpus statistic behind
+    SentencePiece's ``character_coverage`` knob (which codepoints must
+    the tokenizer's alphabet cover, and how much tail can byte-fallback
+    absorb).
+
+    Scale shape: per batch, each language's texts are concatenated and
+    decoded once into a uint32 codepoint array (``np.frombuffer`` of
+    UTF-32), then ``np.unique`` counts the whole array in one
+    vectorized pass — no per-character Python.  The per-batch
+    ``(lang, cp, n)`` partials are the combiner: the groupby exchange
+    moves O(langs × alphabet × blocks) rows, never O(corpus chars)."""
+    from collections import defaultdict
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bylang: dict[str, list[str]] = defaultdict(list)
+        for lang, text in zip(
+            batch.column("lang").to_pylist(), batch.column("text").to_pylist()
+        ):
+            bylang[lang].append(text or "")
+        out_l: list[str] = []
+        cps_parts: list[np.ndarray] = []
+        n_parts: list[np.ndarray] = []
+        for lang, texts in bylang.items():
+            s = "".join(texts)
+            if not s:
+                continue
+            arr = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            cps, counts = np.unique(arr, return_counts=True)
+            out_l.extend([lang] * len(cps))
+            cps_parts.append(cps.astype(np.int64))
+            n_parts.append(counts.astype(np.int64))
+        if not cps_parts:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "cp": pa.array([], _I64),
+                    "n": pa.array([], _I64),
+                }
+            )
+        return pa.table(
+            {
+                "lang": pa.array(out_l, pa.string()),
+                "cp": pa.array(np.concatenate(cps_parts)),
+                "n": pa.array(np.concatenate(n_parts)),
+            }
+        )
+
+    def post(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("n")
+        return batch.set_column(i, "n", pc.cast(batch.column("n"), _I64))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "cp"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(post, batch_format="pyarrow")
+        .sort(["lang", "cp"])
+    )
