@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_json_extract": Q.q_json_extract,
         "q_shuffle_shards": Q.q_shuffle_shards,
         "q_char_coverage": Q.q_char_coverage,
+        "q_span_dedup": Q.q_span_dedup,
         # model-scored / non-SQL-expressible (rows-only check)
         "q_langid": Q.q_langid,
         "q_perplexity": Q.q_perplexity,

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "q_shuffle_shards",
     "q_url_filter",
     "q_char_coverage",
+    "q_span_dedup",
 ]
 
 

@@ -584,6 +584,24 @@ SELECT lang, CAST(unicode(ch) AS BIGINT) AS cp, CAST(count(*) AS BIGINT) AS n
 FROM c WHERE ch <> ''
 GROUP BY lang, cp ORDER BY lang, cp"""
 
+    from textpipe_ray.pipelines.queries import SPAN_S, SPAN_W
+
+    out["q_span_dedup"] = f"""
+WITH w AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), {SPAN_W}) AS win
+  FROM documents
+  CROSS JOIN unnest(generate_series(1, len(text) - {SPAN_W - 1}, {SPAN_S})) AS t(i)
+),
+d AS (
+  SELECT win, min(doc_id) <> max(doc_id) AS is_dup FROM w GROUP BY win
+)
+SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       CAST(floor(1000.0 * sum(CASE WHEN d.is_dup THEN 1 ELSE 0 END) / count(*)) AS BIGINT)
+         AS dup_permille
+FROM w JOIN d USING (win) GROUP BY w.doc_id ORDER BY doc_id"""
+
     return out
 
 

@@ -2821,3 +2821,114 @@ def q_char_coverage(sf_dir: str):
         .map_batches(post, batch_format="pyarrow")
         .sort(["lang", "cp"])
     )
+
+
+# ---------------------------------------------------------------------------
+# overlapping duplicated-span profile (Lee et al. 2022 substring dedup)
+# ---------------------------------------------------------------------------
+
+SPAN_W = 30  # duplicated-span window length, characters
+SPAN_S = 10  # window stride (W/3: any ≥40-char shared run hits ≥1 window)
+_N_SPAN_PARTS = 32
+
+
+def q_span_dedup(sf_dir: str):
+    """Per-document duplicated-span profile at arbitrary alignment — the
+    corpus statistic behind suffix-array substring dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022): slide
+    a ``SPAN_W``-char window at stride ``SPAN_S`` over every document
+    and count, per document, how many windows also occur verbatim in at
+    least one OTHER document.  ``dup_permille`` is the filterable score;
+    unlike ``q_chunk_dedup``'s fixed token chunks, overlapping windows
+    catch shared runs at any offset (any duplicated run of
+    ``SPAN_W + SPAN_S - 1`` chars or longer is guaranteed to cover a
+    window in both documents).
+
+    Scale shape — window text crosses the wire exactly once:
+      1. explode: per-doc window slices (C-level substring copies; one
+         Python slice per window, same cost class as q_chunk_dedup's
+         chunk join), routed by a vectorized content-hash partition id
+         (hash ROUTES, pandas string equality DECIDES — collisions are
+         harmless);
+      2. one hash exchange on the window partition; within a partition
+         a vectorized groupby-transform marks a window duplicated iff
+         min(doc_id) != max(doc_id) over its corpus-wide occurrences
+         (internal repeats inside one doc do NOT count), then partials
+         pre-reduce to one row per (partition, doc);
+      3. the final ``groupby(doc_id)`` moves O(docs × partitions)
+         partial rows, never window text.
+    Docs shorter than ``SPAN_W`` emit no windows and are absent from
+    the output on both engines."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        texts = batch.column("text").to_pylist()
+        wins: list[str] = []
+        docs: list[int] = []
+        for d, t in zip(doc, texts):
+            t = t or ""
+            for i in range(0, len(t) - SPAN_W + 1, SPAN_S):
+                wins.append(t[i : i + SPAN_W])
+                docs.append(d)
+        if wins:
+            part = (
+                pd.util.hash_array(np.asarray(wins, dtype=object))
+                % np.uint64(_N_SPAN_PARTS)
+            ).astype(np.int32)
+        else:
+            part = np.array([], dtype=np.int32)
+        return pa.table(
+            {
+                "win": pa.array(wins, pa.string()),
+                "doc_id": pa.array(np.asarray(docs, dtype=np.int64), _I64),
+                "__p": pa.array(part, pa.int32()),
+            }
+        )
+
+    def mark(part: pd.DataFrame) -> pd.DataFrame:
+        gb = part.groupby("win")["doc_id"]
+        dup = (gb.transform("min") != gb.transform("max")).to_numpy(dtype=np.int64)
+        out = (
+            pd.DataFrame({"doc_id": part["doc_id"].to_numpy(), "dup": dup})
+            .groupby("doc_id", sort=False)
+            .agg(n_windows=("dup", "size"), n_dup_windows=("dup", "sum"))
+            .reset_index()
+        )
+        return out.astype(
+            {"doc_id": "int64", "n_windows": "int64", "n_dup_windows": "int64"}
+        )
+
+    partials = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(mark, batch_format="pandas")
+    )
+
+    agg = partials.groupby("doc_id").aggregate(
+        Sum("n_windows", alias_name="n_windows"),
+        Sum("n_dup_windows", alias_name="n_dup_windows"),
+    )
+
+    def post(batch: pa.Table) -> pa.Table:
+        nw = pc.cast(batch.column("n_windows"), _I64)
+        nd = pc.cast(batch.column("n_dup_windows"), _I64)
+        # floor(1000.0 * nd / nw): int64→double exact at these sizes,
+        # correctly-rounded IEEE division — bit-matches the oracle
+        pm = np.floor(
+            1000.0
+            * np.asarray(nd, dtype=np.float64)
+            / np.asarray(nw, dtype=np.float64)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), _I64),
+                "n_windows": nw,
+                "n_dup_windows": nd,
+                "dup_permille": pa.array(pm, _I64),
+            }
+        )
+
+    return agg.map_batches(post, batch_format="pyarrow").sort("doc_id")
