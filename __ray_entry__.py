@@ -71,6 +71,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_shuffle_shards": Q.q_shuffle_shards,
         "q_char_coverage": Q.q_char_coverage,
         "q_span_dedup": Q.q_span_dedup,
+        "q_pii_stats": Q.q_pii_stats,
+        "q_trigram_lm": Q.q_trigram_lm,
+        "q_collocations": Q.q_collocations,
         # model-scored / non-SQL-expressible (rows-only check)
         "q_langid": Q.q_langid,
         "q_perplexity": Q.q_perplexity,

@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "q_url_filter",
     "q_char_coverage",
     "q_span_dedup",
+    "q_pii_stats",
+    "q_trigram_lm",
+    "q_collocations",
 ]
 
 

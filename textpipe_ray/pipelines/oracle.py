@@ -584,6 +584,18 @@ SELECT lang, CAST(unicode(ch) AS BIGINT) AS cp, CAST(count(*) AS BIGINT) AS n
 FROM c WHERE ch <> ''
 GROUP BY lang, cp ORDER BY lang, cp"""
 
+    pii_ctes, pii_last, pii_carried = scrub_ctes("documents", id_col="lang")
+    pii_aggs = ",\n       ".join(
+        f"CAST(sum({c}) AS BIGINT) AS {c.removeprefix('scrub_')}_matches,\n       "
+        f"CAST(sum(CASE WHEN {c} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS "
+        f"{c.removeprefix('scrub_')}_docs"
+        for c in pii_carried
+    )
+    out["q_pii_stats"] = (
+        f"{pii_ctes}\nSELECT lang,\n       {pii_aggs}\n"
+        f"FROM {pii_last} GROUP BY lang ORDER BY lang"
+    )
+
     from textpipe_ray.pipelines.queries import SPAN_S, SPAN_W
 
     out["q_span_dedup"] = f"""
@@ -601,6 +613,39 @@ SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
        CAST(floor(1000.0 * sum(CASE WHEN d.is_dup THEN 1 ELSE 0 END) / count(*)) AS BIGINT)
          AS dup_permille
 FROM w JOIN d USING (win) GROUP BY w.doc_id ORDER BY doc_id"""
+
+    from textpipe_ray.pipelines.queries import TRIGRAM_TOPK
+
+    out["q_trigram_lm"] = f"""
+WITH g AS (
+  SELECT lang, substr(lower(text), CAST(i AS INTEGER), 3) AS tri
+  FROM documents CROSS JOIN unnest(generate_series(1, len(text) - 2, 1)) AS t(i)
+),
+c AS (SELECT lang, tri, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY lang, tri),
+tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_total FROM c GROUP BY lang)
+SELECT lang, tri, n, n_total
+FROM c JOIN tot USING (lang)
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, tri) <= {TRIGRAM_TOPK}
+ORDER BY lang, n DESC, tri"""
+
+    from textpipe_ray.pipelines.queries import COLLOC_TOKEN_RE2, COLLOC_TOPK
+
+    out["q_collocations"] = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), {q(COLLOC_TOKEN_RE2)}) AS ts FROM documents
+),
+bi AS (
+  SELECT ts[CAST(i AS INTEGER)] AS w1, ts[CAST(i AS INTEGER) + 1] AS w2
+  FROM toks CROSS JOIN unnest(generate_series(1, len(ts) - 1, 1)) AS t(i)
+),
+uni AS (
+  SELECT u AS w, CAST(count(*) AS BIGINT) AS nw
+  FROM (SELECT unnest(ts) AS u FROM toks) GROUP BY u
+),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy FROM bi GROUP BY w1, w2)
+SELECT bc.w1, bc.w2, bc.n_xy, u1.nw AS n_x, u2.nw AS n_y
+FROM bc JOIN uni u1 ON bc.w1 = u1.w JOIN uni u2 ON bc.w2 = u2.w
+ORDER BY n_xy DESC, w1, w2 LIMIT {COLLOC_TOPK}"""
 
     return out
 

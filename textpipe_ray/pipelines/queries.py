@@ -2932,3 +2932,274 @@ def q_span_dedup(sf_dir: str):
         )
 
     return agg.map_batches(post, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PII / toxicity incidence rollup
+# ---------------------------------------------------------------------------
+
+
+def q_pii_stats(sf_dir: str):
+    """Corpus PII/toxicity incidence: per language and scrub rule, how
+    many matches and how many affected documents — the observability
+    rollup a release audit runs BEFORE deciding scrub policy (the
+    per-document scrub itself is ``q_scrub``).  Counts follow scrub
+    semantics exactly: each rule counts on the text as already
+    rewritten by the rules before it (order matters — credit-card
+    before phone, or phone eats card digits).
+
+    Scale shape: per batch, one vectorized RE2 count + replace pass per
+    rule (``stages/text.scrub_batch``), then a pandas partial groupby —
+    the exchange moves O(langs × blocks) rows of 2×n_rules int64
+    columns, never text."""
+    import pandas as pd
+
+    from textpipe_ray.functions.scrub import load_rules as _load_rules
+
+    names = [r["name"] for r in _load_rules()["rules"]]
+    cols = [f"{n}_{kind}" for n in names for kind in ("matches", "docs")]
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = scrub_batch(batch, text_col="text", out_col="__scrubbed")
+        data = {"lang": np.asarray(b.column("lang"))}
+        for n in names:
+            cnt = np.asarray(b.column(f"scrub_{n}"), dtype=np.int64)
+            data[f"{n}_matches"] = cnt
+            data[f"{n}_docs"] = (cnt > 0).astype(np.int64)
+        g = pd.DataFrame(data).groupby("lang", sort=False).sum().reset_index()
+        return pa.table(
+            {"lang": pa.array(g["lang"], pa.string())}
+            | {c: pa.array(g[c].to_numpy(), _I64) for c in cols}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+
+    def post(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            i = batch.column_names.index(c)
+            batch = batch.set_column(i, c, pc.cast(batch.column(c), _I64))
+        return batch
+
+    return agg.map_batches(post, batch_format="pyarrow").sort("lang")
+
+
+# ---------------------------------------------------------------------------
+# distributed char-trigram LM training (tokenizer / perplexity prep)
+# ---------------------------------------------------------------------------
+
+TRIGRAM_TOPK = 50
+_TRI_SENT = 0x110000  # > max codepoint (0x10FFFF): doc-boundary sentinel
+
+
+def q_trigram_lm(sf_dir: str):
+    """Train the char-trigram count table — the model family
+    ``PerplexityStage`` consumes (functions/perplexity.py) — fully
+    distributed: per language, the ``TRIGRAM_TOPK`` most frequent
+    lowercase character trigrams with their counts and the language's
+    total trigram mass (``n_total`` lets consumers form smoothed
+    probabilities exactly; no floats cross an engine boundary).
+    Trigrams never cross document boundaries.
+
+    Scale shape: per batch, each language's docs are decoded once into
+    a uint32 codepoint array with an impossible-codepoint sentinel
+    between docs; the three shifted views pack into one int64 key
+    (3×21 bits), sentinel windows mask out, and ``np.unique`` counts
+    the whole batch in one pass — no per-character Python.  The
+    ``groupby(lang, key)`` exchange moves O(langs × |alphabet|³-ish ×
+    blocks) packed-int partials, never text; the final per-lang top-k +
+    total is cardinality-bounded and decodes keys back to strings only
+    for the k×langs output rows."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(pc.cast(batch.column("text"), pa.string()))
+        bylang: dict[str, list[str]] = defaultdict(list)
+        for lang, t in zip(batch.column("lang").to_pylist(), lowered.to_pylist()):
+            bylang[lang].append(t or "")
+        out_l: list[str] = []
+        key_parts: list[np.ndarray] = []
+        n_parts: list[np.ndarray] = []
+        sent = np.array([_TRI_SENT], dtype=np.uint32)
+        for lang, ts in bylang.items():
+            parts: list[np.ndarray] = []
+            for t in ts:
+                parts.append(np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32))
+                parts.append(sent)
+            arr = np.concatenate(parts).astype(np.int64)
+            if len(arr) < 3:
+                continue
+            w0, w1, w2 = arr[:-2], arr[1:-1], arr[2:]
+            valid = (w0 != _TRI_SENT) & (w1 != _TRI_SENT) & (w2 != _TRI_SENT)
+            keys = (w0[valid] << 42) | (w1[valid] << 21) | w2[valid]
+            if len(keys) == 0:
+                continue
+            uk, counts = np.unique(keys, return_counts=True)
+            out_l.extend([lang] * len(uk))
+            key_parts.append(uk)
+            n_parts.append(counts.astype(np.int64))
+        if not key_parts:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "key": pa.array([], _I64),
+                    "n": pa.array([], _I64),
+                }
+            )
+        return pa.table(
+            {
+                "lang": pa.array(out_l, pa.string()),
+                "key": pa.array(np.concatenate(key_parts)),
+                "n": pa.array(np.concatenate(n_parts)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "key"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        n_total = int(g["n"].sum())
+        keys = g["key"].to_numpy(dtype=np.int64)
+        tri = [
+            chr((k >> 42) & 0x1FFFFF) + chr((k >> 21) & 0x1FFFFF) + chr(k & 0x1FFFFF)
+            for k in keys
+        ]
+        d = pd.DataFrame(
+            {"lang": g["lang"].to_numpy(), "tri": tri, "n": g["n"].to_numpy()}
+        )
+        d = d.sort_values(["n", "tri"], ascending=[False, True], kind="mergesort").head(
+            TRIGRAM_TOPK
+        )
+        d["n"] = d["n"].astype("int64")
+        d["n_total"] = np.int64(n_total)
+        return d[["lang", "tri", "n", "n_total"]]
+
+    return (
+        counts.groupby("lang")
+        .map_groups(finish, batch_format="pandas")
+        .sort(["lang", "n", "tri"], descending=[False, True, False])
+    )
+
+
+# ---------------------------------------------------------------------------
+# collocation mining (word-bigram counts + unigram margins)
+# ---------------------------------------------------------------------------
+
+COLLOC_TOKEN_RE2 = r"[\p{L}\p{N}_]+"  # word tokens only (no symbol tokens)
+COLLOC_TOPK = 40
+
+
+def q_collocations(sf_dir: str):
+    """Collocation mining: the ``COLLOC_TOPK`` most frequent adjacent
+    word bigrams corpus-wide, each with its count and both unigram
+    margins — the exact-integer inputs to PMI/log-likelihood scoring
+    (the float PMI itself is consumer-side by design: ``np.log`` vs SQL
+    ``ln`` can differ in the last ulp and flip a rank, so no float ever
+    crosses the engine boundary; see ADVICE on q_tfidf_topk).  Bigrams
+    never cross document boundaries.
+
+    Scale shape — two passes, both pre-aggregated before their shuffle:
+      1. bigram pass: per-doc C-level ``findall`` (one call per doc,
+         not per token), pandas combiner per batch, bigrams packed into
+         ONE string key (``"w1 w2"`` — tokens cannot contain a space) so
+         the groupby rides Ray's
+         vectorized single-key Sum path (multi-key near-unique groups
+         are the q_shingle pathology); global sort + limit keeps
+         ``COLLOC_TOPK`` rows.
+      2. margin pass: only the ≤2k distinct words of the winning
+         bigrams are needed — broadcast them (``ray.put`` of a tiny
+         set, the SMALL side) and count their corpus-wide unigram
+         occurrences with an np.isin filter before the (tiny) groupby.
+    Driver holds only the k winners + their word margins."""
+    import regex as _re
+
+    import pandas as pd
+
+    creg = _re.compile(COLLOC_TOKEN_RE2)
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(batch.column("text")).to_pylist()
+        w1: list[str] = []
+        w2: list[str] = []
+        for t in lowered:
+            toks = creg.findall(t or "")
+            w1.extend(toks[:-1])
+            w2.extend(toks[1:])
+        if not w1:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "partial": pa.array([], _I64)}
+            )
+        # separator is a space: tokens are [\p{L}\p{N}_]+ so it cannot
+        # collide, and unlike "\x00" numpy unicode arrays preserve it
+        key = np.char.add(
+            np.char.add(np.asarray(w1, dtype=np.str_), " "),
+            np.asarray(w2, dtype=np.str_),
+        )
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "bigram": pa.array(uniq.tolist(), pa.string()),
+                "partial": pa.array(cnt.astype(np.int64), _I64),
+            }
+        )
+
+    top = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("partial", alias_name="n_xy"))
+        .sort(["n_xy", "bigram"], descending=[True, False])
+        .limit(COLLOC_TOPK)
+        .to_pandas()
+    )
+    split = top["bigram"].str.split(" ", expand=True)
+    top["w1"], top["w2"] = split[0], split[1]
+
+    needed = sorted(set(top["w1"]) | set(top["w2"]))
+    needed_ref = ray.put(np.asarray(needed, dtype=object))
+
+    def unigram_partial(batch: pa.Table) -> pa.Table:
+        want = ray.get(needed_ref)
+        lowered = pc.utf8_lower(batch.column("text")).to_pylist()
+        toks = creg.findall("\n".join(t or "" for t in lowered))
+        if not toks:
+            return pa.table(
+                {"w": pa.array([], pa.string()), "partial": pa.array([], _I64)}
+            )
+        arr = np.asarray(toks, dtype=object)
+        arr = arr[np.isin(arr, want)]
+        uniq, cnt = np.unique(arr, return_counts=True)
+        return pa.table(
+            {
+                "w": pa.array(uniq.tolist(), pa.string()),
+                "partial": pa.array(cnt.astype(np.int64), _I64),
+            }
+        )
+
+    margins = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(unigram_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("partial", alias_name="nw"))
+        .to_pandas()
+    )
+    nw = dict(zip(margins["w"], margins["nw"]))
+    top["n_x"] = top["w1"].map(nw).astype("int64")
+    top["n_y"] = top["w2"].map(nw).astype("int64")
+    top["n_xy"] = top["n_xy"].astype("int64")
+    out = top.sort_values(
+        ["n_xy", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
+    ).reset_index(drop=True)
+    return out[["w1", "w2", "n_xy", "n_x", "n_y"]]
