@@ -2888,7 +2888,7 @@ def q_span_dedup(sf_dir: str):
             }
         )
 
-    def mark(part: pd.DataFrame) -> pd.DataFrame:
+    def mark(part: pd.DataFrame) -> pa.Table:
         gb = part.groupby("win")["doc_id"]
         dup = (gb.transform("min") != gb.transform("max")).to_numpy(dtype=np.int64)
         out = (
@@ -2897,8 +2897,16 @@ def q_span_dedup(sf_dir: str):
             .agg(n_windows=("dup", "size"), n_dup_windows=("dup", "sum"))
             .reset_index()
         )
-        return out.astype(
-            {"doc_id": "int64", "n_windows": "int64", "n_dup_windows": "int64"}
+        # emit ARROW: a pandas block feeding Dataset.aggregate drops to a
+        # per-group python path (measured 95s CPU over 85k rows at sf0.1)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(dtype=np.int64), _I64),
+                "n_windows": pa.array(out["n_windows"].to_numpy(dtype=np.int64), _I64),
+                "n_dup_windows": pa.array(
+                    out["n_dup_windows"].to_numpy(dtype=np.int64), _I64
+                ),
+            }
         )
 
     partials = (
