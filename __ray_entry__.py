@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pii_stats": Q.q_pii_stats,
         "q_trigram_lm": Q.q_trigram_lm,
         "q_collocations": Q.q_collocations,
+        "q_quality_percentile": Q.q_quality_percentile,
         # model-scored / non-SQL-expressible (rows-only check)
         "q_langid": Q.q_langid,
         "q_perplexity": Q.q_perplexity,

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "q_pii_stats",
     "q_trigram_lm",
     "q_collocations",
+    "q_quality_percentile",
 ]
 
 

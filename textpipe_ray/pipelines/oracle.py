@@ -495,6 +495,16 @@ SELECT doc_id, {score_sql_expr(_w)} AS score,
        {score_sql_expr(_w)} > 0.0 AS quality_label
 FROM r"""
 
+    from textpipe_ray.pipelines.queries import QUALITY_PCT_Q
+
+    _qnum, _qden = QUALITY_PCT_Q
+    out["q_quality_percentile"] = f"""
+WITH f AS (SELECT doc_id, {feats} FROM documents),
+r AS (SELECT *, {ratios} FROM f),
+s AS (SELECT doc_id, CAST(floor(({score_sql_expr(_w)}) * 1e6) AS BIGINT) AS score_micro FROM r),
+t AS (SELECT quantile_disc(score_micro, {_qnum / _qden}) AS thr FROM s)
+SELECT s.doc_id, s.score_micro FROM s, t WHERE s.score_micro >= t.thr ORDER BY doc_id"""
+
     out["q_dup_stats"] = """
 SELECT source,
        CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,

@@ -3102,6 +3102,76 @@ def q_trigram_lm(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# global quality-percentile filter (keep top fraction by learned score)
+# ---------------------------------------------------------------------------
+
+QUALITY_PCT_Q = (7, 10)  # keep docs at/above the 0.70 score quantile (top ~30%)
+
+
+def q_quality_percentile(sf_dir: str):
+    """Global quality-percentile selection (the FineWeb/DCLM move:
+    "keep the top X% of the corpus by classifier score", a corpus-
+    relative threshold rather than a fixed cutoff): score every doc
+    with the committed linear model, find the exact 0.70 score
+    quantile corpus-wide, keep docs at/above it.
+
+    Scale shape — two streaming passes, no global sort:
+      1. threshold pass: scores quantize to ``floor(score·1e6)`` int64
+         (score doubles are bit-identical across engines — see
+         q_quality_score — so the quantized int agrees everywhere) and
+         reduce via the value-histogram idiom (one row per distinct
+         micro-score, the q_len_quantiles pattern); the
+         ``quantile_disc`` index is exact-rational ``ceil(q·n)-1``;
+      2. filter pass: rescore per batch and keep ``>= thr`` — entirely
+         row-local, no shuffle; ties at the threshold all survive on
+         both engines (deterministic over-selection, never a coin
+         flip).  The int threshold is a closure scalar, not state."""
+    from textpipe_ray.functions.quality_score import load_weights, score_batch
+
+    weights = load_weights()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def micro_scores(batch: pa.Table) -> np.ndarray:
+        b = quality_batch(batch, text_col="text")
+        score = score_batch(b, weights)
+        return np.floor(np.asarray(score, dtype=np.float64) * 1e6).astype(np.int64)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        uk, cnt = np.unique(micro_scores(batch), return_counts=True)
+        return pa.table(
+            {
+                "score_micro": pa.array(uk, _I64),
+                "cnt": pa.array(cnt.astype(np.int64), _I64),
+            }
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("score_micro")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # one row per distinct micro-score
+        .sort_values("score_micro")
+    )
+    cum = np.cumsum(hist["cnt"].to_numpy())
+    n = int(cum[-1])
+    num, den = QUALITY_PCT_Q
+    idx = max(0, -(-(num * n) // den) - 1)  # quantile_disc: ceil(q*n)-1, exact
+    thr = int(hist["score_micro"].to_numpy()[np.searchsorted(cum, idx + 1)])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        micro = micro_scores(batch)
+        mask = micro >= thr
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), _I64).filter(pa.array(mask)),
+                "score_micro": pa.array(micro[mask], _I64),
+            }
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # collocation mining (word-bigram counts + unigram margins)
 # ---------------------------------------------------------------------------
 
