@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_boilerplate_dedup": Q.q_boilerplate_dedup,
         "q_ppl_buckets": Q.q_ppl_buckets,
         "q_url_filter": Q.q_url_filter,
+        "q_media_phash_dedup": Q.q_media_phash_dedup,
     }
 
 

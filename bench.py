@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "q_trigram_lm",
     "q_collocations",
     "q_quality_percentile",
+    "q_media_phash_dedup",
 ]
 
 

@@ -45,6 +45,7 @@ GOLDEN_QUERIES = [
     "q_boilerplate_dedup",
     "q_ppl_buckets",
     "q_url_filter",
+    "q_media_phash_dedup",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
@@ -78,12 +79,26 @@ def main() -> None:
     entry = importlib.import_module("__ray_entry__")
     qs = entry.queries()
 
+    # --only q_a,q_b regenerates a subset (new queries) without touching
+    # the other committed golden files; the manifest is merged
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+
     out_dir = REPO / "goldens"
     out_dir.mkdir(exist_ok=True)
     manifest: dict = {"discriminator_sql": DISCRIMINATOR_SQL, "queries": {}}
+    manifest_path = out_dir / "manifest.json"
+    if only and manifest_path.exists():
+        with open(manifest_path, "r", encoding="utf8") as f:
+            manifest = json.load(f)
+        for name in only:
+            manifest["queries"].pop(name, None)
     for sf_dir in SF_DIRS:
         key = input_key(sf_dir)
         for name in GOLDEN_QUERIES:
+            if only and name not in only:
+                continue
             df = to_pandas(qs[name](sf_dir))
             fn = f"{name}-{key[:8]}.parquet"
             df.to_parquet(out_dir / fn, index=False)
@@ -91,7 +106,7 @@ def main() -> None:
                 {"input_md5": key, "file": fn, "sf_dir": sf_dir, "rows": len(df)}
             )
             print(f"{sf_dir} {name}: {len(df)} rows -> goldens/{fn}")
-    with open(out_dir / "manifest.json", "w", encoding="utf8") as f:
+    with open(manifest_path, "w", encoding="utf8") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     ray.shutdown()
 

@@ -105,3 +105,39 @@ def test_video_frames_deterministic(ray_session):
     f3 = b.decode_video_frame(b"payload", 600, 8, 8)
     assert (f1 == f2).all()
     assert (f1 != f3).any()  # distinct timestamps → distinct frames
+
+
+def test_phash_dedup_recovers_planted_dups(ray_session):
+    """Every planted byte-identical image pair must surface from the
+    hamming-band plan, and under the fake decoder nothing else may
+    (distinct payloads decode to independent noise -> far hashes)."""
+    from collections import defaultdict
+
+    import ray.data
+
+    from textpipe_ray.stages.dedup import near_dup_fingerprints
+    from textpipe_ray.stages.multimodal import ImagePHashStage, generate_media
+
+    tbl = generate_media(200, dup_frac=0.3)
+    # ground truth: all within-group pairs of byte-identical image payloads
+    groups = defaultdict(list)
+    for r in tbl.to_pylist():
+        if r["kind"] == "image":
+            groups[r["payload"]].append(r["media_id"])
+    expected = set()
+    for ids in groups.values():
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                expected.add((min(a, b), max(a, b)))
+    assert expected, "generator must plant duplicates at dup_frac=0.3"
+
+    ds = ray.data.from_arrow(tbl).repartition(4).filter(lambda r: r["kind"] == "image")
+    hashed = ds.map_batches(
+        ImagePHashStage, batch_format="pyarrow", batch_size=32, concurrency=2
+    ).select_columns(["media_id", "phash"])
+    pairs = near_dup_fingerprints(
+        hashed, fp_col="phash", id_col="media_id", max_hamming=2
+    ).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert expected <= got  # pigeonhole recall is 1.0 by construction
+    assert (pairs["hamming"] == 0).all()  # identical payloads -> identical hashes

@@ -3102,6 +3102,50 @@ def q_trigram_lm(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# image perceptual-hash dedup (multimodal near-dup family)
+# ---------------------------------------------------------------------------
+
+
+def q_media_phash_dedup(sf_dir: str):
+    """Image near-duplicate pairs by perceptual hash — the multimodal
+    analog of text SimHash dedup: decode each image in an actor pool,
+    fingerprint with a 64-bit dHash (``ImagePHashStage``), then reuse
+    the hamming-band pigeonhole plan (``near_dup_fingerprints``) that
+    text dedup already runs.  Under a real decoder near-identical
+    images (recompression, light edits) land within a few hamming bits;
+    the deterministic fake decoder collides only planted byte-identical
+    payloads — the banding/verify exchange is identical either way.
+
+    Scale shape: decode is the expensive unit — an actor pool with
+    small batches bounds in-flight decoded pixels; only (id, 8-byte
+    fingerprint) rows reach the exchange, so dedup cost is independent
+    of image size."""
+    import re as _re
+
+    import ray.data
+
+    from textpipe_ray.stages.dedup import near_dup_fingerprints
+    from textpipe_ray.stages.multimodal import ImagePHashStage, generate_media
+
+    rows = {"0.001": 200, "0.01": 500, "0.1": 2000}
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    n = rows.get(m.group(1) if m else "0.001", 200)
+    media = ray.data.from_arrow(generate_media(n, dup_frac=0.3)).repartition(8)
+
+    images = media.filter(
+        lambda r: r["kind"] == "image"  # row-local; images only carry payloads onward
+    )
+    hashed = images.map_batches(
+        ImagePHashStage, batch_format="pyarrow", batch_size=32, concurrency=(1, 4)
+    ).select_columns(["media_id", "phash"])
+
+    pairs = near_dup_fingerprints(
+        hashed, fp_col="phash", id_col="media_id", max_hamming=2
+    )
+    return pairs.sort(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
 # global quality-percentile filter (keep top fraction by learned score)
 # ---------------------------------------------------------------------------
 

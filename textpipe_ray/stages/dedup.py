@@ -508,7 +508,25 @@ def near_dup_simhash(
     max_hamming: int = 3,
     num_parts: int = 32,
 ) -> "ray.data.Dataset":
-    """SimHash near-duplicate pairs: 64-bit fingerprint → split into
+    """SimHash near-duplicate pairs over text: compute the 64-bit
+    SimHash per doc, then run :func:`near_dup_fingerprints`."""
+    hashed = ds.map_batches(
+        simhash_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
+    )
+    return near_dup_fingerprints(
+        hashed, id_col=id_col, max_hamming=max_hamming, num_parts=num_parts
+    )
+
+
+def near_dup_fingerprints(
+    ds: "ray.data.Dataset",
+    fp_col: str = "simhash",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_parts: int = 32,
+) -> "ray.data.Dataset":
+    """Near-duplicate pairs over ANY 64-bit fingerprint column (text
+    SimHash, image perceptual hash, …): fingerprint → split into
     ``max_hamming + 1`` bit-bands → bucket groupby on (band, band
     bits) → within-bucket hamming verify.  Pigeonhole guarantees every
     pair at distance ≤ ``max_hamming`` agrees exactly on at least one
@@ -516,7 +534,7 @@ def near_dup_simhash(
     probabilistic recall).  Returns (id_a, id_b, hamming), id_a < id_b.
 
     Physical plan mirrors :func:`near_dup_minhash`: the exchange moves
-    one small ``(band, band_bits, doc_id, simhash)`` row per (doc,
+    one small ``(band, band_bits, doc_id, fingerprint)`` row per (doc,
     band) — the 8-byte fingerprint rides along so verification happens
     in-group with no broadcast; the final pair-dedup groupby touches
     only verified pairs."""
@@ -527,7 +545,7 @@ def near_dup_simhash(
     def explode(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(id_col), dtype=np.int64)
         sims = np.asarray(
-            [np.uint64(s) for s in np.asarray(batch.column("simhash")).astype(np.uint64)],
+            [np.uint64(s) for s in np.asarray(batch.column(fp_col)).astype(np.uint64)],
             dtype=np.uint64,
         )
         out_id, out_band, out_bits, out_sim = [], [], [], []
@@ -596,8 +614,7 @@ def near_dup_simhash(
     from ray.data.aggregate import Min as _Min
 
     pairs = (
-        ds.map_batches(simhash_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col})
-        .map_batches(explode, batch_format="pyarrow")
+        ds.map_batches(explode, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(partition_pairs, batch_format="pandas")
     )

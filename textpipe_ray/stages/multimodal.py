@@ -120,6 +120,51 @@ class ImageFeatureStage:
         ).append_column("decoded_ok", pa.array(ok, pa.bool_()))
 
 
+class ImagePHashStage:
+    """Actor-pool stage: decode → 8×9 grayscale → 64-bit dHash
+    (difference hash: sign of the horizontal gradient), the standard
+    perceptual fingerprint for image dedup — near-identical images
+    (recompressed / lightly edited) land within a few bits of hamming
+    distance under a REAL decoder; under the deterministic fake only
+    byte-identical payloads collide, which still exercises the full
+    banding/verify plan.  Emits ``phash`` as an int64 bit pattern,
+    ready for :func:`stages.dedup.near_dup_fingerprints`.
+
+    Use: ``ds.map_batches(ImagePHashStage, batch_size=32,
+    concurrency=(2, 8), num_cpus=1, batch_format='pyarrow')``."""
+
+    def __init__(self, backend: DecoderBackend | None = None):
+        self.backend = backend or FakeDecoderBackend()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes, ok = [], []
+        for i in range(len(batch)):
+            if batch.column("kind")[i].as_py() != "image":
+                hashes.append(0)
+                ok.append(False)
+                continue
+            img = self.backend.decode_image(
+                batch.column("payload")[i].as_py(),
+                batch.column("width")[i].as_py() or 1,
+                batch.column("height")[i].as_py() or 1,
+            )
+            h, w = img.shape[:2]
+            # nearest-neighbour resample to 8 rows × 9 cols, grayscale
+            ys = (np.arange(8) * h // 8).clip(0, h - 1)
+            xs = (np.arange(9) * w // 9).clip(0, w - 1)
+            gray = img[ys][:, xs].astype(np.float64).mean(axis=2)
+            bits = (gray[:, 1:] > gray[:, :-1]).flatten()  # 8×8 gradient signs
+            val = np.uint64(0)
+            for b in bits:
+                val = (val << np.uint64(1)) | np.uint64(bool(b))
+            iv = int(val)
+            hashes.append(iv - (1 << 64) if iv >= (1 << 63) else iv)
+            ok.append(True)
+        return batch.append_column(
+            "phash", pa.array(hashes, pa.int64())
+        ).append_column("phash_ok", pa.array(ok, pa.bool_()))
+
+
 class AudioFeatureStage:
     """Actor-pool stage: decode → frame → per-frame RMS envelope."""
 
@@ -202,8 +247,13 @@ class VideoFrameSampleStage:
         )
 
 
-def generate_media(num_rows: int, seed: int = 42) -> pa.Table:
-    """Deterministic synthetic media table in MEDIA_SCHEMA."""
+def generate_media(num_rows: int, seed: int = 42, dup_frac: float = 0.0) -> pa.Table:
+    """Deterministic synthetic media table in MEDIA_SCHEMA.
+
+    ``dup_frac`` > 0 plants duplicate images: that fraction of image
+    rows get the payload+dimensions of an earlier image row (chosen by
+    the same seeded RNG), giving the image-dedup pipeline ground truth
+    while default callers stay byte-stable."""
     rng = np.random.RandomState(seed)
     kinds, payloads, mimes, ws, hs, srs, durs = [], [], [], [], [], [], []
     for i in range(num_rows):
@@ -228,6 +278,17 @@ def generate_media(num_rows: int, seed: int = 42) -> pa.Table:
             hs.append(int(rng.randint(64, 1080)))
             srs.append(0)
             durs.append(int(rng.randint(1000, 60000)))
+    if dup_frac > 0:
+        img_idx = [i for i, k in enumerate(kinds) if k == "image"]
+        n_dups = int(len(img_idx) * dup_frac)
+        for j in range(n_dups):
+            # deterministic: j-th dup target copies from an earlier image
+            dst = img_idx[len(img_idx) - 1 - j]
+            src = img_idx[int(rng.randint(max(1, len(img_idx) - n_dups)))]
+            if src == dst:
+                continue
+            payloads[dst] = payloads[src]
+            ws[dst], hs[dst] = ws[src], hs[src]
     return pa.table(
         {
             "media_id": pa.array(list(range(num_rows)), pa.int64()),
