@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ppl_buckets": Q.q_ppl_buckets,
         "q_url_filter": Q.q_url_filter,
         "q_media_phash_dedup": Q.q_media_phash_dedup,
+        "q_url_dedup": Q.q_url_dedup,
     }
 
 

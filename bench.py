@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "q_collocations",
     "q_quality_percentile",
     "q_media_phash_dedup",
+    "q_url_dedup",
 ]
 
 

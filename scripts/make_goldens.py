@@ -46,6 +46,7 @@ GOLDEN_QUERIES = [
     "q_ppl_buckets",
     "q_url_filter",
     "q_media_phash_dedup",
+    "q_url_dedup",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

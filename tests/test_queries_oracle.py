@@ -36,7 +36,7 @@ def oracle_names():
     "q_ann_ivf", "q_embedding_neardup", "q_pages_flagship", "q_pages_neardup",
     "q_pages_dedup", "q_textpipe_ops", "q_media_features",
     "q_host_stats", "q_paragraph_filter", "q_boilerplate_dedup", "q_ppl_buckets",
-    "q_url_filter", "q_media_phash_dedup",
+    "q_url_filter", "q_media_phash_dedup", "q_url_dedup",
 ])
 def test_query_matches_oracle(ray_session, name):
     from textpipe_ray.pipelines.compare import compare, run_oracle
@@ -59,3 +59,23 @@ def test_entry_smoke(ray_session):
     ds = _entry().entry()
     assert ds.count() >= 0
     assert ds.schema() is not None
+
+
+def test_url_dedup_recovers_original_urls(ray_session):
+    """Planted capture variants (utm/www/slash/fragment) must collapse
+    back to exactly the original URL set, earliest capture kept."""
+    import duckdb
+
+    from textpipe_ray.pipelines.queries import pages_dir_for, q_url_dedup
+
+    df = q_url_dedup(SF).to_pandas()
+    pages = pages_dir_for(SF)
+    orig = {
+        r[0]
+        for r in duckdb.sql(
+            f"select lower(url) from read_parquet('{pages}/pages-*.parquet')"
+        ).fetchall()
+    }
+    assert set(df["canonical_url"]) == orig          # nothing lost, nothing extra
+    assert (df["keep_url"].str.lower() == df["canonical_url"]).all()  # original wins (earliest ts)
+    assert (df["n_dups"] >= 1).all()

@@ -2756,6 +2756,143 @@ def q_url_filter(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# URL canonicalization dedup (crawl-level first-pass dedup)
+# ---------------------------------------------------------------------------
+
+# applied in order, all RE2-safe (shared with any SQL engine)
+URL_CANON_RULES: list[tuple[str, str]] = [
+    (r"#.*$", ""),                                   # drop fragment
+    (r"[?&](?:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*", ""),  # tracking params
+    (r"\?&", "?"),                                   # param cleanup after drops
+    (r"[?&]$", ""),                                  # dangling separator
+    (r"^([a-z]+://)www\.", r"\1"),                   # strip www.
+    (r"/$", ""),                                     # trailing slash
+]
+
+
+def q_url_dedup(sf_dir: str):
+    """Crawl-level URL dedup — the FIRST dedup pass of a CC-style
+    pipeline (before any content is fetched twice or parsed): URLs are
+    canonicalized (fragment + tracking params stripped, ``www.`` and
+    trailing-slash normalized, lowercased) and exactly deduped on the
+    canonical form, keeping the earliest capture (min ``warc_ts``,
+    tie-break url).
+
+    The synthetic pages table has clean unique URLs, so ground truth is
+    planted the same way the flagship plants keep/drop labels: each page
+    deterministically expands into 1-4 capture variants (utm params,
+    ``www.``, trailing slash, fragment — selected by a hash of the url),
+    and the dedup must collapse every variant group back to exactly the
+    original URL set (asserted by the paired test).
+
+    Scale shape: canonicalization is a chain of vectorized RE2
+    replaces — row-local, reads only ``url``/``warc_ts``; the dedup is
+    one ``groupby(canonical)`` over pre-reduced per-batch partials
+    (each batch first collapses its own duplicates), so the exchange
+    moves at most one row per distinct canonical url per block."""
+    import glob as _glob
+    import hashlib as _hl
+
+    import pandas as pd
+
+    pages = pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(
+        sorted(_glob.glob(f"{pages}/pages-*.parquet")), columns=["url", "warc_ts"]
+    )
+
+    def canon_partial(batch: pa.Table) -> pa.Table:
+        base = batch.column("url").to_pylist()
+        ts0 = np.asarray(
+            pc.cast(batch.column("warc_ts"), pa.timestamp("us")).cast(_I64)
+        )
+        urls: list[str] = []
+        ts: list[int] = []
+        for u0, t0 in zip(base, ts0):
+            sel = int.from_bytes(
+                _hl.blake2b(u0.encode("utf8"), digest_size=2).digest(), "little"
+            )
+            urls.append(u0)
+            ts.append(int(t0))
+            variants = [
+                u0 + "?utm_source=feed&utm_medium=rss",
+                u0.replace("://", "://www.", 1),
+                u0 + "/",
+                u0 + "#section-2",
+            ]
+            for k, v in enumerate(variants):
+                if (sel >> k) & 1:  # 0-4 planted recaptures per page
+                    urls.append(v)
+                    ts.append(int(t0) + 1000000 * (k + 1))  # later recaptures
+        u = pc.utf8_lower(pa.array(urls, pa.string()))
+        for pat, repl in URL_CANON_RULES:
+            u = pc.replace_substring_regex(u, pat, repl)
+        df = pd.DataFrame(
+            {
+                "canonical_url": u.to_pylist(),
+                "warc_ts": np.asarray(ts, dtype=np.int64),
+                "url": urls,
+            }
+        )
+        # per-batch combiner: keep the batch-local winner per canonical
+        g = df.sort_values(["canonical_url", "warc_ts", "url"], kind="mergesort")
+        g = g.drop_duplicates("canonical_url", keep="first")
+        n = (
+            df.groupby("canonical_url", sort=False)
+            .size()
+            .reindex(g["canonical_url"])
+            .to_numpy()
+        )
+        return pa.table(
+            {
+                "canonical_url": pa.array(g["canonical_url"], pa.string()),
+                "warc_ts": pa.array(g["warc_ts"].to_numpy(), _I64),
+                "url": pa.array(g["url"], pa.string()),
+                "n_dups": pa.array(n.astype(np.int64), _I64),
+            }
+        )
+
+    def finish(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["canonical_url", "warc_ts", "url"], kind="mergesort")
+        n = (
+            group.groupby("canonical_url", sort=False)["n_dups"]
+            .sum()
+            .reindex(g["canonical_url"])
+            .to_numpy()
+        )
+        g = g.assign(n_total=n)
+        g = g.drop_duplicates("canonical_url", keep="first")
+        return pa.table(
+            {
+                "canonical_url": pa.array(g["canonical_url"], pa.string()),
+                "keep_url": pa.array(g["url"], pa.string()),
+                "warc_ts": pa.array(g["warc_ts"].to_numpy(dtype=np.int64), _I64),
+                "n_dups": pa.array(g["n_total"].to_numpy(dtype=np.int64), _I64),
+            }
+        )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import hashlib as _hl
+
+        part = np.asarray(
+            [
+                int.from_bytes(_hl.blake2b(u.encode("utf8"), digest_size=4).digest(), "little")
+                % 32
+                for u in batch.column("canonical_url").to_pylist()
+            ],
+            dtype=np.int32,
+        )
+        return batch.append_column("__p", pa.array(part, pa.int32()))
+
+    return (
+        ds.map_batches(canon_partial, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(finish, batch_format="pandas")
+        .sort("canonical_url")
+    )
+
+
+# ---------------------------------------------------------------------------
 # character coverage (tokenizer-training prep)
 # ---------------------------------------------------------------------------
 
