@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "q_quality_percentile",
     "q_media_phash_dedup",
     "q_url_dedup",
+    "q_corpus_release",
 ]
 
 

@@ -47,6 +47,7 @@ GOLDEN_QUERIES = [
     "q_url_filter",
     "q_media_phash_dedup",
     "q_url_dedup",
+    "q_corpus_release",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

@@ -2756,6 +2756,110 @@ def q_url_filter(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# end-to-end corpus release (the full quality_filter production chain)
+# ---------------------------------------------------------------------------
+
+RELEASE_SHARDS = 8
+
+
+def q_corpus_release(sf_dir: str):
+    """The full production chain as ONE lazy streaming pipeline — what a
+    corpus release actually runs, composed from the same stages the
+    individual queries exercise:
+
+      1. URL blocklist pre-filter (broadcast tiny list, row-local, runs
+         BEFORE any html is parsed);
+      2. flagship scoring (extract → fused langid+perplexity actor pool
+         → quality rules + scrub + keep/drop);
+      3. keep-only exact content dedup (hash-partitioned, min-url wins);
+      4. deterministic shard assignment + in-shard position (the
+         reproducible training-order shuffle of q_shuffle_shards).
+
+    Everything streams: no stage materializes the corpus, the only
+    exchanges are the dedup hash partition and the per-shard rank, and
+    the output is a training-ready manifest (shard_id, pos, url, lang).
+    Deterministic end-to-end → golden-oracle value-checked."""
+    import glob as _glob
+    import hashlib as _hl
+    import json as _json
+    from pathlib import Path as _Path
+
+    import pandas as pd
+
+    from textpipe_ray.pipelines.flagship import build_pages_pipeline, read_pages
+    from textpipe_ray.stages.dedup import dedup_exact
+
+    pages = pages_dir_for(sf_dir)
+    ds = read_pages(sorted(_glob.glob(f"{pages}/pages-*.parquet")))
+
+    spec = _json.loads(
+        (_Path(__file__).resolve().parents[2] / "models" / "url_blocklist.json").read_text()
+    )
+    blocked_hosts = np.sort(np.asarray(spec["hosts"], dtype=object))
+    pattern = "|".join(spec["url_patterns"])
+    block_ref = ray.put((blocked_hosts, pattern))
+
+    def url_keep(batch: pa.Table) -> pa.Table:
+        bh, pat = ray.get(block_ref)
+        host = pc.struct_field(
+            pc.extract_regex(batch.column("url"), r"^[a-z]+://(?P<host>[^/]+)"), "host"
+        )
+        h = np.asarray(host.to_pylist(), dtype=object)
+        idx = np.clip(np.searchsorted(bh, h), 0, len(bh) - 1)
+        keep = ~(
+            (bh[idx] == h)
+            | np.asarray(pc.match_substring_regex(batch.column("url"), pat))
+        )
+        return batch.filter(pa.array(keep))
+
+    scored = build_pages_pipeline(ds.map_batches(url_keep, batch_format="pyarrow"))
+
+    def kept_keys(batch: pa.Table) -> pa.Table:
+        out = batch.filter(batch.column("keep"))
+        urls = out.column("url").to_pylist()
+        content = [
+            _hl.md5((t or "").encode("utf8")).hexdigest()
+            for t in out.column("clean").to_pylist()
+        ]
+        shard = [
+            int(_hl.md5(f"shard:{u}".encode("utf8")).hexdigest()[:8], 16)
+            % RELEASE_SHARDS
+            for u in urls
+        ]
+        posk = [_hl.md5(f"pos:{u}".encode("utf8")).hexdigest() for u in urls]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "lang": out.column("lang").cast(pa.string()),
+                "content_hash": pa.array(content, pa.string()),
+                "shard_id": pa.array(shard, _I64),
+                "pos_key": pa.array(posk, pa.string()),
+            }
+        )
+
+    survivors = dedup_exact(
+        scored.map_batches(kept_keys, batch_format="pyarrow"), "content_hash", "url"
+    )
+
+    def enumerate_shard(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["pos_key", "url"], kind="mergesort").reset_index(drop=True)
+        return pa.table(
+            {
+                "shard_id": pa.array(g["shard_id"].to_numpy(dtype=np.int64), _I64),
+                "pos": pa.array(np.arange(len(g), dtype=np.int64), _I64),
+                "url": pa.array(g["url"], pa.string()),
+                "lang": pa.array(g["lang"], pa.string()),
+            }
+        )
+
+    return (
+        survivors.groupby("shard_id")
+        .map_groups(enumerate_shard, batch_format="pandas")
+        .sort(["shard_id", "pos"])
+    )
+
+
+# ---------------------------------------------------------------------------
 # URL canonicalization dedup (crawl-level first-pass dedup)
 # ---------------------------------------------------------------------------
 
