@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_media_phash_dedup": Q.q_media_phash_dedup,
         "q_url_dedup": Q.q_url_dedup,
         "q_corpus_release": Q.q_corpus_release,
+        "q_dsir": Q.q_dsir,
     }
 
 

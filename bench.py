@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "q_media_phash_dedup",
     "q_url_dedup",
     "q_corpus_release",
+    "q_dsir",
 ]
 
 

@@ -48,6 +48,7 @@ GOLDEN_QUERIES = [
     "q_media_phash_dedup",
     "q_url_dedup",
     "q_corpus_release",
+    "q_dsir",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

@@ -37,6 +37,7 @@ def oracle_names():
     "q_pages_dedup", "q_textpipe_ops", "q_media_features",
     "q_host_stats", "q_paragraph_filter", "q_boilerplate_dedup", "q_ppl_buckets",
     "q_url_filter", "q_media_phash_dedup", "q_url_dedup", "q_corpus_release",
+    "q_dsir",
 ])
 def test_query_matches_oracle(ray_session, name):
     from textpipe_ray.pipelines.compare import compare, run_oracle
@@ -79,3 +80,21 @@ def test_url_dedup_recovers_original_urls(ray_session):
     assert set(df["canonical_url"]) == orig          # nothing lost, nothing extra
     assert (df["keep_url"].str.lower() == df["canonical_url"]).all()  # original wins (earliest ts)
     assert (df["n_dups"] >= 1).all()
+
+
+def test_dsir_prefers_target_source(ray_session):
+    """DSIR importance weights must rank the target-distribution subset
+    above the rest on average (per-trigram, to remove length bias)."""
+    import duckdb
+
+    from textpipe_ray.pipelines.queries import DSIR_TARGET_SOURCE, q_dsir
+
+    df = q_dsir(SF).to_pandas()
+    src = duckdb.sql(
+        f"select doc_id, source, len(text) as L from read_parquet('{SF}/documents.parquet')"
+    ).fetchdf()
+    j = df.merge(src, on="doc_id")
+    per_tri = j["weight_micro"] / (j["L"] - 2).clip(lower=1)
+    tgt = per_tri[j["source"] == DSIR_TARGET_SOURCE].mean()
+    rest = per_tri[j["source"] != DSIR_TARGET_SOURCE].mean()
+    assert tgt > rest

@@ -3457,6 +3457,123 @@ def q_quality_percentile(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance weights (data selection for language models)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1 << 16
+DSIR_TARGET_SOURCE = "src0"  # stands in for the high-quality reference corpus
+
+
+def q_dsir(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much more likely its hashed n-gram features are under a
+    target distribution (here: the ``DSIR_TARGET_SOURCE`` subset,
+    standing in for Wikipedia/books) than under the raw corpus —
+    ``w(doc) = Σ_f n_f(doc)·(log p̂_tgt(f) − log p̂_raw(f))`` with
+    add-one smoothing.  Docs are then resampled ∝ exp(w) downstream;
+    the weight table IS the operator output.
+
+    Scale shape — the broadcast side is CONSTANT-SIZE by construction
+    (the whole point of hashed features): two ``DSIR_BUCKETS``-entry
+    histograms, not a vocabulary.
+      1. histogram pass: packed char-trigram keys (the q_trigram_lm
+         codepoint machinery) hash to 16-bit buckets; per-batch
+         ``np.bincount`` partials reduce via one bounded
+         ``groupby(bucket)`` and the 65k-row log-ratio table broadcasts
+         once via ``ray.put``;
+      2. scoring pass: per batch, one ``np.add.reduceat`` over the
+         log-ratio lookups — row-local, no shuffle.
+    Weights are emitted micro-quantized (int64); value-checked against
+    the committed golden (same doubles → same floor everywhere)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def _packed_keys(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """→ (per-doc trigram counts, concatenated packed keys)."""
+        sent = np.array([_TRI_SENT], dtype=np.uint32)
+        parts: list[np.ndarray] = []
+        for t in texts:
+            parts.append(np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32))
+            parts.append(sent)
+        arr = np.concatenate(parts).astype(np.int64)
+        w0, w1, w2 = arr[:-2], arr[1:-1], arr[2:]
+        valid = (w0 != _TRI_SENT) & (w1 != _TRI_SENT) & (w2 != _TRI_SENT)
+        keys = (w0 << 42) | (w1 << 21) | w2
+        # per-doc trigram counts: distance between sentinel positions − 2
+        lens = np.diff(np.concatenate(([-1], np.flatnonzero(arr == _TRI_SENT)))) - 1
+        n_tri = np.maximum(lens - 2, 0)
+        return n_tri, keys[valid]
+
+    def _buckets(keys: np.ndarray) -> np.ndarray:
+        return (
+            (keys.astype(np.uint64) * _GOLDEN) >> np.uint64(64 - 16)
+        ).astype(np.int64)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(pc.cast(batch.column("text"), pa.string())).to_pylist()
+        src = np.asarray(batch.column("source"))
+        out = {}
+        for name, mask in (
+            ("n_target", src == DSIR_TARGET_SOURCE),
+            ("n_raw", np.ones(len(src), dtype=bool)),
+        ):
+            texts = [t for t, m in zip(lowered, mask) if m]
+            if texts:
+                _, keys = _packed_keys(texts)
+                out[name] = np.bincount(_buckets(keys), minlength=DSIR_BUCKETS)
+            else:
+                out[name] = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+        nz = (out["n_target"] + out["n_raw"]) > 0
+        return pa.table(
+            {
+                "bucket": pa.array(np.flatnonzero(nz).astype(np.int64), _I64),
+                "n_target": pa.array(out["n_target"][nz].astype(np.int64), _I64),
+                "n_raw": pa.array(out["n_raw"][nz].astype(np.int64), _I64),
+            }
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Sum("n_target", alias_name="n_target"), Sum("n_raw", alias_name="n_raw")
+        )
+        .to_pandas()  # bounded: ≤ DSIR_BUCKETS rows by construction
+    )
+    tgt = np.zeros(DSIR_BUCKETS, dtype=np.float64)
+    raw = np.zeros(DSIR_BUCKETS, dtype=np.float64)
+    b = hist["bucket"].to_numpy(dtype=np.int64)
+    tgt[b] = hist["n_target"].to_numpy(dtype=np.float64)
+    raw[b] = hist["n_raw"].to_numpy(dtype=np.float64)
+    log_ratio = np.log((tgt + 1.0) / (tgt.sum() + DSIR_BUCKETS)) - np.log(
+        (raw + 1.0) / (raw.sum() + DSIR_BUCKETS)
+    )
+    ratio_ref = ray.put(log_ratio)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lr = ray.get(ratio_ref)
+        lowered = pc.utf8_lower(pc.cast(batch.column("text"), pa.string())).to_pylist()
+        n_tri, keys = _packed_keys(lowered)
+        per_key = lr[_buckets(keys)]
+        starts = np.concatenate(([0], np.cumsum(n_tri)))[:-1].astype(np.int64)
+        w = np.zeros(len(lowered), dtype=np.float64)
+        has = n_tri > 0
+        if per_key.size:
+            sums = np.add.reduceat(per_key, np.minimum(starts, per_key.size - 1))
+            w[has] = sums[has]
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), _I64),
+                "weight_micro": pa.array(
+                    np.floor(w * 1e6).astype(np.int64), _I64
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # collocation mining (word-bigram counts + unigram margins)
 # ---------------------------------------------------------------------------
 
