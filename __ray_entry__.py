@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_url_dedup": Q.q_url_dedup,
         "q_corpus_release": Q.q_corpus_release,
         "q_dsir": Q.q_dsir,
+        "q_budget_mix": Q.q_budget_mix,
     }
 
 

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "q_url_dedup",
     "q_corpus_release",
     "q_dsir",
+    "q_budget_mix",
 ]
 
 

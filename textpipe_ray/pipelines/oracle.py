@@ -624,6 +624,21 @@ SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
          AS dup_permille
 FROM w JOIN d USING (win) GROUP BY w.doc_id ORDER BY doc_id"""
 
+    from textpipe_ray.pipelines.queries import BUDGET_MIX_CHARS
+
+    out["q_budget_mix"] = f"""
+WITH h AS (
+  SELECT doc_id, source, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents
+),
+c AS (
+  SELECT *, sum(n_chars) OVER (PARTITION BY source ORDER BY hk, doc_id) - n_chars AS prev_cum
+  FROM h
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(prev_cum AS BIGINT) AS prev_cum
+FROM c WHERE prev_cum < {BUDGET_MIX_CHARS}
+ORDER BY source, prev_cum, doc_id"""
+
     from textpipe_ray.pipelines.queries import TRIGRAM_TOPK
 
     out["q_trigram_lm"] = f"""

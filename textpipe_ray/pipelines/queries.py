@@ -3457,6 +3457,103 @@ def q_quality_percentile(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# per-source budget mix (training-mix selection under a size budget)
+# ---------------------------------------------------------------------------
+
+BUDGET_MIX_CHARS = 5_000  # per-source char budget (binds at every test scale)
+_BUDGET_RANGES = 256       # hash-order range partitions (hk first byte)
+
+
+def q_budget_mix(sf_dir: str):
+    """Budgeted training-mix selection: from every source, keep documents
+    in deterministic hash order until the source's size budget is
+    reached — how production mixes are actually drawn ("X tokens of
+    web, Y of code"), an unbiased sample with an exact cap rather than
+    a keep-rate (q_domain_mix) or temperature (q_lang_temperature).
+    A doc is kept iff the running total BEFORE it is under budget, so
+    the boundary doc always survives on both engines.
+
+    Scale shape — a grouped distributed prefix sum (the q_pack_sequences
+    idiom, keyed by (source, hash-range)):
+      1. each doc gets ``hk = md5(doc_id)`` and a range = hk's first
+         byte; per-(source, range) totals reduce via one BOUNDED
+         groupby (sources × 256 rows) and prefix offsets broadcast as
+         a tiny dict;
+      2. one hash exchange on (source, range); within a partition a
+         vectorized pandas cumsum computes local prefixes, adds the
+         broadcast offset, and filters — no global sort anywhere."""
+    import hashlib as _hl
+
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        hk = [_hl.md5(str(i).encode("utf8")).hexdigest() for i in ids]
+        rng = np.asarray([int(h[:2], 16) for h in hk], dtype=np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, _I64),
+                "source": batch.column("source").cast(pa.string()),
+                "n_chars": pc.cast(batch.column("n_chars"), _I64),
+                "hk": pa.array(hk, pa.string()),
+                "rng": pa.array(rng, pa.int32()),
+            }
+        )
+
+    keyed = ds.map_batches(key, batch_format="pyarrow").materialize()
+
+    totals = (
+        keyed.groupby(["source", "rng"])
+        .aggregate(Sum("n_chars", alias_name="total"))
+        .to_pandas()  # bounded: sources × 256 rows
+        .sort_values(["source", "rng"])
+    )
+    totals["offset"] = totals.groupby("source")["total"].cumsum() - totals["total"]
+    off = {
+        (s, int(r)): int(o)
+        for s, r, o in zip(totals["source"], totals["rng"], totals["offset"])
+    }
+    off_ref = ray.put(off)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        r = np.asarray(batch.column("rng"), dtype=np.int64)
+        # range id alone spreads (source, range) groups: all rows of one
+        # group share one partition, partitions hold whole groups
+        return batch.append_column("__p", _part_col(r, 64))
+
+    def local(df: pd.DataFrame) -> pa.Table:
+        offs = ray.get(off_ref)
+        g = df.sort_values(["source", "rng", "hk", "doc_id"], kind="mergesort")
+        prev_local = (
+            g.groupby(["source", "rng"], sort=False)["n_chars"].cumsum()
+            - g["n_chars"]
+        ).to_numpy(dtype=np.int64)
+        base = np.asarray(
+            [offs[(s, int(r))] for s, r in zip(g["source"], g["rng"])],
+            dtype=np.int64,
+        )
+        prev_cum = prev_local + base
+        keep = prev_cum < BUDGET_MIX_CHARS
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64)[keep], _I64),
+                "source": pa.array(g["source"].to_numpy(dtype=object)[keep], pa.string()),
+                "n_chars": pa.array(g["n_chars"].to_numpy(dtype=np.int64)[keep], _I64),
+                "prev_cum": pa.array(prev_cum[keep], _I64),
+            }
+        )
+
+    return (
+        keyed.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(local, batch_format="pandas")
+        .sort(["source", "prev_cum", "doc_id"])
+    )
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance weights (data selection for language models)
 # ---------------------------------------------------------------------------
 
