@@ -2778,7 +2778,11 @@ def q_corpus_release(sf_dir: str):
     Everything streams: no stage materializes the corpus, the only
     exchanges are the dedup hash partition and the per-shard rank, and
     the output is a training-ready manifest (shard_id, pos, url, lang).
-    Deterministic end-to-end → golden-oracle value-checked."""
+    Deterministic end-to-end → golden-oracle value-checked.
+    Partitioning assumption: one shard's manifest rows fit a partition —
+    ``RELEASE_SHARDS`` is 8 for the test tables and scales with the
+    corpus (thousands of block-sized shards at 100 TB, same as
+    q_shuffle_shards)."""
     import glob as _glob
     import hashlib as _hl
     import json as _json
@@ -3263,7 +3267,11 @@ def q_trigram_lm(sf_dir: str):
     ``groupby(lang, key)`` exchange moves O(langs × |alphabet|³-ish ×
     blocks) packed-int partials, never text; the final per-lang top-k +
     total is cardinality-bounded and decodes keys back to strings only
-    for the k×langs output rows."""
+    for the k×langs output rows.  Partitioning assumption: one
+    language's DISTINCT-trigram count table fits a partition — true for
+    alphabetic scripts at any corpus size; for CJK at 100 TB pre-prune
+    with a min-count threshold (value-histogram idiom) before the
+    per-lang finish."""
     from collections import defaultdict
 
     import pandas as pd
