@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_corpus_release": Q.q_corpus_release,
         "q_dsir": Q.q_dsir,
         "q_budget_mix": Q.q_budget_mix,
+        "q_normalized_dedup": Q.q_normalized_dedup,
     }
 
 

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "q_corpus_release",
     "q_dsir",
     "q_budget_mix",
+    "q_normalized_dedup",
 ]
 
 

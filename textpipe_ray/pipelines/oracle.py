@@ -624,6 +624,27 @@ SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
          AS dup_permille
 FROM w JOIN d USING (win) GROUP BY w.doc_id ORDER BY doc_id"""
 
+    from textpipe_ray.pipelines.queries import NORM_DUP_TAG
+
+    _sel = "CAST(('0x' || substr(md5('norm:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER)"
+    out["q_normalized_dedup"] = rf"""
+WITH v AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {NORM_DUP_TAG}, upper(text) FROM documents WHERE {_sel} % 2 = 1
+  UNION ALL
+  SELECT doc_id + {2 * NORM_DUP_TAG}, '  ' || replace(text, ' ', e'\n\t ') || e' \n'
+  FROM documents WHERE ({_sel} // 2) % 2 = 1
+),
+n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[\t\n\f\r ]+', ' ', 'g'))) AS dedup_key
+  FROM v
+)
+SELECT dedup_key, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM n GROUP BY dedup_key ORDER BY dedup_key"""
+
     from textpipe_ray.pipelines.queries import BUDGET_MIX_CHARS
 
     out["q_budget_mix"] = f"""

@@ -3465,6 +3465,96 @@ def q_quality_percentile(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# normalized exact dedup (CCNet-style canonical-text dedup)
+# ---------------------------------------------------------------------------
+
+NORM_DUP_TAG = 1_000_000  # planted-variant doc_id offset
+
+
+def q_normalized_dedup(sf_dir: str):
+    """Normalized exact dedup — the CCNet move: case-fold and collapse
+    whitespace BEFORE hashing, so trivially-reformatted copies (case
+    changes, wrapped lines, double spaces) collapse that raw-byte
+    ``q_exact_dedup`` would miss.  Keeps min ``doc_id`` per normalized
+    hash and reports the collapse count.
+
+    Every document's full text is unique in the synthetic tables, so
+    reformatted copies are planted the q_url_dedup way: docs selected by
+    a hash of their id also appear as an UPPERCASED and/or
+    whitespace-mangled variant (tagged doc_id + 10⁶/2·10⁶), and the
+    normalization must collapse every variant group — the paired test
+    asserts the output keys are exactly the original corpus and every
+    planted variant is absorbed.
+
+    Scale shape: normalization is two vectorized Arrow kernels
+    (``utf8_lower`` + one RE2 whitespace collapse) and hashing is
+    per-batch; the per-batch combiner pre-collapses local duplicates so
+    the single ``groupby(key)`` exchange moves ≤ one row per distinct
+    hash per block — never text."""
+    import hashlib as _hl
+
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm_partial(batch: pa.Table) -> pa.Table:
+        ids0 = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        texts0 = batch.column("text").to_pylist()
+        ids: list[int] = []
+        texts: list[str] = []
+        for i, t0 in zip(ids0, texts0):
+            t0 = t0 or ""
+            ids.append(int(i))
+            texts.append(t0)
+            sel = int(_hl.md5(f"norm:{i}".encode("utf8")).hexdigest()[:2], 16)
+            if sel & 1:  # planted reformatted copy: case change
+                ids.append(int(i) + NORM_DUP_TAG)
+                texts.append(t0.upper())
+            if sel & 2:  # planted reformatted copy: whitespace mangling
+                ids.append(int(i) + 2 * NORM_DUP_TAG)
+                texts.append("  " + t0.replace(" ", "\n\t ") + " \n")
+        t = pc.utf8_lower(pa.array(texts, pa.string()))
+        t = pc.replace_substring_regex(t, r"[\t\n\f\r ]+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        keys = [
+            hashlib.md5((s or "").encode("utf8")).hexdigest() for s in t.to_pylist()
+        ]
+        df = pd.DataFrame(
+            {"dedup_key": keys, "doc_id": np.asarray(ids, dtype=np.int64)}
+        )
+        g = df.groupby("dedup_key", sort=False).agg(
+            keep_doc_id=("doc_id", "min"), n_docs=("doc_id", "size")
+        ).reset_index()
+        return pa.table(
+            {
+                "dedup_key": pa.array(g["dedup_key"], pa.string()),
+                "keep_doc_id": pa.array(g["keep_doc_id"].to_numpy(dtype=np.int64), _I64),
+                "n_docs": pa.array(g["n_docs"].to_numpy(dtype=np.int64), _I64),
+            }
+        )
+
+    return (
+        ds.map_batches(norm_partial, batch_format="pyarrow")
+        .groupby("dedup_key")
+        .aggregate(
+            Min("keep_doc_id", alias_name="keep_doc_id"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "dedup_key": b.column("dedup_key"),
+                    "keep_doc_id": pc.cast(b.column("keep_doc_id"), _I64),
+                    "n_docs": pc.cast(b.column("n_docs"), _I64),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("dedup_key")
+    )
+
+
+# ---------------------------------------------------------------------------
 # per-source budget mix (training-mix selection under a size budget)
 # ---------------------------------------------------------------------------
 
