@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dsir": Q.q_dsir,
         "q_budget_mix": Q.q_budget_mix,
         "q_normalized_dedup": Q.q_normalized_dedup,
+        "q_funnel": Q.q_funnel,
     }
 
 

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "q_dsir",
     "q_budget_mix",
     "q_normalized_dedup",
+    "q_funnel",
 ]
 
 

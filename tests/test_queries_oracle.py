@@ -30,7 +30,7 @@ def oracle_names():
     "q_quality_score", "q_dup_stats", "q_embedding_centroid", "q_domain_mix",
     "q_lang_temperature", "q_json_extract", "q_shuffle_shards", "q_char_coverage",
     "q_span_dedup", "q_pii_stats", "q_trigram_lm", "q_collocations",
-    "q_quality_percentile", "q_budget_mix", "q_normalized_dedup",
+    "q_quality_percentile", "q_budget_mix", "q_normalized_dedup", "q_funnel",
     # golden-parquet oracles (scripts/make_goldens.py)
     "q_langid", "q_perplexity", "q_minhash", "q_simhash", "q_simhash_neardup",
     "q_ann_ivf", "q_embedding_neardup", "q_pages_flagship", "q_pages_neardup",

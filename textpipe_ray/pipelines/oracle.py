@@ -624,6 +624,30 @@ SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
          AS dup_permille
 FROM w JOIN d USING (win) GROUP BY w.doc_id ORDER BY doc_id"""
 
+    from textpipe_ray.pipelines.queries import FUNNEL_STEPS, FUNNEL_WINDOW_US
+
+    _s1, _s2, _s3 = FUNNEL_STEPS
+    out["q_funnel"] = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts FROM events
+  WHERE event_type IN ('{_s1}', '{_s2}', '{_s3}')
+),
+v AS (SELECT user_id, min(ts) AS t_view FROM e WHERE event_type = '{_s1}' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t_click FROM e JOIN v USING (user_id)
+      WHERE e.event_type = '{_s2}' AND e.ts > v.t_view AND e.ts <= v.t_view + {FUNNEL_WINDOW_US} GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM e JOIN c USING (user_id)
+      WHERE e.event_type = '{_s3}' AND e.ts > c.t_click AND e.ts <= c.t_click + {FUNNEL_WINDOW_US} GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM e)
+SELECT CAST(u.user_id AS BIGINT) AS user_id,
+       CAST(CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage,
+       CAST(v.t_view AS BIGINT) AS t_view,
+       CAST(c.t_click AS BIGINT) AS t_click,
+       CAST(p.t_purchase AS BIGINT) AS t_purchase
+FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+ORDER BY user_id"""
+
     from textpipe_ray.pipelines.queries import NORM_DUP_TAG
 
     _sel = "CAST(('0x' || substr(md5('norm:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER)"

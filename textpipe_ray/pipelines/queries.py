@@ -3465,6 +3465,97 @@ def q_quality_percentile(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# ordered-sequence funnel (event analytics)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_US = 86_400_000_000  # each step must follow within 24 hours
+
+
+def q_funnel(sf_dir: str):
+    """Ordered-sequence funnel over the events stream: per user, the
+    first ``view``, the first ``click`` strictly after that view within
+    ``FUNNEL_WINDOW_US``, and the first ``purchase`` strictly after
+    that click within the window — the sequence-analytics primitive
+    (conversion funnels, A-then-B-within-T queries) that plain window
+    aggregates can't express.
+
+    Scale shape: the row-local filter keeps only funnel-step events,
+    then ONE hash exchange on ``user_id`` (all of a user's events land
+    in one partition — the q_sessionize partitioning assumption) and
+    per-partition vectorized groupby-min/merge passes; the output is
+    one row per funnel-active user."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            batch.column("event_type"),
+            value_set=pa.array(list(FUNNEL_STEPS), pa.string()),
+        )
+        out = batch.filter(mask)
+        return pa.table(
+            {
+                "user_id": pc.cast(out.column("user_id"), _I64),
+                "event_type": out.column("event_type").cast(pa.string()),
+                "ts": pc.cast(
+                    pc.cast(out.column("ts"), pa.timestamp("us")), _I64
+                ),
+                "__p": _part_col(
+                    np.asarray(pc.cast(out.column("user_id"), _I64)), 32
+                ),
+            }
+        )
+
+    def funnel(part: pd.DataFrame) -> pa.Table:
+        s1, s2, s3 = FUNNEL_STEPS
+        t1 = part[part["event_type"] == s1].groupby("user_id")["ts"].min()
+        c = part[part["event_type"] == s2].merge(
+            t1.rename("t1"), left_on="user_id", right_index=True
+        )
+        t2 = (
+            c[(c["ts"] > c["t1"]) & (c["ts"] <= c["t1"] + FUNNEL_WINDOW_US)]
+            .groupby("user_id")["ts"]
+            .min()
+        )
+        p = part[part["event_type"] == s3].merge(
+            t2.rename("t2"), left_on="user_id", right_index=True
+        )
+        t3 = (
+            p[(p["ts"] > p["t2"]) & (p["ts"] <= p["t2"] + FUNNEL_WINDOW_US)]
+            .groupby("user_id")["ts"]
+            .min()
+        )
+        users = np.sort(part["user_id"].unique())
+        out = pd.DataFrame({"user_id": users})
+        out["t_view"] = out["user_id"].map(t1)
+        out["t_click"] = out["user_id"].map(t2)
+        out["t_purchase"] = out["user_id"].map(t3)
+        stage = (
+            out["t_view"].notna().astype(np.int64)
+            + out["t_click"].notna().astype(np.int64)
+            + out["t_purchase"].notna().astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"].to_numpy(dtype=np.int64), _I64),
+                "stage": pa.array(stage.to_numpy(), _I64),
+                "t_view": pa.array(out["t_view"].astype("Int64"), pa.int64()),
+                "t_click": pa.array(out["t_click"].astype("Int64"), pa.int64()),
+                "t_purchase": pa.array(out["t_purchase"].astype("Int64"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(funnel, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # normalized exact dedup (CCNet-style canonical-text dedup)
 # ---------------------------------------------------------------------------
 
