@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_budget_mix": Q.q_budget_mix,
         "q_normalized_dedup": Q.q_normalized_dedup,
         "q_funnel": Q.q_funnel,
+        "q_embedding_pca": Q.q_embedding_pca,
     }
 
 

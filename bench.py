@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "q_budget_mix",
     "q_normalized_dedup",
     "q_funnel",
+    "q_embedding_pca",
 ]
 
 

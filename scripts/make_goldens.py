@@ -49,6 +49,7 @@ GOLDEN_QUERIES = [
     "q_url_dedup",
     "q_corpus_release",
     "q_dsir",
+    "q_embedding_pca",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

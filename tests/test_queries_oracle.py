@@ -37,7 +37,7 @@ def oracle_names():
     "q_pages_dedup", "q_textpipe_ops", "q_media_features",
     "q_host_stats", "q_paragraph_filter", "q_boilerplate_dedup", "q_ppl_buckets",
     "q_url_filter", "q_media_phash_dedup", "q_url_dedup", "q_corpus_release",
-    "q_dsir",
+    "q_dsir", "q_embedding_pca",
 ])
 def test_query_matches_oracle(ray_session, name):
     from textpipe_ray.pipelines.compare import compare, run_oracle
@@ -98,3 +98,24 @@ def test_dsir_prefers_target_source(ray_session):
     tgt = per_tri[j["source"] == DSIR_TARGET_SOURCE].mean()
     rest = per_tri[j["source"] != DSIR_TARGET_SOURCE].mean()
     assert tgt > rest
+
+
+def test_pca_batching_independent(ray_session):
+    """The fixed-point moment sums must make PCA output identical under
+    any block structure (the order-independence claim)."""
+    import ray.data
+
+    from textpipe_ray.pipelines import queries as Q
+
+    base = Q.q_embedding_pca(SF).to_pandas()
+    orig_read = Q._read
+    try:
+        def skewed_read(sf_dir, table, columns=None, min_blocks=8):
+            return ray.data.read_parquet(
+                f"{sf_dir}/{table}.parquet", columns=columns, override_num_blocks=3
+            )
+        Q._read = skewed_read
+        alt = Q.q_embedding_pca(SF).to_pandas()
+    finally:
+        Q._read = orig_read
+    assert base.equals(alt)

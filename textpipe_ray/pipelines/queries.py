@@ -3465,6 +3465,82 @@ def q_quality_percentile(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# distributed PCA over embeddings (whitening / compression)
+# ---------------------------------------------------------------------------
+
+PCA_COMPONENTS = 8
+_PCA_DIM = 64
+_PCA_Q = 1e6  # fixed-point quantum for order-independent sums
+
+
+def q_embedding_pca(sf_dir: str):
+    """Distributed PCA over the embedding table — the
+    whitening/compression step before embedding dedup or ANN (project
+    64-d vectors onto the top ``PCA_COMPONENTS`` principal axes).
+
+    Scale shape — the classic two-pass distributed PCA, made
+    bit-deterministic with the fixed-point idiom of
+    ``q_embedding_centroid``:
+      1. moment pass: each ROW's sums and outer products quantize to
+         int64 (``floor(x·1e6)``-style) BEFORE any summation, so the
+         accumulated moments are exact integers — identical under any
+         batching, block order, or cluster size; per-batch partials are
+         one 64+64² int row per block (≈33 KB), a bounded driver
+         collect;
+      2. eigendecomposition of the 64×64 covariance on the driver
+         (constant work), sign-fixed by convention (largest-|coord|
+         positive), broadcast via ``ray.put``;
+      3. projection pass: one matmul per batch, row-local, no shuffle.
+    Output projections are micro-quantized ints → golden-oracle
+    value-checked."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        if x.size == 0:
+            x = np.zeros((0, _PCA_DIM))
+        # per-ROW quantization before the sum → order-independent
+        sq = np.floor(x * _PCA_Q).astype(np.int64)            # (B, D)
+        outer = np.einsum("bi,bj->bij", x, x)                  # (B, D, D)
+        oq = np.floor(outer * _PCA_Q).astype(np.int64).reshape(len(x), -1)
+        return pa.table(
+            {
+                "n": pa.array([np.int64(len(x))], _I64),
+                "s": pa.array([sq.sum(axis=0).tolist()], pa.list_(pa.int64())),
+                "o": pa.array([oq.sum(axis=0).tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    parts = ds.map_batches(moments, batch_format="pyarrow").to_pandas()  # one row/block
+    n = int(parts["n"].sum())
+    s = np.sum([np.asarray(v, dtype=np.int64) for v in parts["s"]], axis=0)
+    o = np.sum([np.asarray(v, dtype=np.int64) for v in parts["o"]], axis=0)
+    mean = (s / _PCA_Q) / n
+    exx = (o / _PCA_Q).reshape(_PCA_DIM, _PCA_DIM) / n
+    cov = exx - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)            # ascending; deterministic LAPACK
+    comps = evecs[:, ::-1][:, :PCA_COMPONENTS]    # top-K columns
+    for k in range(PCA_COMPONENTS):               # sign convention
+        j = int(np.argmax(np.abs(comps[:, k])))
+        if comps[j, k] < 0:
+            comps[:, k] = -comps[:, k]
+    basis_ref = ray.put((mean, comps))
+
+    def project(batch: pa.Table) -> pa.Table:
+        m, c = ray.get(basis_ref)
+        x = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        if x.size == 0:
+            x = np.zeros((0, _PCA_DIM))
+        proj = np.floor((x - m) @ c * _PCA_Q).astype(np.int64)
+        cols = {"vec_id": pc.cast(batch.column("vec_id"), _I64)}
+        for k in range(PCA_COMPONENTS):
+            cols[f"pc{k}_micro"] = pa.array(proj[:, k], _I64)
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow").sort("vec_id")
+
+
+# ---------------------------------------------------------------------------
 # ordered-sequence funnel (event analytics)
 # ---------------------------------------------------------------------------
 
