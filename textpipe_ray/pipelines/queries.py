@@ -2717,15 +2717,8 @@ def q_url_filter(sf_dir: str):
     one RE2 pattern scan) — no shuffle anywhere, and only ``url``
     is ever read (a pre-filter must not pay for ``html``)."""
     import glob as _glob
-    import json as _json
-    from pathlib import Path as _Path
 
-    spec = _json.loads(
-        (_Path(__file__).resolve().parents[2] / "models" / "url_blocklist.json").read_text()
-    )
-    blocked_hosts = np.sort(np.asarray(spec["hosts"], dtype=object))
-    pattern = "|".join(spec["url_patterns"])
-
+    blocked_hosts, pattern = load_url_blocklist()
     pages = pages_dir_for(sf_dir)
     ds = ray.data.read_parquet(
         sorted(_glob.glob(f"{pages}/pages-*.parquet")), columns=["url"]
@@ -2734,13 +2727,7 @@ def q_url_filter(sf_dir: str):
 
     def flag(batch: pa.Table) -> pa.Table:
         bh, pat = ray.get(ref)
-        host = pc.struct_field(
-            pc.extract_regex(batch.column("url"), r"^[a-z]+://(?P<host>[^/]+)"), "host"
-        )
-        h = np.asarray(host.to_pylist(), dtype=object)
-        idx = np.clip(np.searchsorted(bh, h), 0, len(bh) - 1)
-        blocked_host = bh[idx] == h
-        blocked_pat = np.asarray(pc.match_substring_regex(batch.column("url"), pat))
+        host, blocked_host, blocked_pat = url_block_parts(batch, bh, pat)
         keep = ~(blocked_host | blocked_pat)
         return pa.table(
             {
@@ -2753,6 +2740,40 @@ def q_url_filter(sf_dir: str):
         )
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def load_url_blocklist() -> tuple[np.ndarray, str]:
+    """→ (sorted blocked-host array, url-pattern alternation) from the
+    committed artifact models/url_blocklist.json."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    spec = _json.loads(
+        (_Path(__file__).resolve().parents[2] / "models" / "url_blocklist.json").read_text()
+    )
+    return np.sort(np.asarray(spec["hosts"], dtype=object)), "|".join(spec["url_patterns"])
+
+
+def url_block_parts(
+    batch: pa.Table, blocked_hosts: np.ndarray, pattern: str
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Shared blocklist check (q_url_filter + q_corpus_release):
+    → (host Arrow array, blocked_host mask, blocked_pattern mask).
+    Unparseable URLs get host '' for the membership test (never a
+    searchsorted TypeError on None)."""
+    host = pc.struct_field(
+        pc.extract_regex(batch.column("url"), r"^[a-z]+://(?P<host>[^/]+)"), "host"
+    )
+    h = np.asarray(
+        [x if x is not None else "" for x in host.to_pylist()], dtype=object
+    )
+    if len(blocked_hosts):
+        idx = np.clip(np.searchsorted(blocked_hosts, h), 0, len(blocked_hosts) - 1)
+        blocked_host = blocked_hosts[idx] == h
+    else:
+        blocked_host = np.zeros(len(h), dtype=bool)
+    blocked_pat = np.asarray(pc.match_substring_regex(batch.column("url"), pattern))
+    return host, blocked_host, blocked_pat
 
 
 # ---------------------------------------------------------------------------
@@ -2785,8 +2806,6 @@ def q_corpus_release(sf_dir: str):
     q_shuffle_shards)."""
     import glob as _glob
     import hashlib as _hl
-    import json as _json
-    from pathlib import Path as _Path
 
     import pandas as pd
 
@@ -2796,25 +2815,12 @@ def q_corpus_release(sf_dir: str):
     pages = pages_dir_for(sf_dir)
     ds = read_pages(sorted(_glob.glob(f"{pages}/pages-*.parquet")))
 
-    spec = _json.loads(
-        (_Path(__file__).resolve().parents[2] / "models" / "url_blocklist.json").read_text()
-    )
-    blocked_hosts = np.sort(np.asarray(spec["hosts"], dtype=object))
-    pattern = "|".join(spec["url_patterns"])
-    block_ref = ray.put((blocked_hosts, pattern))
+    block_ref = ray.put(load_url_blocklist())
 
     def url_keep(batch: pa.Table) -> pa.Table:
         bh, pat = ray.get(block_ref)
-        host = pc.struct_field(
-            pc.extract_regex(batch.column("url"), r"^[a-z]+://(?P<host>[^/]+)"), "host"
-        )
-        h = np.asarray(host.to_pylist(), dtype=object)
-        idx = np.clip(np.searchsorted(bh, h), 0, len(bh) - 1)
-        keep = ~(
-            (bh[idx] == h)
-            | np.asarray(pc.match_substring_regex(batch.column("url"), pat))
-        )
-        return batch.filter(pa.array(keep))
+        _, blocked_host, blocked_pat = url_block_parts(batch, bh, pat)
+        return batch.filter(pa.array(~(blocked_host | blocked_pat)))
 
     scored = build_pages_pipeline(ds.map_batches(url_keep, batch_format="pyarrow"))
 
@@ -2868,10 +2874,17 @@ def q_corpus_release(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 # applied in order, all RE2-safe (shared with any SQL engine)
+_TRACKING = r"(?:utm_[a-z]+|fbclid|gclid|ref)"
 URL_CANON_RULES: list[tuple[str, str]] = [
     (r"#.*$", ""),                                   # drop fragment
-    (r"[?&](?:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*", ""),  # tracking params
-    (r"\?&", "?"),                                   # param cleanup after drops
+    # tracking param followed by another param: drop it, KEEP the
+    # leading separator ('?utm=x&id=2' → '?id=2', never '&id=2').
+    # one global pass consumes non-overlapping matches, so a run of k
+    # consecutive tracking params needs the rule repeated — four passes
+    # cover any realistic run (documented cap; extras fall to the
+    # trailing rule below)
+    *[(rf"([?&]){_TRACKING}=[^&#]*&", r"\1")] * 4,
+    (rf"[?&]{_TRACKING}=[^&#]*$", ""),               # tracking param at end
     (r"[?&]$", ""),                                  # dangling separator
     (r"^([a-z]+://)www\.", r"\1"),                   # strip www.
     (r"/$", ""),                                     # trailing slash
@@ -3499,15 +3512,22 @@ def q_embedding_pca(sf_dir: str):
         x = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
         if x.size == 0:
             x = np.zeros((0, _PCA_DIM))
-        # per-ROW quantization before the sum → order-independent
-        sq = np.floor(x * _PCA_Q).astype(np.int64)            # (B, D)
-        outer = np.einsum("bi,bj->bij", x, x)                  # (B, D, D)
-        oq = np.floor(outer * _PCA_Q).astype(np.int64).reshape(len(x), -1)
+        # per-ROW quantization before the sum → order-independent.
+        # The (rows, D, D) outer-product tensor is built in 256-row
+        # slices: per-row quantized values are identical under any
+        # slicing, and peak memory stays ~16 MB/task instead of
+        # ~100-400 MB at default batch sizes
+        s_acc = np.floor(x * _PCA_Q).astype(np.int64).sum(axis=0)
+        o_acc = np.zeros(_PCA_DIM * _PCA_DIM, dtype=np.int64)
+        for lo in range(0, len(x), 256):
+            xs = x[lo : lo + 256]
+            outer = np.einsum("bi,bj->bij", xs, xs)
+            o_acc += np.floor(outer * _PCA_Q).astype(np.int64).reshape(len(xs), -1).sum(axis=0)
         return pa.table(
             {
                 "n": pa.array([np.int64(len(x))], _I64),
-                "s": pa.array([sq.sum(axis=0).tolist()], pa.list_(pa.int64())),
-                "o": pa.array([oq.sum(axis=0).tolist()], pa.list_(pa.int64())),
+                "s": pa.array([s_acc.tolist()], pa.list_(pa.int64())),
+                "o": pa.array([o_acc.tolist()], pa.list_(pa.int64())),
             }
         )
 
@@ -3682,7 +3702,10 @@ def q_normalized_dedup(sf_dir: str):
                 texts.append("  " + t0.replace(" ", "\n\t ") + " \n")
         t = pc.utf8_lower(pa.array(texts, pa.string()))
         t = pc.replace_substring_regex(t, r"[\t\n\f\r ]+", " ")
-        t = pc.utf8_trim_whitespace(t)
+        # trim SPACES only: DuckDB trim() strips ' ' while Arrow's
+        # utf8_trim_whitespace also strips Unicode whitespace (NBSP,
+        # \x0b) the collapse class deliberately leaves alone
+        t = pc.utf8_trim(t, " ")
         keys = [
             hashlib.md5((s or "").encode("utf8")).hexdigest() for s in t.to_pylist()
         ]
@@ -3921,8 +3944,11 @@ def q_dsir(sf_dir: str):
         w = np.zeros(len(lowered), dtype=np.float64)
         has = n_tri > 0
         if per_key.size:
-            sums = np.add.reduceat(per_key, np.minimum(starts, per_key.size - 1))
-            w[has] = sums[has]
+            # reduceat over NON-EMPTY docs' starts only: they strictly
+            # increase and partition per_key exactly (an empty doc's
+            # start equals its successor's and would otherwise truncate
+            # the PRECEDING doc's segment via index clipping)
+            w[has] = np.add.reduceat(per_key, starts[has])
         return pa.table(
             {
                 "doc_id": pc.cast(batch.column("doc_id"), _I64),

@@ -127,20 +127,26 @@ class ImagePHashStage:
     (recompressed / lightly edited) land within a few bits of hamming
     distance under a REAL decoder; under the deterministic fake only
     byte-identical payloads collide, which still exercises the full
-    banding/verify plan.  Emits ``phash`` as an int64 bit pattern,
-    ready for :func:`stages.dedup.near_dup_fingerprints`.
+    banding/verify plan.  Emits ``phash`` as an int64 bit pattern
+    (NULL for non-image rows), ready for
+    :func:`stages.dedup.near_dup_fingerprints` — filter to
+    ``kind == 'image'`` (or drop null ``phash``) first.
 
-    Use: ``ds.map_batches(ImagePHashStage, batch_size=32,
-    concurrency=(2, 8), num_cpus=1, batch_format='pyarrow')``."""
+    Use: ``ds.filter(lambda r: r['kind'] == 'image').map_batches(
+    ImagePHashStage, batch_size=32, concurrency=(2, 8), num_cpus=1,
+    batch_format='pyarrow')``."""
 
     def __init__(self, backend: DecoderBackend | None = None):
         self.backend = backend or FakeDecoderBackend()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hashes, ok = [], []
+        # non-image rows get a NULL phash (a constant like 0 would make
+        # every pair of unfiltered audio/video rows a hamming-0 "dup")
+        hashes: list[int | None] = []
+        ok = []
         for i in range(len(batch)):
             if batch.column("kind")[i].as_py() != "image":
-                hashes.append(0)
+                hashes.append(None)
                 ok.append(False)
                 continue
             img = self.backend.decode_image(
