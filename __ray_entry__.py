@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_normalized_dedup": Q.q_normalized_dedup,
         "q_funnel": Q.q_funnel,
         "q_embedding_pca": Q.q_embedding_pca,
+        "q_video_dedup": Q.q_video_dedup,
     }
 
 

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "q_normalized_dedup",
     "q_funnel",
     "q_embedding_pca",
+    "q_video_dedup",
 ]
 
 

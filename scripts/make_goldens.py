@@ -50,6 +50,7 @@ GOLDEN_QUERIES = [
     "q_corpus_release",
     "q_dsir",
     "q_embedding_pca",
+    "q_video_dedup",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

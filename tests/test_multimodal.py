@@ -141,3 +141,29 @@ def test_phash_dedup_recovers_planted_dups(ray_session):
     got = set(zip(pairs["id_a"], pairs["id_b"]))
     assert expected <= got  # pigeonhole recall is 1.0 by construction
     assert (pairs["hamming"] == 0).all()  # identical payloads -> identical hashes
+
+
+def test_video_dedup_recovers_planted_dups(ray_session):
+    """Planted payload+duration video copies must surface as 4/4-frame
+    matches; under the fake decoder nothing else may match."""
+    from collections import defaultdict
+
+    from textpipe_ray.pipelines.queries import q_video_dedup
+    from textpipe_ray.stages.multimodal import generate_media
+
+    tbl = generate_media(200, dup_frac=0.3)
+    groups = defaultdict(list)
+    for r in tbl.to_pylist():
+        if r["kind"] == "video":
+            groups[(r["payload"], r["duration_ms"])].append(r["media_id"])
+    expected = set()
+    for ids in groups.values():
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                expected.add((min(a, b), max(a, b)))
+    assert expected, "generator must plant video duplicates at dup_frac=0.3"
+
+    df = q_video_dedup("/root/testdata/sf0.001").to_pandas()
+    got = set(zip(df["id_a"], df["id_b"]))
+    assert got == expected
+    assert (df["n_frames_matched"] == 4).all()

@@ -3478,6 +3478,114 @@ def q_quality_percentile(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# video near-dup via sampled-frame perceptual hashes
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAMES = 4
+VIDEO_MIN_MATCH = 3  # videos are dups when ≥3 of 4 frame hashes agree
+
+
+def q_video_dedup(sf_dir: str):
+    """Video near-duplicate pairs by sampled-frame fingerprints: sample
+    ``VIDEO_FRAMES`` frames per clip at uniform midpoints, dHash each,
+    and call two videos duplicates when at least ``VIDEO_MIN_MATCH``
+    same-index frame hashes agree — robust to a re-encode corrupting a
+    frame under a real decoder (the deterministic fake collides only
+    planted payload+duration copies; the exchange plan is identical).
+
+    Scale shape: frame decode is the expensive unit (actor pool, small
+    batches); only ``(media_id, frame_idx, 8-byte hash)`` rows reach
+    the exchange.  One hash partition on (frame_idx, hash) groups
+    candidate frames, within-bucket pairs are vectorized, and the final
+    pair groupby sums matched frames — the q_simhash banding plan with
+    frame_idx as the band."""
+    import re as _re
+
+    import pandas as pd
+
+    import ray.data
+
+    from textpipe_ray.stages.multimodal import VideoFrameHashStage, generate_media
+
+    rows = {"0.001": 200, "0.01": 500, "0.1": 2000}
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    n = rows.get(m.group(1) if m else "0.001", 200)
+    media = ray.data.from_arrow(generate_media(n, dup_frac=0.3)).repartition(8)
+
+    frames = media.map_batches(
+        VideoFrameHashStage,
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"num_frames": VIDEO_FRAMES},
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("frame_phash"), dtype=np.int64) * np.int64(
+            VIDEO_FRAMES + 1
+        ) + np.asarray(batch.column("frame_idx"), dtype=np.int64)
+        return batch.append_column("__p", _part_col(k, 32))
+
+    def bucket_pairs(part: pd.DataFrame) -> pa.Table:
+        g = part.sort_values(["frame_idx", "frame_phash", "media_id"], kind="mergesort")
+        idx = g["frame_idx"].to_numpy(dtype=np.int64)
+        ph = g["frame_phash"].to_numpy(dtype=np.int64)
+        ids = g["media_id"].to_numpy(dtype=np.int64)
+        # exact bucket boundaries on the REAL (frame_idx, phash) pair —
+        # a packed int key would wrap (phash spans all of int64) and a
+        # wrap collision would fabricate candidate pairs
+        chg = np.ones(len(g), dtype=bool)
+        chg[1:] = (idx[1:] != idx[:-1]) | (ph[1:] != ph[:-1])
+        starts = np.flatnonzero(chg)
+        counts = np.diff(np.append(starts, len(g)))
+        a_out, b_out = [], []
+        for s, k in zip(starts[counts > 1], counts[counts > 1]):
+            bid = ids[s : s + k]
+            xs, ys = np.triu_indices(k, k=1)
+            a_out.append(bid[xs])
+            b_out.append(bid[ys])
+        if not a_out:
+            return pa.table(
+                {
+                    "id_a": pa.array([], _I64),
+                    "id_b": pa.array([], _I64),
+                    "one": pa.array([], _I64),
+                }
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(a_out).astype(np.int64), _I64),
+                "id_b": pa.array(np.concatenate(b_out).astype(np.int64), _I64),
+                "one": pa.array(
+                    np.ones(sum(len(a) for a in a_out), dtype=np.int64), _I64
+                ),
+            }
+        )
+
+    pairs = (
+        frames.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Sum("one", alias_name="n_frames_matched"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        nm = pc.cast(b.column("n_frames_matched"), _I64)
+        keep = pc.greater_equal(nm, pa.scalar(VIDEO_MIN_MATCH, _I64))
+        out = b.filter(keep)
+        return pa.table(
+            {
+                "id_a": pc.cast(out.column("id_a"), _I64),
+                "id_b": pc.cast(out.column("id_b"), _I64),
+                "n_frames_matched": pc.cast(out.column("n_frames_matched"), _I64),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow").sort(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
 # distributed PCA over embeddings (whitening / compression)
 # ---------------------------------------------------------------------------
 

@@ -120,6 +120,21 @@ class ImageFeatureStage:
         ).append_column("decoded_ok", pa.array(ok, pa.bool_()))
 
 
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash of an RGB frame: 8×9 nearest-neighbour
+    grayscale resample, horizontal-gradient signs, int64 bit pattern."""
+    h, w = img.shape[:2]
+    ys = (np.arange(8) * h // 8).clip(0, h - 1)
+    xs = (np.arange(9) * w // 9).clip(0, w - 1)
+    gray = img[ys][:, xs].astype(np.float64).mean(axis=2)
+    bits = (gray[:, 1:] > gray[:, :-1]).flatten()
+    val = np.uint64(0)
+    for b in bits:
+        val = (val << np.uint64(1)) | np.uint64(bool(b))
+    iv = int(val)
+    return iv - (1 << 64) if iv >= (1 << 63) else iv
+
+
 class ImagePHashStage:
     """Actor-pool stage: decode → 8×9 grayscale → 64-bit dHash
     (difference hash: sign of the horizontal gradient), the standard
@@ -154,21 +169,53 @@ class ImagePHashStage:
                 batch.column("width")[i].as_py() or 1,
                 batch.column("height")[i].as_py() or 1,
             )
-            h, w = img.shape[:2]
-            # nearest-neighbour resample to 8 rows × 9 cols, grayscale
-            ys = (np.arange(8) * h // 8).clip(0, h - 1)
-            xs = (np.arange(9) * w // 9).clip(0, w - 1)
-            gray = img[ys][:, xs].astype(np.float64).mean(axis=2)
-            bits = (gray[:, 1:] > gray[:, :-1]).flatten()  # 8×8 gradient signs
-            val = np.uint64(0)
-            for b in bits:
-                val = (val << np.uint64(1)) | np.uint64(bool(b))
-            iv = int(val)
-            hashes.append(iv - (1 << 64) if iv >= (1 << 63) else iv)
+            hashes.append(dhash64(img))
             ok.append(True)
         return batch.append_column(
             "phash", pa.array(hashes, pa.int64())
         ).append_column("phash_ok", pa.array(ok, pa.bool_()))
+
+
+class VideoFrameHashStage:
+    """Actor-pool stage: per video, sample ``num_frames`` frames at the
+    SAME uniform midpoints as ``VideoFrameSampleStage`` and emit one
+    EXPLODED row per (video, frame): ``(media_id, frame_idx,
+    frame_phash)`` — the input shape for frame-level video dedup (two
+    videos are near-dups when most same-index frame hashes agree).
+    Non-video rows emit nothing."""
+
+    def __init__(self, num_frames: int = 4, backend: DecoderBackend | None = None):
+        self.num_frames = num_frames
+        self.backend = backend or FakeDecoderBackend()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        fidx: list[int] = []
+        ph: list[int] = []
+        for i in range(len(batch)):
+            if batch.column("kind")[i].as_py() != "video":
+                continue
+            dur = batch.column("duration_ms")[i].as_py() or 0
+            w = batch.column("width")[i].as_py() or 1
+            h = batch.column("height")[i].as_py() or 1
+            payload = batch.column("payload")[i].as_py()
+            mid = batch.column("media_id")[i].as_py()
+            ts = [
+                int(dur * (2 * j + 1) / (2 * self.num_frames))
+                for j in range(self.num_frames)
+            ]
+            for j, t in enumerate(ts):
+                frame = self.backend.decode_video_frame(payload, t, w, h)
+                ids.append(mid)
+                fidx.append(j)
+                ph.append(dhash64(frame))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "frame_phash": pa.array(ph, pa.int64()),
+            }
+        )
 
 
 class AudioFeatureStage:
@@ -295,6 +342,20 @@ def generate_media(num_rows: int, seed: int = 42, dup_frac: float = 0.0) -> pa.T
                 continue
             payloads[dst] = payloads[src]
             ws[dst], hs[dst] = ws[src], hs[src]
+        # video dups: copy payload + dims + duration so frame timestamps
+        # (and thus every sampled frame) match the source exactly.
+        # NOTE: these rng draws come AFTER the image draws, so image
+        # planting (and its committed goldens) is unchanged
+        vid_idx = [i for i, k in enumerate(kinds) if k == "video"]
+        n_vdups = int(len(vid_idx) * dup_frac)
+        for j in range(n_vdups):
+            dst = vid_idx[len(vid_idx) - 1 - j]
+            src = vid_idx[int(rng.randint(max(1, len(vid_idx) - n_vdups)))]
+            if src == dst:
+                continue
+            payloads[dst] = payloads[src]
+            ws[dst], hs[dst] = ws[src], hs[src]
+            durs[dst] = durs[src]
     return pa.table(
         {
             "media_id": pa.array(list(range(num_rows)), pa.int64()),
