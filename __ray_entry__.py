@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_funnel": Q.q_funnel,
         "q_embedding_pca": Q.q_embedding_pca,
         "q_video_dedup": Q.q_video_dedup,
+        "q_audio_dedup": Q.q_audio_dedup,
     }
 
 

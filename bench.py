@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "q_funnel",
     "q_embedding_pca",
     "q_video_dedup",
+    "q_audio_dedup",
 ]
 
 

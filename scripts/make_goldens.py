@@ -51,6 +51,7 @@ GOLDEN_QUERIES = [
     "q_dsir",
     "q_embedding_pca",
     "q_video_dedup",
+    "q_audio_dedup",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

@@ -167,3 +167,28 @@ def test_video_dedup_recovers_planted_dups(ray_session):
     got = set(zip(df["id_a"], df["id_b"]))
     assert got == expected
     assert (df["n_frames_matched"] == 4).all()
+
+
+def test_audio_dedup_recovers_planted_dups(ray_session):
+    """Planted payload+rate+duration audio copies must surface as
+    hamming-0 fingerprint pairs; nothing else may under the fake."""
+    from collections import defaultdict
+
+    from textpipe_ray.pipelines.queries import q_audio_dedup
+    from textpipe_ray.stages.multimodal import generate_media
+
+    tbl = generate_media(200, dup_frac=0.3)
+    groups = defaultdict(list)
+    for r in tbl.to_pylist():
+        if r["kind"] == "audio":
+            groups[(r["payload"], r["sample_rate"], r["duration_ms"])].append(r["media_id"])
+    expected = set()
+    for ids in groups.values():
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                expected.add((min(a, b), max(a, b)))
+    assert expected
+
+    df = q_audio_dedup("/root/testdata/sf0.001").to_pandas()
+    assert set(zip(df["id_a"], df["id_b"])) == expected
+    assert (df["hamming"] == 0).all()

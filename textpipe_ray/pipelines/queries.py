@@ -3478,6 +3478,49 @@ def q_quality_percentile(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# audio near-dup via envelope fingerprints
+# ---------------------------------------------------------------------------
+
+
+def q_audio_dedup(sf_dir: str):
+    """Audio near-duplicate pairs by loudness-envelope fingerprint —
+    completes the multimodal dedup family (text SimHash, image dHash,
+    video frame votes, audio envelope): decode in an actor pool,
+    fingerprint the RMS-envelope SHAPE as 64 bits
+    (``AudioFingerprintStage``), then the shared hamming-band plan
+    (``near_dup_fingerprints``, max_hamming=2).  Under a real decoder,
+    re-encoded/gain-shifted copies land within a few bits; the
+    deterministic fake collides only planted payload copies — the
+    exchange plan is identical.
+
+    Scale shape: decode is the expensive unit (actor pool, small
+    batches); only (id, 8-byte fingerprint) rows reach the exchange."""
+    import re as _re
+
+    import ray.data
+
+    from textpipe_ray.stages.dedup import near_dup_fingerprints
+    from textpipe_ray.stages.multimodal import AudioFingerprintStage, generate_media
+
+    rows = {"0.001": 200, "0.01": 500, "0.1": 2000}
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    n = rows.get(m.group(1) if m else "0.001", 200)
+    media = ray.data.from_arrow(generate_media(n, dup_frac=0.3)).repartition(8)
+
+    hashed = (
+        media.filter(lambda r: r["kind"] == "audio")
+        .map_batches(
+            AudioFingerprintStage, batch_format="pyarrow", batch_size=32, concurrency=(1, 4)
+        )
+        .select_columns(["media_id", "audio_fp"])
+    )
+    pairs = near_dup_fingerprints(
+        hashed, fp_col="audio_fp", id_col="media_id", max_hamming=2
+    )
+    return pairs.sort(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
 # video near-dup via sampled-frame perceptual hashes
 # ---------------------------------------------------------------------------
 

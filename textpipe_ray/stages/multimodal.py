@@ -245,6 +245,48 @@ class AudioFeatureStage:
         return batch.append_column("rms_envelope", pa.array(envs, pa.list_(pa.float64())))
 
 
+class AudioFingerprintStage:
+    """Actor-pool stage: decode → 65-segment RMS envelope → 64-bit
+    fingerprint (sign of the envelope's segment-to-segment change — the
+    shape of the loudness curve, robust to uniform gain under a real
+    decoder; the deterministic fake collides only identical payloads).
+    Emits ``audio_fp`` as an int64 bit pattern (NULL for non-audio),
+    ready for :func:`stages.dedup.near_dup_fingerprints` after
+    filtering to ``kind == 'audio'``."""
+
+    def __init__(self, backend: DecoderBackend | None = None):
+        self.backend = backend or FakeDecoderBackend()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps: list[int | None] = []
+        for i in range(len(batch)):
+            if batch.column("kind")[i].as_py() != "audio":
+                fps.append(None)
+                continue
+            sr = batch.column("sample_rate")[i].as_py() or 16000
+            samples = self.backend.decode_audio(
+                batch.column("payload")[i].as_py(),
+                sr,
+                batch.column("duration_ms")[i].as_py() or 0,
+            )
+            n = len(samples)
+            if n < 65:
+                samples = np.pad(samples, (0, 65 - n))
+                n = 65
+            # 65 equal segments → 64 adjacent RMS comparisons
+            edges = (np.arange(66) * n) // 65
+            seg = np.add.reduceat(samples.astype(np.float64) ** 2, edges[:-1])
+            widths = np.diff(edges)
+            rms = np.sqrt(seg / np.maximum(widths, 1))
+            bits = rms[1:] > rms[:-1]
+            val = np.uint64(0)
+            for b in bits:
+                val = (val << np.uint64(1)) | np.uint64(bool(b))
+            iv = int(val)
+            fps.append(iv - (1 << 64) if iv >= (1 << 63) else iv)
+        return batch.append_column("audio_fp", pa.array(fps, pa.int64()))
+
+
 class VideoFrameSampleStage:
     """Actor-pool stage: sample N frames uniformly across the clip's
     duration, decode each, emit per-frame feature vectors + the sampled
@@ -355,6 +397,18 @@ def generate_media(num_rows: int, seed: int = 42, dup_frac: float = 0.0) -> pa.T
                 continue
             payloads[dst] = payloads[src]
             ws[dst], hs[dst] = ws[src], hs[src]
+            durs[dst] = durs[src]
+        # audio dups: payload + sample_rate + duration (decode inputs).
+        # rng draws come after the video draws → earlier planting stable
+        aud_idx = [i for i, k in enumerate(kinds) if k == "audio"]
+        n_adups = int(len(aud_idx) * dup_frac)
+        for j in range(n_adups):
+            dst = aud_idx[len(aud_idx) - 1 - j]
+            src = aud_idx[int(rng.randint(max(1, len(aud_idx) - n_adups)))]
+            if src == dst:
+                continue
+            payloads[dst] = payloads[src]
+            srs[dst] = srs[src]
             durs[dst] = durs[src]
     return pa.table(
         {
