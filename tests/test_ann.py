@@ -58,3 +58,61 @@ def test_ivf_ranks_sorted(emb_ds):
     g = out.sort_values("rank")
     assert list(g["rank"]) == [1, 2, 3, 4, 5]
     assert (np.diff(g["cos_q"].to_numpy()) <= 0).all()  # quantized cos, descending
+
+
+def test_ivf_recall_on_label_sorted_input(ray_session):
+    """Centroid sampling must survive input ORDERED by cluster (exactly
+    how real corpora are laid out: by source/lang/crawl). A head sample
+    (``ds.limit``) sees only the first clusters and recall collapses;
+    the hash-threshold uniform sample must not."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from textpipe_ray.stages.ann import ann_ivf_topk
+
+    rng = np.random.RandomState(7)
+    n, d, n_clusters = 600, 16, 8
+    base = rng.standard_normal((n_clusters, d)) * 3.0
+    labels = np.sort(rng.randint(0, n_clusters, n))  # SORTED by cluster
+    vecs = base[labels] + 0.1 * rng.standard_normal((n, d))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(6)
+
+    # the sample must COVER the distribution: every cluster represented.
+    # A head sample (the round-2 ds.limit(96)) sees only the first one
+    # or two clusters; the collapse shows up as every far vector landing
+    # in one IVF cell (the scale pathology: one cell = most of the
+    # corpus, probing it = a brute-force scan).
+    from textpipe_ray.stages.ann import _kmeans, _uniform_sample
+
+    sample = _uniform_sample(ds, 96, "vec_id", "embedding")
+    d2 = ((sample[:, None, :] - base[None, :, :]) ** 2).sum(axis=2)
+    covered = set(d2.argmin(axis=1))
+    assert covered == set(range(n_clusters)), covered
+
+    cents = _kmeans(sample, 16, 8, 13)
+    cell = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    largest_share = np.bincount(cell).max() / n
+    assert largest_share <= 0.35, largest_share
+
+    # end-to-end recall on queries from the LAST cluster still holds
+    qidx = np.arange(n - 5, n, dtype=np.int64)
+    out = ann_ivf_topk(
+        ds, qidx, vecs[qidx], k=10, num_centroids=16, nprobe=6, sample_size=96
+    ).to_pandas()
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    recalls = []
+    for qid in qidx:
+        s = (vecs @ vecs[qid]) / (norms * norms[qid])
+        s[qid] = -np.inf
+        truth = set(np.argsort(-s)[:10])
+        got = set(out[out["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(truth & got) / 10)
+    assert np.mean(recalls) >= 0.9, recalls

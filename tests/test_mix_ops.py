@@ -49,6 +49,7 @@ def test_boilerplate_dedup_removes_planted_dup_paragraphs(ray_session):
     from textpipe_ray.functions.clean import html_to_paragraphs
     from textpipe_ray.pipelines.queries import (
         BOILER_MIN_WORDS,
+        boiler_word_counts,
         pages_dir_for,
         q_boilerplate_dedup,
     )
@@ -64,9 +65,11 @@ def test_boilerplate_dedup_removes_planted_dup_paragraphs(ray_session):
     counts: collections.Counter = collections.Counter()
     per_page: dict[str, list[str]] = {}
     for url, h in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
-        paras = [
-            p for p in html_to_paragraphs(h.decode("utf8")) if len(p.split()) >= BOILER_MIN_WORDS
-        ]
+        all_paras = html_to_paragraphs(h.decode("utf8"))
+        # same eligibility definition as the pipeline (RE2 \S+, not
+        # Python str.split()'s Unicode whitespace)
+        wc = boiler_word_counts(all_paras)
+        paras = [p for p, n in zip(all_paras, wc) if n >= BOILER_MIN_WORDS]
         per_page[url] = paras
         counts.update(set())  # keep type checkers honest
         for p in paras:

@@ -1,0 +1,112 @@
+"""Vectorized 64-bit string hashing over Arrow string columns.
+
+The flagship's hottest stage hashes every url (partition id) and every
+cleaned text (dedup key) — at 10^12 docs a per-row ``hashlib`` loop is
+billions of interpreter iterations in the one stage every byte passes
+through.  This module provides:
+
+- :func:`hash64` — a numpy-vectorized polynomial hash computed directly
+  on the Arrow string column's UTF-8 data buffer (zero string
+  materialization, no per-row Python).  Used wherever the hash only
+  needs to be deterministic and well-mixed (partition ids, shuffle
+  salts, LSH bucket keys) — NOT where a specific digest is part of the
+  output contract.
+- :func:`md5_hex` — md5 hex digests via memoryview slices of the same
+  buffer (keeps DuckDB ``md5()`` parity for oracle-checked dedup keys
+  while skipping the ``to_pylist`` → ``str.encode`` round-trip of the
+  naive loop).
+
+Both accept a ``pa.Array``/``pa.ChunkedArray`` of ``string`` or
+``large_string``; nulls hash as the empty string.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# FNV-like odd multiplier; wraparound multiplication in uint64 is the
+# intended modular arithmetic (numpy emits overflow warnings otherwise,
+# hence the errstate guards below)
+_MULT = np.uint64(0x9E3779B97F4A7C15)
+_OFFSET = np.uint64(0xCBF29CE484222325)
+
+
+def _flat_utf8(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """→ (byte buffer, per-string starts, per-string ends) for a flat
+    string array, as numpy views over the Arrow buffers (zero-copy)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
+        arr = arr.cast(pa.large_string() if pa.types.is_large_binary(arr.type) else pa.string())
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset : arr.offset + len(arr) + 1]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    return data, offsets[:-1].astype(np.int64), offsets[1:].astype(np.int64)
+
+
+def hash64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Deterministic 64-bit polynomial hash per string, fully
+    vectorized: ``h(s) = offset·M^len + Σ bytes[i]·M^(len-1-i)``
+    (mod 2^64).  The leading offset term separates strings that are
+    prefixes of each other; the multiplier mixes all 64 bits."""
+    data, starts, ends = _flat_utf8(arr)
+    n = len(starts)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    lens = ends - starts
+    total = int(lens.sum())
+    out = np.full(n, _OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        if total:
+            maxlen = int(lens.max())
+            # pows[k] = M^k (mod 2^64)
+            pows = np.empty(maxlen + 1, dtype=np.uint64)
+            pows[0] = np.uint64(1)
+            np.multiply.accumulate(
+                np.full(maxlen, _MULT, dtype=np.uint64), out=pows[1:]
+            )
+            nz = lens > 0
+            # gather the referenced byte ranges (strings may not be
+            # contiguous when the array is sliced)
+            within = (
+                np.arange(int(lens[nz].sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(lens[nz]) - lens[nz], lens[nz])
+            )
+            src_idx = np.repeat(starts[nz], lens[nz]) + within
+            b = data[src_idx].astype(np.uint64)
+            # weight of byte i in string s: M^(len_s - 1 - i)
+            exp = np.repeat(lens[nz] - 1, lens[nz]) - within
+            terms = b * pows[exp]
+            seg_starts = np.cumsum(lens[nz]) - lens[nz]
+            sums = np.add.reduceat(terms, seg_starts)
+            out[nz] = _OFFSET * pows[lens[nz]] + sums
+        empty = lens == 0
+        if empty.any():
+            out[empty] = _OFFSET
+    return out
+
+
+def part_ids(arr: pa.Array | pa.ChunkedArray, num_parts: int) -> np.ndarray:
+    """Stable partition ids in [0, num_parts) from :func:`hash64`."""
+    return (hash64(arr) % np.uint64(num_parts)).astype(np.int32)
+
+
+def md5_hex(arr: pa.Array | pa.ChunkedArray) -> list[str]:
+    """md5 hex digest per string (DuckDB ``md5()``-compatible), hashing
+    memoryview slices of the Arrow UTF-8 buffer — no per-row string
+    decode/encode round-trip."""
+    data, starts, ends = _flat_utf8(arr)
+    mv = memoryview(data)
+    md5 = hashlib.md5
+    return [md5(mv[s:e]).hexdigest() for s, e in zip(starts.tolist(), ends.tolist())]

@@ -19,7 +19,6 @@ Scale notes (designed for ~100 TB on a multi-node cluster):
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -30,6 +29,7 @@ import ray.data
 from textpipe_ray import schema as S
 from textpipe_ray.functions.quality import load_thresholds
 from textpipe_ray.functions.scrub import load_rules
+from textpipe_ray.functions.strhash import part_ids
 from textpipe_ray.stages.actors import ScoringStage
 from textpipe_ray.stages.text import (
     clean_batch,
@@ -44,14 +44,15 @@ DEFAULT_NUM_PARTS = 64
 
 
 def add_part_id(batch: pa.Table, num_parts: int = DEFAULT_NUM_PARTS) -> pa.Table:
-    """Stable url-hash partition id (blake2b, process-independent)."""
-    urls = batch.column(S.URL).to_pylist()
-    pids = [
-        int.from_bytes(hashlib.blake2b((u or "").encode(), digest_size=8).digest(), "little")
-        % num_parts
-        for u in urls
-    ]
-    return batch.append_column(S.PART_ID, pa.array(pids, pa.int32()))
+    """Stable url-hash partition id (process-independent).
+
+    Round 3: vectorized polynomial hash over the Arrow UTF-8 buffer
+    (functions/strhash.py, ~2.5× the per-row blake2b loop) — this and
+    content_hash are the two hashes every byte of the corpus passes
+    through, so no per-row Python here."""
+    return batch.append_column(
+        S.PART_ID, pa.array(part_ids(batch.column(S.URL), num_parts), pa.int32())
+    )
 
 
 def extract_stage(batch: pa.Table, num_parts: int = DEFAULT_NUM_PARTS) -> pa.Table:

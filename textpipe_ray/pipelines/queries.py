@@ -26,6 +26,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from textpipe_ray.functions.quality import FEATURE_ORDER, load_thresholds
 from textpipe_ray.functions.scrub import load_rules
+from textpipe_ray.functions.strhash import part_ids as strhash_part_ids
 from textpipe_ray.stages.text import (
     complexity_batch,
     normalize_batch,
@@ -1665,16 +1666,22 @@ def q_chunk_dedup(sf_dir: str, chunk_words: int = 4):
     chunks.  A document whose every chunk first appeared elsewhere
     disappears entirely.
 
-    Scale shape — three exchanges, no driver state:
-      1. winner selection: ``groupby(chunk).Min(pos)`` over exploded
-         chunks, ``pos = doc_id·2^20 + chunk_idx`` packing the global
-         order (chunk text crosses the wire exactly once here);
-      2. keep-marking: winners are reduced to their int64 ``pos`` only
-         and semi-joined back co-partitioned on ``pos`` (tagged union +
-         hash partition + vectorized ``np.isin``) — no second shuffle
-         of chunk text;
-      3. reassembly: kept chunks hash-partitioned on ``doc_id``,
-         sorted and joined per partition.
+    Scale shape — ONE explode pass and two exchanges, no driver state
+    (round 3: the previous plan consumed the exploded stage from two
+    branches, which re-ran the tokenize/explode over the whole corpus
+    twice and needed a third union exchange):
+      1. winner-keep: exploded chunks hash-partition on the CHUNK text
+         (``pos = doc_id·2^20 + chunk_idx`` packs the global order);
+         within a partition every occurrence of a given chunk is
+         present, so ``pos == min(pos) per chunk`` marks keepers with
+         one vectorized group-min — no separate winners table, no
+         semi-join back.
+      2. reassembly: kept chunks hash-partition on ``doc_id``, sorted
+         and joined per partition.
+    Tokenization is RE2 ``\\s+`` (ASCII whitespace class) to match the
+    DuckDB oracle's ``regexp_extract_all('\\S+')`` exactly — Arrow's
+    ``utf8_split_whitespace`` splits on Unicode whitespace (NBSP,
+    U+2028) and would tokenize such text differently across engines.
     """
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     num_parts = 32
@@ -1687,18 +1694,21 @@ def q_chunk_dedup(sf_dir: str, chunk_words: int = 4):
                 "pos": pa.array([], _I64),
                 "doc_id": pa.array([], _I64),
                 "chunk_idx": pa.array([], _I64),
+                "__p": pa.array([], pa.int32()),
             }
         )
         if n == 0:
             return empty
         doc = np.asarray(batch.column("doc_id"), dtype=np.int64)
-        lists = pc.utf8_split_whitespace(pc.cast(batch.column("text"), pa.string()))
+        lists = pc.split_pattern_regex(
+            pc.cast(batch.column("text"), pa.string()), pattern=r"\s+"
+        )
         if isinstance(lists, pa.ChunkedArray):
             lists = lists.combine_chunks()
         flat = lists.flatten()
         counts = np.asarray(lists.value_lengths(), dtype=np.int64)
         row_rep = np.repeat(np.arange(n, dtype=np.int64), counts)
-        # split_whitespace emits empty edge tokens ('' for leading /
+        # regex split emits empty edge tokens ('' for leading /
         # trailing space) that regexp_extract_all('\\S+') never does —
         # drop them so both engines see the same token stream
         keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
@@ -1723,67 +1733,36 @@ def q_chunk_dedup(sf_dir: str, chunk_words: int = 4):
         if cidx.max() >= (1 << _POS_SHIFT):
             raise ValueError("chunk_idx overflows the 2^20 pos packing")
         pos = (cdoc << _POS_SHIFT) + cidx
+        carr = pa.array(chunks, pa.string())
+        # partition on a vectorized 64-bit hash of the chunk TEXT so
+        # every occurrence of a chunk lands in the same partition;
+        # keeping is then a partition-local group-min (hash collisions
+        # only co-locate extra rows — the group key is still the string)
         return pa.table(
             {
-                "chunk": pa.array(chunks, pa.string()),
+                "chunk": carr,
                 "pos": pa.array(pos, _I64),
                 "doc_id": pa.array(cdoc, _I64),
                 "chunk_idx": pa.array(cidx, _I64),
+                "__p": pa.array(strhash_part_ids(carr, num_parts), pa.int32()),
             }
         )
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
 
-    winners = (
-        exploded.map_batches(
-            lambda b: b.select(["chunk", "pos"]), batch_format="pyarrow"
-        )
-        .groupby("chunk")
-        .aggregate(Min("pos", alias_name="min_pos"))
-    )
-
-    def tag_rows(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "key": b.column("pos"),
-                "doc_id": b.column("doc_id"),
-                "chunk_idx": b.column("chunk_idx"),
-                "chunk": b.column("chunk"),
-                "is_row": pa.array(np.ones(len(b), dtype=bool)),
-            }
-        )
-
-    def tag_winners(b: pa.Table) -> pa.Table:
-        k = len(b)
-        return pa.table(
-            {
-                "key": b.column("min_pos"),
-                "doc_id": pa.array(np.zeros(k, dtype=np.int64), _I64),
-                "chunk_idx": pa.array(np.zeros(k, dtype=np.int64), _I64),
-                "chunk": pa.array([""] * k, pa.string()),
-                "is_row": pa.array(np.zeros(k, dtype=bool)),
-            }
-        )
-
-    def add_part(b: pa.Table) -> pa.Table:
-        k = np.asarray(b.column("key"), dtype=np.int64)
-        return b.append_column("__p", _part_col(k, num_parts))
-
-    both = (
-        exploded.map_batches(tag_rows, batch_format="pyarrow")
-        .union(winners.map_batches(tag_winners, batch_format="pyarrow"))
-        .map_batches(add_part, batch_format="pyarrow")
-    )
-
     import pandas as pd
 
     def mark(part: pd.DataFrame) -> pd.DataFrame:
-        rows = part[part["is_row"]]
-        wins = part.loc[~part["is_row"], "key"].to_numpy()
-        kept = rows[np.isin(rows["key"].to_numpy(), wins)]
+        if len(part) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "chunk_idx": pd.Series(dtype="int64"),
+                 "chunk": pd.Series(dtype="object")}
+            )
+        kept = part[part["pos"] == part.groupby("chunk")["pos"].transform("min")]
         return kept[["doc_id", "chunk_idx", "chunk"]]
 
-    kept = both.groupby("__p").map_groups(mark, batch_format="pandas")
+    kept = exploded.groupby("__p").map_groups(mark, batch_format="pandas")
 
     def add_doc_part(b: pa.Table) -> pa.Table:
         d = np.asarray(b.column("doc_id"), dtype=np.int64)
@@ -2362,6 +2341,21 @@ BOILER_MAX_OCCURRENCES = 1  # paragraphs occurring more often are removed everyw
 BOILER_MIN_WORDS = 5  # shorter fragments never count as boilerplate (C4-style guard)
 
 
+def boiler_word_counts(paras: list[str]) -> np.ndarray:
+    """The ONE word-count definition for paragraph eligibility, shared
+    by q_boilerplate_dedup / q_paragraph_filter and their tests: RE2
+    ``\\S+`` (ASCII whitespace class). Python ``str.split()`` splits on
+    Unicode whitespace too (NBSP, U+2028), so a test recomputing
+    eligibility with it would flake against the pipeline on such text —
+    both sides must call this."""
+    if not paras:
+        return np.zeros(0, dtype=np.int64)
+    return np.asarray(
+        pc.count_substring_regex(pa.array(paras, pa.string()), r"\S+"),
+        dtype=np.int64,
+    )
+
+
 def q_boilerplate_dedup(sf_dir: str):
     """Corpus-wide duplicate-paragraph removal over the pages table
     (RefinedWeb/C4-style boilerplate scrub): any paragraph whose exact
@@ -2412,11 +2406,7 @@ def q_boilerplate_dedup(sf_dir: str):
             ],
             dtype=np.int64,
         )
-        if len(paras):
-            nw = pc.count_substring_regex(pa.array(paras, pa.string()), r"\S+")
-            eligible = np.asarray(nw, dtype=np.int64) >= BOILER_MIN_WORDS
-        else:
-            eligible = np.zeros(0, dtype=bool)
+        eligible = boiler_word_counts(paras) >= BOILER_MIN_WORDS
         return hashes, eligible, offsets, paras
 
     def count_partial(batch: pa.Table) -> pa.Table:
@@ -2751,7 +2741,11 @@ def load_url_blocklist() -> tuple[np.ndarray, str]:
     spec = _json.loads(
         (_Path(__file__).resolve().parents[2] / "models" / "url_blocklist.json").read_text()
     )
-    return np.sort(np.asarray(spec["hosts"], dtype=object)), "|".join(spec["url_patterns"])
+    # an empty alternation would be the empty regex, which matches EVERY
+    # url and silently blocks the whole corpus — substitute a
+    # never-matching class instead
+    pattern = "|".join(spec["url_patterns"]) or r"[^\s\S]"
+    return np.sort(np.asarray(spec["hosts"], dtype=object)), pattern
 
 
 def url_block_parts(
@@ -4087,6 +4081,11 @@ def q_dsir(sf_dir: str):
     ratio_ref = ray.put(log_ratio)
 
     def score(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # _packed_keys concatenates per-text parts;
+            # an empty parts list would raise in np.concatenate
+            return pa.table(
+                {"doc_id": pa.array([], _I64), "weight_micro": pa.array([], _I64)}
+            )
         lr = ray.get(ratio_ref)
         lowered = pc.utf8_lower(pc.cast(batch.column("text"), pa.string())).to_pylist()
         n_tri, keys = _packed_keys(lowered)

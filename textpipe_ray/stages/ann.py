@@ -26,6 +26,55 @@ import pyarrow as pa
 import ray
 import ray.data
 
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def _id_hash(ids: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix of integer ids (splitmix64-style)."""
+    with np.errstate(over="ignore"):
+        h = ids.astype(np.uint64) * _MIX1
+        h ^= h >> np.uint64(30)
+        h *= _MIX2
+        h ^= h >> np.uint64(31)
+    return h
+
+
+def _uniform_sample(
+    ds: "ray.data.Dataset", sample_size: int, id_col: str, embedding_col: str
+) -> np.ndarray:
+    """Deterministic uniform sample of ``sample_size`` embeddings,
+    spread across the WHOLE dataset: keep rows whose id-hash falls
+    under ``sample_size / n`` of the hash space, then cut to the
+    ``sample_size`` smallest hashes.
+
+    ``ds.limit(sample_size)`` (the round-2 implementation) takes the
+    first blocks — real corpora are written clustered by
+    source/lang/crawl, so centroids fit on one slice of the
+    distribution and IVF recall collapses exactly at scale.  The
+    hash-threshold filter is one streaming pass (no shuffle) and the
+    driver holds only ~1.25×sample_size candidate rows regardless of
+    corpus size."""
+    n = ds.count()
+    if n is None or n <= sample_size:
+        rows = ds.take_all()
+        return np.array([r[embedding_col] for r in rows], dtype=np.float64)
+    # 1.25× overshoot so the S-smallest cut almost surely has S rows
+    # (binomial tail); deterministic either way
+    thresh = np.uint64(min(int(2**64 - 1), int(2**64 * sample_size / n * 1.25)))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.select([id_col, embedding_col])
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        keep = _id_hash(ids) < thresh
+        return batch.select([id_col, embedding_col]).filter(pa.array(keep))
+
+    cand = ds.map_batches(filt, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: int(_id_hash(np.array([r[id_col]], dtype=np.int64))[0]))
+    cand = cand[:sample_size]
+    return np.array([r[embedding_col] for r in cand], dtype=np.float64)
+
 
 def _kmeans(sample: np.ndarray, num_centroids: int, iters: int, seed: int) -> np.ndarray:
     """Plain Lloyd's iterations on the (bounded) sample — runs on the
@@ -63,8 +112,7 @@ def ann_ivf_topk(
     masked matmul over the probed subset instead of the full Q columns.
     Centroids + query matrix + probe sets ship once (``ray.put``), not
     per batch."""
-    sample_rows = ds.limit(sample_size).take_all()
-    sample = np.array([r[embedding_col] for r in sample_rows], dtype=np.float64)
+    sample = _uniform_sample(ds, sample_size, id_col, embedding_col)
     cents = _kmeans(sample, num_centroids, kmeans_iters, seed)
 
     qmat = np.asarray(query_mat, dtype=np.float64)
