@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- core text/quality oracle queries ---
         "q_clean": Q.q_clean,
         "q_quality": Q.q_quality,
+        "q_gopher_rules": Q.q_gopher_rules,
         "q_quality_score": Q.q_quality_score,
         "q_complexity": Q.q_complexity,
         "q_scrub": Q.q_scrub,
@@ -90,10 +91,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_native_join": Q.q_native_join,
         "q_asof_join": Q.q_asof_join,
         "q_range_join": Q.q_range_join,
-        "q_anti_join": Q.q_anti_join,
         # --- position >50: already driver-green in round 2 (see
         # CORRECTNESS_r02.json); demoted so the window above covers the
         # previously unchecked headliners ---
+        "q_anti_join": Q.q_anti_join,
         "q_agg_lineitem": Q.q_agg_lineitem,
         "q_segment_orders": Q.q_segment_orders,
         "q_fingerprint": Q.q_fingerprint,

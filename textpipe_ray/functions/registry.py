@@ -24,6 +24,11 @@ files are JSON with a ``type`` discriminator:
 Unknown ``model_name`` at use time raises ``MissingModelException``,
 matching the reference's ``TextpipeMissingModelException`` contract
 (doc.py:229-233).
+
+Vector tables too large for a node's RAM don't go through this file:
+use ``state/vecstore.ShardedVectorStore`` (the reference's
+Redis-KeyedVectors analog, wrappers.py:20-125 — hash-sharded actor
+dict slices with batched per-shard lookups).
 """
 
 from __future__ import annotations

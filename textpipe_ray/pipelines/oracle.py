@@ -717,6 +717,62 @@ SELECT bc.w1, bc.w2, bc.n_xy, u1.nw AS n_x, u2.nw AS n_y
 FROM bc JOIN uni u1 ON bc.w1 = u1.w JOIN uni u2 ON bc.w2 = u2.w
 ORDER BY n_xy DESC, w1, w2 LIMIT {COLLOC_TOPK}"""
 
+    from textpipe_ray.pipelines.queries import (
+        GOPHER_ALPHA_WORD_RE2,
+        GOPHER_ELLIPSIS_RE2,
+        GOPHER_MAX_SYMBOL_MILLI,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_MILLI,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_MWL_MAX_MILLI,
+        GOPHER_MWL_MIN_MILLI,
+        GOPHER_STOP_RE2,
+    )
+
+    # same RE2 patterns, same int64 milli math, same first-failure
+    # rule order as q_gopher_rules (both engines run RE2)
+    nw_expr = count_expr("text", r"\S+")
+    ws_expr = count_expr("text", r"\s")
+    alpha_expr = count_expr("text", GOPHER_ALPHA_WORD_RE2)
+    stop_expr = count_expr("lower(text)", GOPHER_STOP_RE2)
+    ell_expr = count_expr("text", GOPHER_ELLIPSIS_RE2)
+    out["q_gopher_rules"] = f"""
+WITH f AS (
+  SELECT doc_id,
+    {nw_expr} AS n_words,
+    length(text) - {ws_expr} AS wchars,
+    {alpha_expr} AS alphaw,
+    {stop_expr} AS stop_hits,
+    (length(text) - length(replace(text, '#', ''))) + {ell_expr} AS sym
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_words, stop_hits,
+    wchars * 1000 // greatest(n_words, 1) AS mean_word_len_milli,
+    sym * 1000 // greatest(n_words, 1) AS symbol_milli,
+    alphaw * 1000 // greatest(n_words, 1) AS alpha_milli
+  FROM f
+),
+r AS (
+  SELECT *,
+    (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}) AS r_nw,
+    (mean_word_len_milli >= {GOPHER_MWL_MIN_MILLI} AND mean_word_len_milli <= {GOPHER_MWL_MAX_MILLI}) AS r_mwl,
+    (symbol_milli <= {GOPHER_MAX_SYMBOL_MILLI}) AS r_sym,
+    (alpha_milli >= {GOPHER_MIN_ALPHA_MILLI}) AS r_alpha,
+    (stop_hits >= {GOPHER_MIN_STOP_HITS}) AS r_stop
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len_milli, symbol_milli, alpha_milli, stop_hits,
+  (r_nw AND r_mwl AND r_sym AND r_alpha AND r_stop) AS keep,
+  CASE WHEN NOT r_nw THEN 'n_words'
+       WHEN NOT r_mwl THEN 'mean_word_len'
+       WHEN NOT r_sym THEN 'symbol_ratio'
+       WHEN NOT r_alpha THEN 'alpha_words'
+       WHEN NOT r_stop THEN 'stop_words'
+       ELSE '' END AS drop_reason
+FROM r ORDER BY doc_id"""
+
     return out
 
 

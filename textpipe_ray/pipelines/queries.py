@@ -4221,3 +4221,84 @@ def q_collocations(sf_dir: str):
         ["n_xy", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
     ).reset_index(drop=True)
     return out[["w1", "w2", "n_xy", "n_x", "n_y"]]
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, public) — the
+# word-level rule family: word-count bounds, mean-word-length bounds,
+# symbol-to-word ratio, alphabetic-word fraction, stop-word presence.
+# (The line-level rules — bullet/ellipsis line fractions — live on the
+# pages table via q_paragraph_filter's C4 line profile; the documents
+# table is single-line by construction.)
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_MIN_MILLI = 3_000  # mean word length in [3, 10] chars
+GOPHER_MWL_MAX_MILLI = 10_000
+GOPHER_MAX_SYMBOL_MILLI = 100  # (# + ellipsis) per word <= 0.1
+GOPHER_MIN_ALPHA_MILLI = 800  # >=80% of words contain a letter
+GOPHER_MIN_STOP_HITS = 2  # >=2 hits of the 8-word stop list
+GOPHER_STOP_RE2 = r"\b(?:the|a|of|to|and|in|is|on)\b"
+GOPHER_ALPHA_WORD_RE2 = r"\S*[A-Za-z]\S*"
+GOPHER_ELLIPSIS_RE2 = r"\.\.\."
+# first-failure order decides drop_reason — fixed, mirrored in the SQL
+GOPHER_RULE_ORDER = ("n_words", "mean_word_len", "symbol_ratio", "alpha_words", "stop_words")
+
+
+def q_gopher_rules(sf_dir: str):
+    """Gopher word-level quality rules over documents: per-doc rule
+    features (integer-milli quantized so both engines do exact int64
+    math), conjunctive ``keep`` and the FIRST failing rule as
+    ``drop_reason``.  Entirely row-local (one streaming map, no
+    shuffle); every feature is one RE2 kernel over the batch — the
+    DuckDB oracle runs the very same patterns through its own RE2."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text"), pa.string())
+        low = pc.utf8_lower(text)
+        nw = np.asarray(pc.count_substring_regex(text, r"\S+"), dtype=np.int64)
+        wchars = np.asarray(
+            pc.subtract(
+                pc.utf8_length(text), pc.count_substring_regex(text, r"\s")
+            ),
+            dtype=np.int64,
+        )
+        alphaw = np.asarray(
+            pc.count_substring_regex(text, GOPHER_ALPHA_WORD_RE2), dtype=np.int64
+        )
+        stop = np.asarray(pc.count_substring_regex(low, GOPHER_STOP_RE2), dtype=np.int64)
+        sym = np.asarray(pc.count_substring(text, pattern="#"), dtype=np.int64) + np.asarray(
+            pc.count_substring_regex(text, GOPHER_ELLIPSIS_RE2), dtype=np.int64
+        )
+        nz = np.maximum(nw, 1)  # zero-word docs fail the n_words rule anyway
+        mwl = wchars * 1000 // nz
+        alpham = alphaw * 1000 // nz
+        symm = sym * 1000 // nz
+        rules = {
+            "n_words": (nw >= GOPHER_MIN_WORDS) & (nw <= GOPHER_MAX_WORDS),
+            "mean_word_len": (mwl >= GOPHER_MWL_MIN_MILLI) & (mwl <= GOPHER_MWL_MAX_MILLI),
+            "symbol_ratio": symm <= GOPHER_MAX_SYMBOL_MILLI,
+            "alpha_words": alpham >= GOPHER_MIN_ALPHA_MILLI,
+            "stop_words": stop >= GOPHER_MIN_STOP_HITS,
+        }
+        keep = np.ones(len(nw), dtype=bool)
+        reason = np.full(len(nw), "", dtype=object)
+        for name in reversed(GOPHER_RULE_ORDER):  # earliest failure wins
+            keep &= rules[name]
+            reason = np.where(rules[name], reason, name)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), _I64),
+                "n_words": pa.array(nw, _I64),
+                "mean_word_len_milli": pa.array(mwl, _I64),
+                "symbol_milli": pa.array(symm, _I64),
+                "alpha_milli": pa.array(alpham, _I64),
+                "stop_hits": pa.array(stop, _I64),
+                "keep": pa.array(keep),
+                "drop_reason": pa.array(reason.tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(feats, batch_format="pyarrow").sort("doc_id")
