@@ -1,0 +1,65 @@
+"""functions/strhash.py: vectorized string hashing over Arrow buffers."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def _ref_hash64(s: str) -> int:
+    """Scalar reference: h = OFFSET; h = h*M + byte for each utf-8 byte."""
+    M, OFF, mod = 0x9E3779B97F4A7C15, 0xCBF29CE484222325, 1 << 64
+    h = OFF
+    for b in s.encode("utf8"):
+        h = (h * M + b) % mod
+    return h
+
+
+CASES = ["", "a", "ab", "hello world", "a" * 1000, "ünïcode ☃ text", None, "x", "a b\tc\nd"]
+
+
+def test_hash64_matches_scalar_reference():
+    from textpipe_ray.functions.strhash import hash64
+
+    arr = pa.array(CASES, pa.string())
+    exp = [_ref_hash64(s if s is not None else "") for s in CASES]
+    assert list(hash64(arr)) == exp
+
+
+def test_hash64_sliced_chunked_large_string():
+    from textpipe_ray.functions.strhash import hash64
+
+    arr = pa.array(CASES, pa.string())
+    exp = [_ref_hash64(s if s is not None else "") for s in CASES]
+    assert list(hash64(arr.slice(2, 4))) == exp[2:6]  # nonzero offset
+    assert list(hash64(pa.chunked_array([arr[:3], arr[3:]]))) == exp
+    assert list(hash64(arr.cast(pa.large_string()))) == exp
+
+
+def test_hash64_prefix_strings_differ():
+    from textpipe_ray.functions.strhash import hash64
+
+    arr = pa.array(["ab", "abc", "abcd", "", "\x00", "\x00\x00"], pa.string())
+    h = list(hash64(arr))
+    assert len(set(h)) == len(h)  # length term separates prefixes / NULs
+
+
+def test_md5_hex_matches_hashlib():
+    from textpipe_ray.functions.strhash import md5_hex
+
+    arr = pa.array(CASES, pa.string())
+    exp = [hashlib.md5((s or "").encode("utf8")).hexdigest() for s in CASES]
+    assert md5_hex(arr) == exp
+    assert md5_hex(arr.slice(1, 3)) == exp[1:4]
+
+
+def test_part_ids_stable_and_bounded():
+    from textpipe_ray.functions.strhash import part_ids
+
+    urls = pa.array([f"http://h{i}.example.com/{i}" for i in range(1000)])
+    p = part_ids(urls, 64)
+    assert p.min() >= 0 and p.max() < 64
+    q = part_ids(urls, 64)
+    assert (p == q).all()
+    # reasonable balance: no partition holds more than 4x the mean
+    assert np.bincount(p, minlength=64).max() < 4 * (1000 / 64)
