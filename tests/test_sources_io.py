@@ -99,3 +99,27 @@ def test_pages_jsonl_roundtrip_non_utc_tz(ray_session, tmp_path):
         else:
             os.environ["TZ"] = old_tz
         time.tzset()
+
+
+def test_cli_main_runs_and_resumes(ray_session, tmp_path):
+    """python -m textpipe_ray.cli (the `ray job submit` entry): runs the
+    flagship job, prints a JSON summary, and a rerun skips committed
+    partitions."""
+    from textpipe_ray.cli import main
+    from textpipe_ray.sources.pages import write_pages
+
+    src = tmp_path / "pages"
+    out = tmp_path / "out"
+    write_pages(str(src), 120, num_files=2)
+    s1 = main([
+        "--input", f"{src}/pages-*.parquet",
+        "--output", str(out),
+        "--num-partitions", "2",
+    ])
+    assert sorted(s1["partitions_ran"]) == [0, 1] and s1["partitions_skipped"] == []
+    s2 = main([
+        "--input", f"{src}/pages-*.parquet",
+        "--output", str(out),
+        "--num-partitions", "2",
+    ])
+    assert s2["partitions_ran"] == [] and sorted(s2["partitions_skipped"]) == [0, 1]
