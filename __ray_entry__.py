@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_boilerplate_dedup": Q.q_boilerplate_dedup,
         "q_paragraph_filter": Q.q_paragraph_filter,
         "q_ppl_buckets": Q.q_ppl_buckets,
+        "q_para_ppl": Q.q_para_ppl,
         # --- LLM-data-pipeline operators ---
         "q_dsir": Q.q_dsir,
         "q_embedding_pca": Q.q_embedding_pca,
@@ -90,10 +91,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- joins / relational ---
         "q_native_join": Q.q_native_join,
         "q_asof_join": Q.q_asof_join,
-        "q_range_join": Q.q_range_join,
         # --- position >50: already driver-green in round 2 (see
         # CORRECTNESS_r02.json); demoted so the window above covers the
         # previously unchecked headliners ---
+        "q_range_join": Q.q_range_join,
         "q_anti_join": Q.q_anti_join,
         "q_agg_lineitem": Q.q_agg_lineitem,
         "q_segment_orders": Q.q_segment_orders,

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "q_lang_temperature",
     "q_boilerplate_dedup",
     "q_ppl_buckets",
+    "q_para_ppl",
     "q_json_extract",
     "q_shuffle_shards",
     "q_url_filter",

@@ -52,6 +52,7 @@ GOLDEN_QUERIES = [
     "q_embedding_pca",
     "q_video_dedup",
     "q_audio_dedup",
+    "q_para_ppl",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

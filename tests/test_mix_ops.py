@@ -109,3 +109,44 @@ def test_ppl_buckets_are_ordered_and_balanced(ray_session):
         # tied at the threshold value
         for part in (h, m, t):
             assert len(part) <= n // 3 + int((g.ppl_centi.value_counts().max())), lang
+
+
+def test_para_ppl_keeps_exactly_below_threshold(ray_session):
+    """Every kept paragraph recomputes to centi-ppl <= threshold, every
+    dropped one to > threshold, and reassembly preserves order."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from textpipe_ray.functions.clean import html_to_paragraphs
+    from textpipe_ray.functions.perplexity import PerplexityModel
+    from textpipe_ray.pipelines.queries import (
+        PARA_PPL_MAX_CENTI,
+        pages_dir_for,
+        q_para_ppl,
+    )
+
+    out = q_para_ppl(SF).to_pandas().set_index("url")
+    model = PerplexityModel.load()
+
+    files = sorted(glob.glob(pages_dir_for(SF) + "/pages-*.parquet"))
+    t = pq.read_table(files, columns=["url", "html", "lang"])
+    checked_drops = 0
+    for url, h, lg in list(zip(
+        t.column("url").to_pylist(), t.column("html").to_pylist(), t.column("lang").to_pylist()
+    ))[:80]:
+        paras = html_to_paragraphs(h.decode("utf8"))
+        if not paras:
+            continue
+        centi = np.floor(
+            model.perplexity_many(paras, [lg or "en"] * len(paras)) * 100
+        ).astype(np.int64)
+        expect_kept = [p for p, c in zip(paras, centi) if c <= PARA_PPL_MAX_CENTI]
+        row = out.loc[url]
+        assert row.n_paras == len(paras), url
+        assert row.n_kept_paras == len(expect_kept), url
+        got = row.filtered_text.split("\n") if row.filtered_text else []
+        assert got == expect_kept, url  # order preserved, exact set
+        checked_drops += len(paras) - len(expect_kept)
+    assert checked_drops > 0  # the threshold actually fires on this corpus

@@ -4302,3 +4302,81 @@ def q_gopher_rules(sf_dir: str):
         )
 
     return ds.map_batches(feats, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style per-PARAGRAPH perplexity filtering (Wenzek et al. 2020 —
+# the paragraph-level companion of q_ppl_buckets' doc-level tertiles):
+# drop high-perplexity paragraphs, reassemble pages from the survivors.
+# ---------------------------------------------------------------------------
+
+PARA_PPL_MAX_CENTI = 1100  # ≈ p90 of the synthetic corpus's paragraphs
+
+
+class ParaPplStage:
+    """Actor-pool stage: char-LM loaded once per actor in ``__init__``;
+    per batch, ALL paragraphs of all pages score in one
+    ``perplexity_many`` call (per-doc sums are reduceat segments, so
+    scores are independent of batch/block grouping — the same
+    bit-stability argument as q_ppl_buckets, quantized to centi)."""
+
+    def __init__(self):
+        from textpipe_ray.functions.perplexity import PerplexityModel
+
+        self.model = PerplexityModel.load()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from textpipe_ray.functions.clean import html_to_paragraphs
+
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        paras: list[str] = []
+        plangs: list[str] = []
+        offsets = [0]
+        for h, lg in zip(htmls, langs):
+            ps = html_to_paragraphs(h.decode("utf8", "replace"))
+            paras.extend(ps)
+            plangs.extend([lg or "en"] * len(ps))
+            offsets.append(len(paras))
+        if paras:
+            centi = np.floor(self.model.perplexity_many(paras, plangs) * 100).astype(
+                np.int64
+            )
+        else:
+            centi = np.zeros(0, dtype=np.int64)
+        keep = centi <= PARA_PPL_MAX_CENTI
+        n_paras, n_kept, kept_text, mean_kept = [], [], [], []
+        for i in range(len(urls)):
+            lo, hi = offsets[i], offsets[i + 1]
+            k = keep[lo:hi]
+            kept = [paras[j] for j in range(lo, hi) if keep[j]]
+            n_paras.append(hi - lo)
+            n_kept.append(len(kept))
+            kept_text.append("\n".join(kept))
+            # integer mean: exact and engine-independent
+            mean_kept.append(int(centi[lo:hi][k].sum()) // len(kept) if kept else 0)
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "n_paras": pa.array(n_paras, _I64),
+                "n_kept_paras": pa.array(n_kept, _I64),
+                "mean_kept_ppl_centi": pa.array(mean_kept, _I64),
+                "filtered_text": pa.array(kept_text, pa.string()),
+            }
+        )
+
+
+def q_para_ppl(sf_dir: str):
+    """Per-paragraph perplexity filter over the pages table: row-local
+    (no shuffle), model in actor ``__init__``, one batched LM pass per
+    batch regardless of paragraph count."""
+    import glob as _glob
+
+    pages = pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(
+        sorted(_glob.glob(f"{pages}/pages-*.parquet")), columns=["url", "html", "lang"]
+    )
+    return ds.map_batches(
+        ParaPplStage, concurrency=(1, 8), batch_size=256, batch_format="pyarrow"
+    ).sort("url")
