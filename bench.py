@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "q_ngram_jaccard",
     "q_sessionize",
     "q_simhash_neardup",
+    "q_incremental_dedup",
     "q_pages_neardup",
     "q_tfidf_topk",
     "q_contamination",

@@ -53,6 +53,7 @@ GOLDEN_QUERIES = [
     "q_video_dedup",
     "q_audio_dedup",
     "q_para_ppl",
+    "q_incremental_dedup",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

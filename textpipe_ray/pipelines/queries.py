@@ -4378,5 +4378,67 @@ def q_para_ppl(sf_dir: str):
         sorted(_glob.glob(f"{pages}/pages-*.parquet")), columns=["url", "html", "lang"]
     )
     return ds.map_batches(
-        ParaPplStage, concurrency=(1, 8), batch_size=256, batch_format="pyarrow"
+        ParaPplStage, concurrency=(2, 16), batch_size=128, batch_format="pyarrow"
     ).sort("url")
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted MinHash-LSH index — the daily-
+# snapshot path: only the NEW documents are shingled/minhashed; the old
+# corpus contributes its committed index parquet (stages/dedup.py
+# write_minhash_index / near_dup_against_index).
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_dedup(sf_dir: str):
+    """Split documents deterministically (even doc_id = the indexed
+    corpus, odd = the new snapshot), persist the even half's LSH index,
+    and report the new snapshot's near-dup pairs AGAINST the index —
+    the old corpus is never re-shingled.  jaccard_est is k/128
+    (signature agreement over 128 perms — exactly representable, so
+    golden-stable).  Index build + query both stream; exchanges are the
+    bucket-partitioned band join only."""
+    import tempfile as _tf
+
+    from textpipe_ray.stages.dedup import near_dup_against_index, write_minhash_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def even(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return batch.filter(pa.array(d % 2 == 0))
+
+    def odd(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return batch.filter(pa.array(d % 2 == 1))
+
+    idx_dir = _tf.mkdtemp(prefix="textpipe_ray_minhash_idx_")
+    kw = dict(num_bands=16, shingle_size=5)
+    # bucket/partition counts proportional to the input: at test scale
+    # 32×32 hive buckets are pure fixed overhead (small files + empty
+    # exchanges); at corpus scale callers pass the defaults
+    nb = 8
+    write_minhash_index(
+        ds.map_batches(even, batch_format="pyarrow"), idx_dir, num_buckets=nb, **kw
+    )
+    pairs = near_dup_against_index(
+        ds.map_batches(odd, batch_format="pyarrow"),
+        idx_dir,
+        threshold=0.7,
+        num_parts=nb,
+        **kw,
+    )
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        j = np.asarray(batch.column("jaccard_est"), dtype=np.float64)
+        return pa.table(
+            {
+                "new_id": pc.cast(batch.column("new_id"), _I64),
+                "index_id": pc.cast(batch.column("index_id"), _I64),
+                # k/128 is exact in float64; scale to an int column so the
+                # golden compare is integer-only
+                "jaccard_x128": pa.array(np.round(j * 128).astype(np.int64), _I64),
+            }
+        )
+
+    return pairs.map_batches(quantize, batch_format="pyarrow").sort(["new_id", "index_id"])
