@@ -85,15 +85,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_exact_dedup": Q.q_exact_dedup,
         "q_ngram_jaccard": Q.q_ngram_jaccard,
         "q_token_freq": Q.q_token_freq,
+        "q_distinct_sketch": Q.q_distinct_sketch,
         "q_tfidf_topk": Q.q_tfidf_topk,
         "q_lang_metrics": Q.q_lang_metrics,
         "q_host_stats": Q.q_host_stats,
         "q_funnel": Q.q_funnel,
         # --- joins / relational ---
-        "q_native_join": Q.q_native_join,
         # --- position >50: already driver-green in round 2 (see
         # CORRECTNESS_r02.json); demoted so the window above covers the
         # previously unchecked headliners ---
+        "q_native_join": Q.q_native_join,
         "q_asof_join": Q.q_asof_join,
         "q_range_join": Q.q_range_join,
         "q_anti_join": Q.q_anti_join,

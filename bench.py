@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "q_range_join",
     "q_token_count",
     "q_distinct_tokens",
+    "q_distinct_sketch",
     "q_topk_per_group",
     "q_lang_temperature",
     "q_boilerplate_dedup",

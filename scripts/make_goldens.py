@@ -54,6 +54,7 @@ GOLDEN_QUERIES = [
     "q_audio_dedup",
     "q_para_ppl",
     "q_incremental_dedup",
+    "q_distinct_sketch",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

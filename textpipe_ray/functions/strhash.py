@@ -102,6 +102,32 @@ def part_ids(arr: pa.Array | pa.ChunkedArray, num_parts: int) -> np.ndarray:
     return (hash64(arr) % np.uint64(num_parts)).astype(np.int32)
 
 
+_FIN1 = np.uint64(0xBF58476D1CE4E5B9)
+_FIN2 = np.uint64(0x94D049BB133111EB)
+
+
+def avalanche(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer.  The raw polynomial :func:`hash64` has NO
+    output mixing: strings differing only in the final character yield
+    SEQUENTIAL hashes (fine for modulo partitioning — adjacent values
+    spread round-robin — but fatal for anything reading bit patterns:
+    HLL leading-zero ranks, LSH buckets, top-bit indexing).  Apply this
+    whenever individual hash BITS must look uniform."""
+    with np.errstate(over="ignore"):
+        h = h.astype(np.uint64, copy=True)
+        h ^= h >> np.uint64(30)
+        h *= _FIN1
+        h ^= h >> np.uint64(27)
+        h *= _FIN2
+        h ^= h >> np.uint64(31)
+    return h
+
+
+def hash64_mixed(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """:func:`hash64` + :func:`avalanche` — uniform in every bit."""
+    return avalanche(hash64(arr))
+
+
 def md5_hex(arr: pa.Array | pa.ChunkedArray) -> list[str]:
     """md5 hex digest per string (DuckDB ``md5()``-compatible), hashing
     memoryview slices of the Arrow UTF-8 buffer — no per-row string

@@ -4442,3 +4442,121 @@ def q_incremental_dedup(sf_dir: str):
         )
 
     return pairs.map_batches(quantize, batch_format="pyarrow").sort(["new_id", "index_id"])
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-token sketch — the APPROXIMATE companion of
+# q_distinct_tokens for cardinalities where the exact (lang, token)
+# exchange is too wide (10^9+ distinct tokens): the exchange carries one
+# 4 KiB register row per (lang, batch) regardless of corpus size, and
+# register-max merging is order-independent, so the estimate is exactly
+# deterministic (golden-stable) under any batching/block order.
+# ---------------------------------------------------------------------------
+
+HLL_P = 12  # 4096 registers → σ ≈ 1.04/√4096 ≈ 1.6% relative error
+
+
+def _hll_registers(hashes: np.ndarray) -> np.ndarray:
+    """uint64 hashes → 4096 uint8 register maxima (rank = leading-zero
+    count of the low 52 bits + 1, capped at 52+1)."""
+    m = 1 << HLL_P
+    reg = np.zeros(m, dtype=np.uint8)
+    if not len(hashes):
+        return reg
+    idx = (hashes >> np.uint64(64 - HLL_P)).astype(np.int64)
+    w = hashes << np.uint64(HLL_P)  # low bits shifted up; zeros shift in
+    # leading-zero count of w via bit_length: lz = 64 - bit_length(w)
+    # (w == 0 → the whole 52-bit window is zeros)
+    bl = np.zeros(len(w), dtype=np.int64)
+    nz = w != 0
+    # vectorized bit_length via log2 is float-unsafe near 2^53; use a
+    # 16-bit table over the top bits instead (exact integer path)
+    top16 = (w >> np.uint64(48)).astype(np.int64)
+    mid16 = ((w >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.int64)
+    lo32 = (w & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    tbl = np.zeros(1 << 16, dtype=np.int64)
+    for b in range(1, 17):
+        tbl[(1 << (b - 1)) : (1 << b)] = b
+    bl = np.where(
+        top16 > 0,
+        48 + tbl[top16],
+        np.where(
+            mid16 > 0,
+            32 + tbl[mid16],
+            np.where(
+                lo32 >> np.uint64(16) > 0,
+                16 + tbl[(lo32 >> np.uint64(16)).astype(np.int64)],
+                tbl[(lo32 & np.uint64(0xFFFF)).astype(np.int64)],
+            ),
+        ),
+    )
+    rank = np.where(nz, 64 - bl, 64 - HLL_P) + 1
+    rank = np.minimum(rank, 64 - HLL_P + 1).astype(np.uint8)
+    np.maximum.at(reg, idx, rank)
+    return reg
+
+
+def _hll_estimate(reg: np.ndarray) -> int:
+    """Standard HLL estimator with the small-range (linear counting)
+    correction; floor to int64 — all inputs are exact, so the float
+    arithmetic is identical everywhere."""
+    m = float(len(reg))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int((reg == 0).sum())
+    if e <= 2.5 * m and zeros:
+        e = m * np.log(m / zeros)
+    return int(np.floor(e))
+
+
+def q_distinct_sketch(sf_dir: str):
+    """Per-language approximate distinct-token count via a 2^12-register
+    HyperLogLog: per-batch partials are the register maxima (one list
+    row per (lang, batch)), merged with an order-independent
+    element-wise max — deterministic estimate, constant-size exchange."""
+    from textpipe_ray.functions.quality import RE2_PATTERNS
+    from textpipe_ray.functions.strhash import hash64_mixed
+
+    import regex as _re
+
+    creg = _re.compile(RE2_PATTERNS["nwords"])
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        texts = np.asarray(pc.utf8_lower(batch.column("text")).to_pylist(), dtype=object)
+        uniq_langs, inv = np.unique(langs, return_inverse=True)
+        out_lang, out_reg = [], []
+        for li, lang in enumerate(uniq_langs):
+            joined = "\n".join(t or "" for t in texts[inv == li])
+            toks = np.unique(np.asarray(creg.findall(joined), dtype=object))
+            # avalanched hash: HLL reads BIT PATTERNS (register index +
+            # leading zeros), which the raw polynomial hash doesn't mix
+            h = hash64_mixed(pa.array(toks.tolist(), pa.string()))
+            out_lang.append(str(lang))
+            out_reg.append(_hll_registers(h).tolist())
+        return pa.table(
+            {
+                "lang": pa.array(out_lang, pa.string()),
+                "reg": pa.array(out_reg, pa.list_(pa.uint8())),
+            }
+        )
+
+    import pandas as pd
+
+    def merge(group: pd.DataFrame) -> pa.Table:
+        regs = np.stack([np.asarray(r, dtype=np.uint8) for r in group["reg"]])
+        merged = regs.max(axis=0)
+        return pa.table(
+            {
+                "lang": pa.array([group["lang"].iloc[0]], pa.string()),
+                "distinct_est": pa.array([_hll_estimate(merged)], _I64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+        .sort("lang")
+    )

@@ -31,13 +31,15 @@ import pyarrow as pa
 
 import ray
 
-from textpipe_ray.functions.strhash import hash64
+from textpipe_ray.functions.strhash import hash64_mixed
 
 
 def _key_shard(keys: list[str], num_shards: int) -> np.ndarray:
-    """Stable shard id per key — the vectorized polynomial hash from
+    """Stable shard id per key — the vectorized avalanched hash from
     functions/strhash.py (process-independent, zero per-key Python)."""
-    return (hash64(pa.array(keys, pa.string())) % np.uint64(num_shards)).astype(np.int64)
+    return (hash64_mixed(pa.array(keys, pa.string())) % np.uint64(num_shards)).astype(
+        np.int64
+    )
 
 
 @ray.remote(num_cpus=0.1)
