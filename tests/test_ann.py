@@ -60,6 +60,35 @@ def test_ivf_ranks_sorted(emb_ds):
     assert (np.diff(g["cos_q"].to_numpy()) <= 0).all()  # quantized cos, descending
 
 
+def test_brute_partial_topk_bounds_exchange_and_is_exact(emb_ds):
+    """The scoring stage must emit at most k rows per query per batch
+    (the round-3 verdict's O(N·Q) exchange, now bounded), and the merged
+    result must equal the quantized numpy ground truth exactly."""
+    from textpipe_ray.stages.ann import ann_brute_scores, ann_brute_topk
+
+    ds, vecs = emb_ds
+    qids = np.arange(5, dtype=np.int64)
+    qmat = vecs[:5]
+    k = 10
+    # 400 rows in 4 blocks → ≤ 4 batches; the partial stage may emit at
+    # most k·Q rows per batch (vs 395·Q per batch before the bound)
+    scored_rows = ann_brute_scores(ds, qids, qmat, k=k).count()
+    assert scored_rows <= k * len(qids) * 4, scored_rows
+
+    out = ann_brute_topk(ds, qids, qmat, k=k).to_pandas()
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    for j, qid in enumerate(qids):
+        sims = (vecs @ qmat[j]) / (norms * norms[qid])
+        cos_q = np.floor(sims * 1e9).astype(np.int64)
+        ids = np.arange(len(vecs), dtype=np.int64)
+        keep = ids != qid
+        order = np.lexsort((ids[keep], -cos_q[keep]))[:k]
+        want = ids[keep][order]
+        got = out[out["query_id"] == qid].sort_values("rank")
+        assert list(got["neighbor_id"]) == list(want)
+        assert list(got["rank"]) == list(range(1, k + 1))
+
+
 def test_ivf_recall_on_label_sorted_input(ray_session):
     """Centroid sampling must survive input ORDERED by cluster (exactly
     how real corpora are laid out: by source/lang/crawl). A head sample

@@ -59,7 +59,14 @@ def hash64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Deterministic 64-bit polynomial hash per string, fully
     vectorized: ``h(s) = offset·M^len + Σ bytes[i]·M^(len-1-i)``
     (mod 2^64).  The leading offset term separates strings that are
-    prefixes of each other; the multiplier mixes all 64 bits."""
+    prefixes of each other; the multiplier mixes all 64 bits.
+
+    MEMORY: the vectorization materializes ~32 bytes of int64/uint64
+    temporaries per input BYTE (src_idx, gathered bytes, exponents,
+    terms).  Intended for short-string columns (urls, tokens, chunk
+    keys); hashing full document-text columns amplifies a 128 MB batch
+    to ~4 GB of temporaries — slice such batches to byte-bounded chunks
+    first, or hash a bounded prefix."""
     data, starts, ends = _flat_utf8(arr)
     n = len(starts)
     if n == 0:

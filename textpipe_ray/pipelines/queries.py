@@ -1102,61 +1102,27 @@ ANN_K = 10
 
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-k: query matrix broadcast once, per-batch
-    float64 matmul, per-query global top-k via groupby."""
+    float64 matmul, then a per-batch PARTIAL top-k (≤ k rows per query
+    per batch leave the scoring stage — stages/ann.ann_brute_scores),
+    merged by a groupby that sees k·num_blocks rows per query instead
+    of every scored candidate.  Ranks on floor(cos·1e9): numpy's matmul
+    and DuckDB's list_cosine_similarity sum in different orders, so raw
+    doubles can differ by ~1 ulp and flip near-equal ranks; after
+    quantization the neighbor_id tie-break decides those identically on
+    both engines (the oracle SQL applies the same floor)."""
     import pyarrow.parquet as pq
 
+    from textpipe_ray.stages.ann import ann_brute_topk
+
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qmask = pc.less(qt.column("vec_id"), ANN_NUM_QUERIES)
-    qt = qt.filter(qmask)
-    qids = qt.column("vec_id").to_pylist()
+    qt = qt.filter(pc.less(qt.column("vec_id"), ANN_NUM_QUERIES))
+    qids = np.asarray(qt.column("vec_id"), dtype=np.int64)
     qmat = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
-    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
-    ref = ray.put((qids, qmat, qnorm))
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    def score(batch: pa.Table) -> pa.Table:
-        qids_, qmat_, qnorm_ = ray.get(ref)
-        if len(batch) == 0:  # empty block: np.array([]) is 1-D → matmul breaks
-            return pa.table(
-                {
-                    "query_id": pa.array([], _I64),
-                    "neighbor_id": pa.array([], _I64),
-                    "cos": pa.array([], _F64),
-                }
-            )
-        ids = np.asarray(batch.column("vec_id"))
-        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-        norms = np.sqrt((emb * emb).sum(axis=1))
-        sims = (emb @ qmat_.T) / (norms[:, None] * qnorm_[None, :])  # (B, Q)
-        out_q, out_n, out_s = [], [], []
-        for j, qid in enumerate(qids_):
-            keep = ids != qid
-            out_q.append(np.full(keep.sum(), qid, dtype=np.int64))
-            out_n.append(ids[keep])
-            out_s.append(sims[keep, j])
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q), _I64),
-                "neighbor_id": pa.array(np.concatenate(out_n), _I64),
-                "cos": pa.array(np.concatenate(out_s), _F64),
-            }
-        )
-
-    scored = ds.map_batches(score, batch_format="pyarrow")
-
-    # rank on floor(cos * 1e9): numpy's matmul and DuckDB's
-    # list_cosine_similarity sum in different orders, so raw doubles can
-    # differ by ~1 ulp and flip the rank of two near-equal scores; after
-    # quantization the neighbor_id tie-break decides those identically
-    # on both engines (the oracle SQL applies the same floor)
-    def topk(group):  # pandas DataFrame per query_id
-        g = group.assign(__cq=np.floor(group["cos"].to_numpy() * 1e9).astype(np.int64))
-        g = g.sort_values(["__cq", "neighbor_id"], ascending=[False, True]).head(ANN_K)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g[["query_id", "neighbor_id", "rank"]]
-
-    return scored.groupby("query_id").map_groups(topk, batch_format="pandas")
+    return ann_brute_topk(ds, qids, qmat, k=ANN_K).select_columns(
+        ["query_id", "neighbor_id", "rank"]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4390,14 +4356,23 @@ def q_para_ppl(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def q_incremental_dedup(sf_dir: str):
+def q_incremental_dedup(sf_dir: str, index_path: str | None = None):
     """Split documents deterministically (even doc_id = the indexed
     corpus, odd = the new snapshot), persist the even half's LSH index,
     and report the new snapshot's near-dup pairs AGAINST the index —
     the old corpus is never re-shingled.  jaccard_est is k/128
     (signature agreement over 128 perms — exactly representable, so
     golden-stable).  Index build + query both stream; exchanges are the
-    bucket-partitioned band join only."""
+    bucket-partitioned band join only.
+
+    ``index_path`` is where the persisted index lives.  On a multi-node
+    cluster this MUST be shared storage (NFS mount or an object-store
+    URI — ``write_parquet``/``read_parquet`` accept either): index
+    shards are written by tasks on every node, and a node-local path
+    would leave each node holding only its own shards.  When omitted
+    (the single-node test/driver path) a temp dir under ``/tmp`` is
+    used and removed after the result materializes."""
+    import shutil as _sh
     import tempfile as _tf
 
     from textpipe_ray.stages.dedup import near_dup_against_index, write_minhash_index
@@ -4412,36 +4387,47 @@ def q_incremental_dedup(sf_dir: str):
         d = np.asarray(batch.column("doc_id"), dtype=np.int64)
         return batch.filter(pa.array(d % 2 == 1))
 
-    idx_dir = _tf.mkdtemp(prefix="textpipe_ray_minhash_idx_")
+    idx_dir = index_path or _tf.mkdtemp(prefix="textpipe_ray_minhash_idx_")
     kw = dict(num_bands=16, shingle_size=5)
     # bucket/partition counts proportional to the input: at test scale
     # 32×32 hive buckets are pure fixed overhead (small files + empty
     # exchanges); at corpus scale callers pass the defaults
     nb = 8
-    write_minhash_index(
-        ds.map_batches(even, batch_format="pyarrow"), idx_dir, num_buckets=nb, **kw
-    )
-    pairs = near_dup_against_index(
-        ds.map_batches(odd, batch_format="pyarrow"),
-        idx_dir,
-        threshold=0.7,
-        num_parts=nb,
-        **kw,
-    )
-
-    def quantize(batch: pa.Table) -> pa.Table:
-        j = np.asarray(batch.column("jaccard_est"), dtype=np.float64)
-        return pa.table(
-            {
-                "new_id": pc.cast(batch.column("new_id"), _I64),
-                "index_id": pc.cast(batch.column("index_id"), _I64),
-                # k/128 is exact in float64; scale to an int column so the
-                # golden compare is integer-only
-                "jaccard_x128": pa.array(np.round(j * 128).astype(np.int64), _I64),
-            }
+    try:
+        write_minhash_index(
+            ds.map_batches(even, batch_format="pyarrow"), idx_dir, num_buckets=nb, **kw
+        )
+        pairs = near_dup_against_index(
+            ds.map_batches(odd, batch_format="pyarrow"),
+            idx_dir,
+            threshold=0.7,
+            num_parts=nb,
+            **kw,
         )
 
-    return pairs.map_batches(quantize, batch_format="pyarrow").sort(["new_id", "index_id"])
+        def quantize(batch: pa.Table) -> pa.Table:
+            j = np.asarray(batch.column("jaccard_est"), dtype=np.float64)
+            return pa.table(
+                {
+                    "new_id": pc.cast(batch.column("new_id"), _I64),
+                    "index_id": pc.cast(batch.column("index_id"), _I64),
+                    # k/128 is exact in float64; scale to an int column so the
+                    # golden compare is integer-only
+                    "jaccard_x128": pa.array(np.round(j * 128).astype(np.int64), _I64),
+                }
+            )
+
+        # materialize before the temp index dir is removed (the lazy plan
+        # reads the index parquet during execution)
+        out = (
+            pairs.map_batches(quantize, batch_format="pyarrow")
+            .sort(["new_id", "index_id"])
+            .materialize()
+        )
+    finally:
+        if index_path is None:
+            _sh.rmtree(idx_dir, ignore_errors=True)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -4454,6 +4440,14 @@ def q_incremental_dedup(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 HLL_P = 12  # 4096 registers → σ ≈ 1.04/√4096 ≈ 1.6% relative error
+
+# 16-bit bit_length lookup table — pure constant, built once at import
+# (was rebuilt per batch per language: a Python loop + 512 KiB alloc in
+# every q_distinct_sketch partial() call)
+_BITLEN16 = np.zeros(1 << 16, dtype=np.int64)
+for _b in range(1, 17):
+    _BITLEN16[(1 << (_b - 1)) : (1 << _b)] = _b
+del _b
 
 
 def _hll_registers(hashes: np.ndarray) -> np.ndarray:
@@ -4474,9 +4468,7 @@ def _hll_registers(hashes: np.ndarray) -> np.ndarray:
     top16 = (w >> np.uint64(48)).astype(np.int64)
     mid16 = ((w >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.int64)
     lo32 = (w & np.uint64(0xFFFFFFFF)).astype(np.uint64)
-    tbl = np.zeros(1 << 16, dtype=np.int64)
-    for b in range(1, 17):
-        tbl[(1 << (b - 1)) : (1 << b)] = b
+    tbl = _BITLEN16
     bl = np.where(
         top16 > 0,
         48 + tbl[top16],

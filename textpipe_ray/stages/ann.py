@@ -2,9 +2,11 @@
 
 Two tiers (SURVEY.md §2.7-adjacent; new-engine training-data ops):
 
-- brute-force cosine top-k (``pipelines/queries.q_ann_topk``): query
-  matrix broadcast once via ``ray.put``, one float64 matmul per batch,
-  global per-query top-k via groupby — the exact baseline, O(N·Q).
+- brute-force cosine top-k (:func:`ann_brute_topk`): query matrix
+  broadcast once via ``ray.put``, one float64 matmul per batch, then a
+  per-batch PARTIAL top-k so only k rows per query per batch reach the
+  global merge groupby — exact baseline compute O(N·Q), exchange
+  O(k·Q·blocks) (never O(N·Q) rows).
 - IVF (inverted-file) top-k (:func:`ann_ivf_topk`): k-means centroids
   fit on a bounded sample, every vector assigned to its nearest
   centroid in one streaming pass, queries probe only their ``nprobe``
@@ -59,18 +61,28 @@ def _uniform_sample(
     if n is None or n <= sample_size:
         rows = ds.take_all()
         return np.array([r[embedding_col] for r in rows], dtype=np.float64)
-    # 1.25× overshoot so the S-smallest cut almost surely has S rows
-    # (binomial tail); deterministic either way
-    thresh = np.uint64(min(int(2**64 - 1), int(2**64 * sample_size / n * 1.25)))
 
-    def filt(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return batch.select([id_col, embedding_col])
-        ids = np.asarray(batch.column(id_col), dtype=np.int64)
-        keep = _id_hash(ids) < thresh
-        return batch.select([id_col, embedding_col]).filter(pa.array(keep))
+    def make_filt(thresh: np.uint64):
+        def filt(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return batch.select([id_col, embedding_col])
+            ids = np.asarray(batch.column(id_col), dtype=np.int64)
+            keep = _id_hash(ids) < thresh
+            return batch.select([id_col, embedding_col]).filter(pa.array(keep))
 
-    cand = ds.map_batches(filt, batch_format="pyarrow").take_all()
+        return filt
+
+    # 1.25× overshoot so the S-smallest cut almost surely has S rows;
+    # on the binomial tail where it yields fewer, double the threshold
+    # and re-filter (one extra streaming pass each time, deterministic)
+    # rather than silently training fewer centroids than requested
+    overshoot = 1.25
+    while True:
+        thresh = np.uint64(min(int(2**64 - 1), int(2**64 * sample_size / n * overshoot)))
+        cand = ds.map_batches(make_filt(thresh), batch_format="pyarrow").take_all()
+        if len(cand) >= sample_size or thresh == np.uint64(2**64 - 1):
+            break
+        overshoot *= 2.0
     cand.sort(key=lambda r: int(_id_hash(np.array([r[id_col]], dtype=np.int64))[0]))
     cand = cand[:sample_size]
     return np.array([r[embedding_col] for r in cand], dtype=np.float64)
@@ -90,6 +102,115 @@ def _kmeans(sample: np.ndarray, num_centroids: int, iters: int, seed: int) -> np
             if len(members):
                 cents[c] = members.mean(axis=0)
     return cents
+
+
+def _topk_select(cq: np.ndarray, nid: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k of one query's candidates by (cos_q desc,
+    neighbor_id asc) — a strict total order (ids unique).  Threshold
+    preselect keeps ALL boundary ties into the lexsort, so the
+    neighbor_id tie-break is applied over the full tie set."""
+    if len(cq) > k:
+        t = np.partition(cq, len(cq) - k)[len(cq) - k]  # k-th largest
+        sel = cq >= t
+        cq, nid = cq[sel], nid[sel]
+    order = np.lexsort((nid, -cq))[:k]
+    return cq[order], nid[order]
+
+
+def _partial_topk_table(
+    out_q: list, out_n: list, out_s: list
+) -> pa.Table:
+    """Assemble per-query partial top-k pieces into the bounded
+    (query_id, neighbor_id, cos_q) exchange table.
+
+    The per-BATCH partial top-k bounds the exchange into the global
+    top-k groupby at k·Q·num_blocks rows instead of every scored
+    candidate (O(N·Q)): any row a batch drops is strictly worse than k
+    surviving rows of the same batch and query, so it can never enter
+    the global top-k — partial selection composes exactly with the
+    merge."""
+    if not out_q:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cos_q": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+            "cos_q": pa.array(np.concatenate(out_s), pa.int64()),
+        }
+    )
+
+
+def _merge_topk(scored: "ray.data.Dataset", k: int) -> "ray.data.Dataset":
+    """Global top-k per query over the bounded partials: the groupby
+    sees ≤ k rows per query per block."""
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cos_q", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "neighbor_id", "rank", "cos_q"]]
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+def ann_brute_scores(
+    ds: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Brute-force cosine scoring stage with BOUNDED output: one float64
+    matmul per batch against the broadcast query matrix, then a
+    per-batch partial top-k — each batch emits ≤ k rows per query, so
+    the downstream exchange never grows with the corpus.  Scores are
+    quantized to floor(cos·1e9) int64 before selection (BLAS summation
+    order varies with batch shape; quantization + the neighbor_id
+    tie-break make ranks engine- and batching-stable)."""
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qmat = np.asarray(query_mat, dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    ref = ray.put((qids, qmat, qnorm))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qids_, qmat_, qnorm_ = ray.get(ref)
+        if len(batch) == 0:  # empty block: np.array([]) is 1-D → matmul breaks
+            return _partial_topk_table([], [], [])
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        emb = np.array(batch.column(embedding_col).to_pylist(), dtype=np.float64)
+        norms = np.sqrt((emb * emb).sum(axis=1))
+        sims = (emb @ qmat_.T) / (norms[:, None] * qnorm_[None, :])  # (B, Q)
+        cos_q = np.floor(sims * 1e9).astype(np.int64)
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(qids_):
+            keep = ids != qid  # self-exclusion
+            cq, nid = _topk_select(cos_q[keep, j], ids[keep], k)
+            out_q.append(np.full(len(nid), qid, dtype=np.int64))
+            out_n.append(nid)
+            out_s.append(cq)
+        return _partial_topk_table(out_q, out_n, out_s)
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def ann_brute_topk(
+    ds: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Exact cosine top-k baseline: (query_id, neighbor_id, rank, cos_q)."""
+    return _merge_topk(
+        ann_brute_scores(ds, query_ids, query_mat, k, id_col, embedding_col), k
+    )
 
 
 def ann_ivf_topk(
@@ -129,13 +250,7 @@ def ann_ivf_topk(
     def score(batch: pa.Table) -> pa.Table:
         qids_, qmat_, qnorm_, cents_, pmask_ = ray.get(ref)
         if len(batch) == 0:  # empty block: np.array([]) is 1-D → matmul breaks
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "neighbor_id": pa.array([], pa.int64()),
-                    "cos": pa.array([], pa.float64()),
-                }
-            )
+            return _partial_topk_table([], [], [])
         ids = np.asarray(batch.column(id_col), dtype=np.int64)
         emb = np.array(batch.column(embedding_col).to_pylist(), dtype=np.float64)
         d = ((emb[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
@@ -145,35 +260,23 @@ def ann_ivf_topk(
         out_q, out_n, out_s = [], [], []
         for j, qid in enumerate(qids_):
             keep = visible[:, j] & (ids != qid)
+            if not keep.any():
+                continue
             # similarity computed ONLY for the probed subset — this is
             # the IVF saving (the brute-force baseline does the full
-            # B×Q matmul); work here is O(|probed| · dim) per query
+            # B×Q matmul); work here is O(|probed| · dim) per query.
+            # Then a per-batch partial top-k bounds the emitted rows at
+            # k per query per batch (quantized to floor(cos·1e9) FIRST:
+            # BLAS accumulation order varies with batch shape, so raw
+            # doubles drift ~1 ulp — quantized selection + neighbor_id
+            # tie-break is batching-stable)
             sub = emb[keep]
             sims_j = (sub @ qmat_[j]) / (norms[keep] * qnorm_[j])
-            out_q.append(np.full(int(keep.sum()), qid, dtype=np.int64))
-            out_n.append(ids[keep])
-            out_s.append(sims_j)
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
-                "cos": pa.array(np.concatenate(out_s), pa.float64()),
-            }
-        )
+            cq, nid = _topk_select(np.floor(sims_j * 1e9).astype(np.int64), ids[keep], k)
+            out_q.append(np.full(len(nid), qid, dtype=np.int64))
+            out_n.append(nid)
+            out_s.append(cq)
+        return _partial_topk_table(out_q, out_n, out_s)
 
     scored = ds.map_batches(score, batch_format="pyarrow")
-
-    # rank and emit the cosine QUANTIZED to floor(cos*1e9): BLAS picks
-    # different accumulation blockings for different batch shapes, so
-    # raw doubles drift by ~1 ulp across parallelism levels — quantized
-    # output is bit-stable run-to-run (golden-oracle requirement) and
-    # the neighbor_id tie-break decides near-equal ranks
-    def topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.assign(
-            cos_q=np.floor(group["cos"].to_numpy() * 1e9).astype(np.int64)
-        )
-        g = g.sort_values(["cos_q", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g[["query_id", "neighbor_id", "rank", "cos_q"]]
-
-    return scored.groupby("query_id").map_groups(topk, batch_format="pandas")
+    return _merge_topk(scored, k)
