@@ -29,74 +29,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from textpipe_ray.pipelines import queries as Q
 
     # Ordered by verification priority: the driver value-checks the
-    # FIRST ~50 entries each round (CORRECTNESS_r02 covered exactly the
-    # first 50 declared), so the north-rule flagship, the corpus-release
-    # chain, and every LLM-pipeline operator sit up front; redundant
-    # small-table demos that were already driver-green in round 2 ride
-    # at the tail.
+    # FIRST ~50 entries each round.  ROTATION POLICY (round-3 advice):
+    # the window swaps each round so every query's hard driver signal is
+    # at most one round old — this round the front holds (a) everything
+    # whose code changed this round (ANN partial top-k, corpus-release
+    # hashing, sort-finisher drops, ops-registry fix, new q_doc_vectors)
+    # and (b) the 26 queries demoted in round 3 (last driver-checked in
+    # round 2).  The tail (>50) is exactly the set green in
+    # CORRECTNESS_r03 with code untouched this round; all tail queries
+    # stay value-checked every pytest run via the local oracle replica
+    # (tests/test_queries_oracle.py).
     return {
-        # --- north rule + production chain ---
+        # --- changed or new this round ---
         "q_pages_flagship": Q.q_pages_flagship,
+        "q_doc_vectors": Q.q_doc_vectors,
         "q_corpus_release": Q.q_corpus_release,
-        "q_pages_dedup": Q.q_pages_dedup,
         "q_pages_neardup": Q.q_pages_neardup,
-        "q_url_dedup": Q.q_url_dedup,
-        "q_url_filter": Q.q_url_filter,
-        "q_normalized_dedup": Q.q_normalized_dedup,
-        "q_boilerplate_dedup": Q.q_boilerplate_dedup,
-        "q_paragraph_filter": Q.q_paragraph_filter,
-        "q_ppl_buckets": Q.q_ppl_buckets,
-        "q_para_ppl": Q.q_para_ppl,
-        # --- LLM-data-pipeline operators ---
-        "q_dsir": Q.q_dsir,
-        "q_embedding_pca": Q.q_embedding_pca,
-        "q_budget_mix": Q.q_budget_mix,
-        "q_domain_mix": Q.q_domain_mix,
-        "q_lang_temperature": Q.q_lang_temperature,
-        "q_quality_percentile": Q.q_quality_percentile,
-        "q_contamination": Q.q_contamination,
-        "q_span_dedup": Q.q_span_dedup,
-        "q_chunk_dedup": Q.q_chunk_dedup,
-        "q_pack_sequences": Q.q_pack_sequences,
-        "q_shuffle_shards": Q.q_shuffle_shards,
-        "q_train_split": Q.q_train_split,
-        # --- multimodal ---
-        "q_media_phash_dedup": Q.q_media_phash_dedup,
-        "q_video_dedup": Q.q_video_dedup,
-        "q_audio_dedup": Q.q_audio_dedup,
-        "q_media_features": Q.q_media_features,
-        # --- model-scored / sketch operators ---
-        "q_langid": Q.q_langid,
-        "q_perplexity": Q.q_perplexity,
-        "q_minhash": Q.q_minhash,
-        "q_incremental_dedup": Q.q_incremental_dedup,
-        "q_simhash_neardup": Q.q_simhash_neardup,
-        "q_ann_ivf": Q.q_ann_ivf,
         "q_ann_topk": Q.q_ann_topk,
-        "q_embedding_neardup": Q.q_embedding_neardup,
-        "q_textpipe_ops": Q.q_textpipe_ops,
-        # --- core text/quality oracle queries ---
-        "q_clean": Q.q_clean,
-        "q_quality": Q.q_quality,
+        "q_ann_ivf": Q.q_ann_ivf,
+        "q_incremental_dedup": Q.q_incremental_dedup,
+        "q_para_ppl": Q.q_para_ppl,
         "q_gopher_rules": Q.q_gopher_rules,
-        "q_quality_score": Q.q_quality_score,
-        "q_complexity": Q.q_complexity,
-        "q_scrub": Q.q_scrub,
-        "q_exact_dedup": Q.q_exact_dedup,
-        "q_ngram_jaccard": Q.q_ngram_jaccard,
-        "q_token_freq": Q.q_token_freq,
         "q_distinct_sketch": Q.q_distinct_sketch,
-        "q_tfidf_topk": Q.q_tfidf_topk,
-        "q_lang_metrics": Q.q_lang_metrics,
-        "q_host_stats": Q.q_host_stats,
+        "q_textpipe_ops": Q.q_textpipe_ops,
+        "q_token_count": Q.q_token_count,
+        "q_topk_per_group": Q.q_topk_per_group,
+        "q_shuffle_shards": Q.q_shuffle_shards,
+        "q_url_dedup": Q.q_url_dedup,
+        "q_span_dedup": Q.q_span_dedup,
+        "q_quality_percentile": Q.q_quality_percentile,
+        "q_embedding_pca": Q.q_embedding_pca,
+        "q_normalized_dedup": Q.q_normalized_dedup,
+        "q_budget_mix": Q.q_budget_mix,
+        "q_dsir": Q.q_dsir,
+        "q_chunk_dedup": Q.q_chunk_dedup,
+        "q_range_join": Q.q_range_join,
         "q_funnel": Q.q_funnel,
-        # --- joins / relational ---
-        # --- position >50: already driver-green in round 2 (see
-        # CORRECTNESS_r02.json); demoted so the window above covers the
-        # previously unchecked headliners ---
+        # --- rotated back in: last driver-checked in round 2 ---
         "q_native_join": Q.q_native_join,
         "q_asof_join": Q.q_asof_join,
-        "q_range_join": Q.q_range_join,
         "q_anti_join": Q.q_anti_join,
         "q_agg_lineitem": Q.q_agg_lineitem,
         "q_segment_orders": Q.q_segment_orders,
@@ -110,9 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rolling_sum": Q.q_rolling_sum,
         "q_stratified_sample": Q.q_stratified_sample,
         "q_events_sliding": Q.q_events_sliding,
-        "q_token_count": Q.q_token_count,
         "q_distinct_tokens": Q.q_distinct_tokens,
-        "q_topk_per_group": Q.q_topk_per_group,
         "q_dup_stats": Q.q_dup_stats,
         "q_embedding_centroid": Q.q_embedding_centroid,
         "q_json_extract": Q.q_json_extract,
@@ -120,6 +89,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pii_stats": Q.q_pii_stats,
         "q_trigram_lm": Q.q_trigram_lm,
         "q_collocations": Q.q_collocations,
+        # --- north-rule kernels (cheap, always near the window edge) ---
+        "q_clean": Q.q_clean,
+        "q_quality": Q.q_quality,
+        "q_scrub": Q.q_scrub,
+        # --- position >50: green in CORRECTNESS_r03, code untouched
+        # this round; still value-checked every pytest run locally ---
+        "q_pages_dedup": Q.q_pages_dedup,
+        "q_url_filter": Q.q_url_filter,
+        "q_boilerplate_dedup": Q.q_boilerplate_dedup,
+        "q_paragraph_filter": Q.q_paragraph_filter,
+        "q_ppl_buckets": Q.q_ppl_buckets,
+        "q_lang_temperature": Q.q_lang_temperature,
+        "q_domain_mix": Q.q_domain_mix,
+        "q_contamination": Q.q_contamination,
+        "q_pack_sequences": Q.q_pack_sequences,
+        "q_train_split": Q.q_train_split,
+        "q_media_phash_dedup": Q.q_media_phash_dedup,
+        "q_video_dedup": Q.q_video_dedup,
+        "q_audio_dedup": Q.q_audio_dedup,
+        "q_media_features": Q.q_media_features,
+        "q_langid": Q.q_langid,
+        "q_perplexity": Q.q_perplexity,
+        "q_minhash": Q.q_minhash,
+        "q_simhash_neardup": Q.q_simhash_neardup,
+        "q_embedding_neardup": Q.q_embedding_neardup,
+        "q_exact_dedup": Q.q_exact_dedup,
+        "q_ngram_jaccard": Q.q_ngram_jaccard,
+        "q_token_freq": Q.q_token_freq,
+        "q_tfidf_topk": Q.q_tfidf_topk,
+        "q_lang_metrics": Q.q_lang_metrics,
+        "q_host_stats": Q.q_host_stats,
+        "q_quality_score": Q.q_quality_score,
+        "q_complexity": Q.q_complexity,
     }
 
 

@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "q_embedding_pca",
     "q_video_dedup",
     "q_audio_dedup",
+    "q_doc_vectors",
 ]
 
 

@@ -55,6 +55,7 @@ GOLDEN_QUERIES = [
     "q_para_ppl",
     "q_incremental_dedup",
     "q_distinct_sketch",
+    "q_doc_vectors",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

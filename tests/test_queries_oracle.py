@@ -39,7 +39,7 @@ def oracle_names():
     "q_host_stats", "q_paragraph_filter", "q_boilerplate_dedup", "q_ppl_buckets",
     "q_url_filter", "q_media_phash_dedup", "q_url_dedup", "q_corpus_release",
     "q_dsir", "q_embedding_pca", "q_video_dedup", "q_audio_dedup",
-    "q_para_ppl", "q_incremental_dedup", "q_distinct_sketch",
+    "q_para_ppl", "q_incremental_dedup", "q_distinct_sketch", "q_doc_vectors",
 ])
 def test_query_matches_oracle(ray_session, name):
     from textpipe_ray.pipelines.compare import compare, run_oracle
@@ -100,6 +100,23 @@ def test_dsir_prefers_target_source(ray_session):
     tgt = per_tri[j["source"] == DSIR_TARGET_SOURCE].mean()
     rest = per_tri[j["source"] != DSIR_TARGET_SOURCE].mean()
     assert tgt > rest
+
+
+def test_doc_vectors_store_parity_and_oov(ray_session):
+    """q_doc_vectors must prove the ShardedVectorStore path bit-equal to
+    the registry FileVectorModel path on every document (store_match),
+    and the committed vector model must leave real OOV traffic so the
+    fallback branch is exercised (not a vocabulary-covers-everything
+    vacuous pass)."""
+    from textpipe_ray.pipelines.queries import q_doc_vectors
+
+    df = q_doc_vectors(SF).to_pandas()
+    assert len(df) == 500
+    assert df["store_match"].all()
+    assert (df["n_vocab"] < df["n_tokens"]).any()      # OOV fallback hit
+    assert (df["n_vocab"] > 0).any()                   # registered vectors hit
+    assert (df["gensim_n"] > 0).any()                  # in-vocab gensim embeddings
+    assert set(df["top_cat"]) - {""}                   # textcat labels produced
 
 
 def test_pca_batching_independent(ray_session):

@@ -1267,6 +1267,131 @@ def q_textpipe_ops(sf_dir: str):
     )
 
 
+def q_doc_vectors(sf_dir: str):
+    """The vector/textcat operation family through the registry path —
+    ``WordVectors`` / ``DocumentVector`` / ``GensimDocumentEmbedding``
+    (reference operation.py:293-358) and ``Categories``
+    (operation.py:430-448) — with the keyed-vectors table loaded from a
+    committed model file (``Pipeline(models=[(name, lang, path)])``,
+    the reference's custom-model mechanism, pipeline.py:54-60).
+
+    The SAME vector table is additionally served from
+    ``state/vecstore.ShardedVectorStore`` (the reference's
+    Redis-KeyedVectors analog, wrappers.py:20-125): the finisher
+    recomputes every DocumentVector via batched per-shard actor lookups
+    (one RPC per touched shard per batch) with the identical per-doc
+    fold order, and emits ``store_match`` — bit-equality of the two
+    paths per document, all-true in the committed golden.  This is the
+    >node-RAM vector story exercised end-to-end under a driver row.
+
+    Output is all scalars (digests + micro-quantized norms) so the
+    driver value-checks it against a committed golden parquet."""
+    from pathlib import Path as _Path
+
+    from textpipe_ray.functions.vectors import _WORD_RE, _hash_vector
+    from textpipe_ray.pipelines.spec import Pipeline
+    from textpipe_ray.state.vecstore import ShardedVectorStore
+
+    models_dir = _Path(__file__).resolve().parents[2] / "models" / "custom"
+    vec_path = str(models_dir / "doc_vectors.json")
+    p = Pipeline(
+        [
+            "CleanText",
+            ("WordVectors", {}),
+            ("DocumentVector", {"aggregation": "mean"}),
+            ("GensimDocumentEmbedding", {"idf_weighting": "log"}),
+            ("Categories", {"model_name": "news"}),
+        ],
+        models=[
+            ("docvec", "*", vec_path),
+            ("news", "*", str(models_dir / "news_textcat.json")),
+        ],
+    )
+
+    import json as _json
+
+    obj = _json.loads(_Path(vec_path).read_text())
+    dim = int(obj["dim"])
+    store = ShardedVectorStore.from_items(obj["vectors"], dim, num_shards=4)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def digest(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        wv = batch.column("WordVectors").to_pylist()
+        dv = batch.column("DocumentVector").to_pylist()
+        ge = batch.column("GensimDocumentEmbedding").to_pylist()
+        cats = batch.column("Categories").to_pylist()
+        texts = batch.column("clean").to_pylist()
+
+        # ---- sharded-store path: ONE batched lookup for the batch's
+        # distinct lowercased tokens (≤ num_shards RPCs), then per-doc
+        # reassembly with the same np.stack(...).mean(axis=0) fold as
+        # aggregate_word_vectors → bit-identical when both paths agree
+        doc_toks = [[m.group().lower() for m in _WORD_RE.finditer(t or "")] for t in texts]
+        uniq = sorted({tok for toks in doc_toks for tok in toks})
+        mat, hit = store.lookup(uniq)
+        vec_by_tok = {}
+        for i, tok in enumerate(uniq):
+            vec_by_tok[tok] = mat[i] if hit[i] else _hash_vector(tok, dim)
+
+        out = {
+            "doc_id": pc.cast(batch.column("doc_id"), _I64),
+            "n_tokens": [],
+            "n_vocab": [],
+            "docvec_md5": [],
+            "docvec_norm_micro": [],
+            "gensim_md5": [],
+            "gensim_n": [],
+            "top_cat": [],
+            "top_cat_micro": [],
+            "store_match": [],
+        }
+        for i in range(n):
+            pairs = wv[i] or []
+            out["n_tokens"].append(len(pairs))
+            out["n_vocab"].append(sum(1 for _, rec in pairs if rec["has_vector"]))
+            v = np.asarray(dv[i] or [], dtype=np.float64)
+            out["docvec_md5"].append(hashlib.md5(v.tobytes()).hexdigest() if len(v) else "")
+            out["docvec_norm_micro"].append(
+                int(np.floor(np.sqrt((v * v).sum()) * 1e6)) if len(v) else 0
+            )
+            g = np.asarray(ge[i] or [], dtype=np.float64)
+            out["gensim_md5"].append(hashlib.md5(g.tobytes()).hexdigest() if len(g) else "")
+            out["gensim_n"].append(len(g))
+            cd = cats[i] or []
+            if cd:
+                # max score, label asc tie-break — deterministic
+                top = sorted(cd, key=lambda kv: (-kv[1], kv[0]))[0]
+                out["top_cat"].append(top[0])
+                out["top_cat_micro"].append(int(np.floor(top[1] * 1e6)))
+            else:
+                out["top_cat"].append("")
+                out["top_cat_micro"].append(0)
+            toks = doc_toks[i]
+            if toks:
+                sv = np.stack([vec_by_tok[t] for t in toks]).mean(axis=0)
+                out["store_match"].append(bool(len(v) == dim and (sv == v).all()))
+            else:
+                out["store_match"].append(len(v) == 0)
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "n_tokens": pa.array(out["n_tokens"], _I64),
+                "n_vocab": pa.array(out["n_vocab"], _I64),
+                "docvec_md5": pa.array(out["docvec_md5"], pa.string()),
+                "docvec_norm_micro": pa.array(out["docvec_norm_micro"], _I64),
+                "gensim_md5": pa.array(out["gensim_md5"], pa.string()),
+                "gensim_n": pa.array(out["gensim_n"], _I64),
+                "top_cat": pa.array(out["top_cat"], pa.string()),
+                "top_cat_micro": pa.array(out["top_cat_micro"], _I64),
+                "store_match": pa.array(out["store_match"], pa.bool_()),
+            }
+        )
+
+    return p.transform(ds).map_batches(digest, batch_format="pyarrow")
+
+
 def _video_summary(batch: pa.Table) -> pa.Table:
     n = [len(ts) if ts is not None else 0 for ts in batch.column("frame_ts_ms").to_pylist()]
     return batch.append_column("n_frames", pa.array(n, _I64))

@@ -115,6 +115,9 @@ def op_raw(batch, name, settings, hint):
 
 
 def op_clean_text(batch, name, settings, hint):
+    # reserved keys (the registry channel) are pipeline plumbing, not
+    # clean_text flags — strip them before **settings forwarding
+    settings = {k: v for k, v in settings.items() if not k.startswith("__")}
     if not settings and "__clean" in batch.column_names:
         vals_arr = batch.column("__clean")  # default flags: reuse the precomputed kernel
     else:
