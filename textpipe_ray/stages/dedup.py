@@ -66,15 +66,17 @@ def dedup_exact(
     dispatch, which dominates when keys are near-unique."""
 
     def add_part(batch: pa.Table) -> pa.Table:
-        import hashlib as _hashlib
+        # vectorized partition ids over the Arrow buffer (was a per-row
+        # blake2b loop); partition assignment is internal — any stable
+        # hash keeps all rows of a key together, results are identical
+        from textpipe_ray.functions.strhash import part_ids
 
-        keys = batch.column(key_col).to_pylist()
-        parts = [
-            int.from_bytes(_hashlib.blake2b(str(k).encode(), digest_size=4).digest(), "little")
-            % num_parts
-            for k in keys
-        ]
-        return batch.append_column("__part", pa.array(parts, pa.int32()))
+        keys = batch.column(key_col)
+        if not (pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type)):
+            keys = pc.cast(keys, pa.string())
+        return batch.append_column(
+            "__part", pa.array(part_ids(keys, num_parts), pa.int32())
+        )
 
     def dedupe_partition(part: pd.DataFrame) -> pd.DataFrame:
         out = (
@@ -91,6 +93,72 @@ def dedup_exact(
     )
 
 
+@ray.remote
+def _consolidate_sigs(*blocks: pa.Table):
+    """Concatenate signature blocks into (sorted_ids, sig_matrix) INSIDE
+    a worker task — the driver only ever holds the ObjectRef; verify
+    tasks read the arrays zero-copy from the object store (one copy per
+    node)."""
+    # empty blocks can arrive schema-less — skip them
+    blocks = [b for b in blocks if len(b) and "doc_id" in b.column_names]
+    ids_list = [np.asarray(b.column("doc_id"), dtype=np.int64) for b in blocks]
+    mats = [
+        np.asarray(b.column("sig").combine_chunks().flatten(), dtype=np.uint64).reshape(
+            len(b), -1
+        )
+        for b in blocks
+    ]
+    ids_cat = np.concatenate(ids_list) if ids_list else np.empty(0, np.int64)
+    order = np.argsort(ids_cat)
+    mat = np.concatenate(mats)[order] if mats else None
+    return ids_cat[order], mat
+
+
+def _broadcast_verify_pairs(
+    candidates: "ray.data.Dataset", sig_ds: "ray.data.Dataset", threshold: float
+) -> "ray.data.Dataset":
+    """Verify (id_a, id_b) candidate pairs against a broadcast of the
+    consolidated signature table → (id_a, id_b, jaccard_est) above
+    ``threshold``, cross-partition duplicates collapsed (a pair firing
+    in several band buckets verifies to the identical value; the final
+    groupby keeps one)."""
+    import ray as _ray
+
+    sig_ref = _consolidate_sigs.remote(*sig_ds.to_arrow_refs())
+
+    def bverify(batch: pa.Table) -> pa.Table:
+        sorted_ids, sig_mat = _ray.get(sig_ref)
+        a = np.asarray(batch.column("id_a"), dtype=np.int64)
+        b = np.asarray(batch.column("id_b"), dtype=np.int64)
+        if len(a) == 0 or sig_mat is None:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jaccard_est": pa.array([], pa.float64()),
+                }
+            )
+        sa = sig_mat[np.searchsorted(sorted_ids, a)]
+        sb = sig_mat[np.searchsorted(sorted_ids, b)]
+        j = (sa == sb).mean(axis=1)
+        mask = j >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(a[mask], pa.int64()),
+                "id_b": pa.array(b[mask], pa.int64()),
+                "jaccard_est": pa.array(j[mask], pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Max as _Max
+
+    return (
+        candidates.map_batches(bverify, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(_Max("jaccard_est", alias_name="jaccard_est"))
+    )
+
+
 def near_dup_minhash(
     ds: "ray.data.Dataset",
     text_col: str = "text",
@@ -100,10 +168,15 @@ def near_dup_minhash(
     shingle_size: int | None = None,
     verify_mode: str = "auto",
     broadcast_limit_bytes: int = 1 << 30,
+    sig_col: str | None = None,
 ) -> "ray.data.Dataset":
     """MinHash-LSH near-duplicate pairs: shingle→minhash→band→bucket
     groupby→within-bucket verify.  Returns (id_a, id_b, jaccard_est)
     with id_a < id_b, deduplicated across buckets.
+
+    ``sig_col`` names a PRECOMPUTED ``list<uint64>`` signature column;
+    when given, the signature pass is skipped entirely (the
+    shared-read composition of :func:`near_dup_after_exact`).
 
     ``shingle_size=None`` hashes word tokens with sha1 (the reference's
     ``Doc.find_minhash`` semantics, doc.py:469-478); an int switches to
@@ -164,7 +237,17 @@ def near_dup_minhash(
             }
         )
 
-    sig_ds = ds.map_batches(compute_sigs, batch_format="pyarrow").materialize()
+    def project_sigs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column(id_col), pa.int64()),
+                "sig": batch.column(sig_col).cast(pa.list_(pa.uint64())),
+            }
+        )
+
+    sig_ds = ds.map_batches(
+        project_sigs if sig_col is not None else compute_sigs, batch_format="pyarrow"
+    ).materialize()
 
     num_parts = 32
 
@@ -247,60 +330,7 @@ def near_dup_minhash(
         )
 
     if verify_mode == "broadcast":
-        # consolidate OFF-driver: a worker task concatenates the sig
-        # blocks into (sorted_ids, sig_matrix) in the object store; the
-        # driver holds only the ref, verify tasks map it zero-copy
-        @_ray.remote
-        def _consolidate(*blocks: pa.Table):
-            # empty blocks can arrive schema-less — skip them
-            blocks = [b for b in blocks if len(b) and "doc_id" in b.column_names]
-            ids_list = [np.asarray(b.column("doc_id"), dtype=np.int64) for b in blocks]
-            mats = [
-                np.asarray(b.column("sig").combine_chunks().flatten(), dtype=np.uint64).reshape(
-                    len(b), -1
-                )
-                for b in blocks
-            ]
-            ids_cat = np.concatenate(ids_list) if ids_list else np.empty(0, np.int64)
-            order = np.argsort(ids_cat)
-            mat = np.concatenate(mats)[order] if mats else None
-            return ids_cat[order], mat
-
-        sig_ref = _consolidate.remote(*sig_ds.to_arrow_refs())
-
-        def bverify(batch: pa.Table) -> pa.Table:
-            sorted_ids, sig_mat = _ray.get(sig_ref)
-            a = np.asarray(batch.column("id_a"), dtype=np.int64)
-            b = np.asarray(batch.column("id_b"), dtype=np.int64)
-            if len(a) == 0 or sig_mat is None:
-                return pa.table(
-                    {
-                        "id_a": pa.array([], pa.int64()),
-                        "id_b": pa.array([], pa.int64()),
-                        "jaccard_est": pa.array([], pa.float64()),
-                    }
-                )
-            sa = sig_mat[np.searchsorted(sorted_ids, a)]
-            sb = sig_mat[np.searchsorted(sorted_ids, b)]
-            j = (sa == sb).mean(axis=1)
-            mask = j >= threshold
-            return pa.table(
-                {
-                    "id_a": pa.array(a[mask], pa.int64()),
-                    "id_b": pa.array(b[mask], pa.int64()),
-                    "jaccard_est": pa.array(j[mask], pa.float64()),
-                }
-            )
-
-        # cross-partition duplicate candidates verify twice (identical
-        # value), then collapse — the verified set is tiny
-        from ray.data.aggregate import Max as _Max
-
-        return (
-            candidates.map_batches(bverify, batch_format="pyarrow")
-            .groupby(["id_a", "id_b"])
-            .aggregate(_Max("jaccard_est", alias_name="jaccard_est"))
-        )
+        return _broadcast_verify_pairs(candidates, sig_ds, threshold)
 
     # "join": exchange 1 attaches each pair side's signature (sig table
     # shipped ONCE, duplicate (pair, side) occurrences from multiple
@@ -370,9 +400,44 @@ def near_dup_after_exact(
     survivors.  Exact-duplicate families (boilerplate, templates) would
     otherwise each produce k²/2 trivial pairs inside one LSH bucket —
     this keeps the near-dup stage's bucket sizes bounded by real
-    near-match density."""
-    _, pairs = exact_survivors_and_pairs(ds, text_col, id_col, **near_dup_kwargs)
-    return pairs
+    near-match density.
+
+    Physical plan (pairs-only fast path): ONE pre-exchange pass over
+    the input computes both the exact-dedup md5 (batched,
+    functions/strhash.md5_hex) AND the MinHash signature, then projects
+    the text away — the documents are read/extracted exactly once and
+    the exact-dedup exchange moves (id, 32-char hash, 1 KB signature)
+    rows instead of document text.  Trade-off, on purpose: signatures
+    are computed for exact-dup losers too (wasted minhash on the dup
+    fraction) in exchange for never shipping the text column through an
+    all-to-all — at corpus scale the exchange, not the hash kernel, is
+    the bottleneck.  Callers that need the surviving DOCUMENTS (not
+    just pairs) use :func:`exact_survivors_and_pairs`, which must keep
+    the original columns through the exchange."""
+    from textpipe_ray.functions.minhash import minhash_signature_shingles
+    from textpipe_ray.functions.strhash import md5_hex
+
+    shingle_size = near_dup_kwargs.get("shingle_size")
+
+    def sig_of(t: str) -> np.ndarray:
+        if shingle_size is None:
+            return minhash_signature(_tokenize(t))
+        return minhash_signature_shingles(t or "", shingle_size)
+
+    def hash_sig_project(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        sigs = [sig_of(t) for t in texts.to_pylist()]
+        return pa.table(
+            {
+                id_col: pc.cast(batch.column(id_col), pa.int64()),
+                "__content_hash": pa.array(md5_hex(texts), pa.string()),
+                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+            }
+        )
+
+    keyed = ds.map_batches(hash_sig_project, batch_format="pyarrow")
+    surv = dedup_exact(keyed, "__content_hash", id_col).drop_columns(["__content_hash"])
+    return near_dup_minhash(surv, text_col=text_col, id_col=id_col, sig_col="sig", **near_dup_kwargs)
 
 
 def exact_survivors_and_pairs(
@@ -382,15 +447,18 @@ def exact_survivors_and_pairs(
     **near_dup_kwargs,
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
     """Shared core of the near-dup compositions: (exact-dedup
-    survivors, MinHash-LSH pair Dataset over those survivors)."""
-    import hashlib as _hashlib
+    survivors, MinHash-LSH pair Dataset over those survivors).  The
+    survivors keep every input column, so the exchange necessarily
+    carries the text (the standard content-hash dedup shuffle); when
+    only the PAIRS are needed, :func:`near_dup_after_exact` projects
+    the text away before the exchange instead."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        h = [
-            _hashlib.md5((t or "").encode("utf8")).hexdigest()
-            for t in batch.column(text_col).to_pylist()
-        ]
-        return batch.append_column("__content_hash", pa.array(h, pa.string()))
+        from textpipe_ray.functions.strhash import md5_hex
+
+        return batch.append_column(
+            "__content_hash", pa.array(md5_hex(batch.column(text_col)), pa.string())
+        )
 
     survivors = dedup_exact(
         ds.map_batches(add_hash, batch_format="pyarrow"), "__content_hash", id_col
@@ -1116,6 +1184,8 @@ def near_dup_against_index(
     threshold: float = 0.7,
     shingle_size: int | None = None,
     num_parts: int = 32,
+    verify_mode: str = "auto",
+    broadcast_limit_bytes: int = 1 << 30,
 ) -> "ray.data.Dataset":
     """Near-dup pairs between a NEW snapshot and a persisted corpus
     index (:func:`write_minhash_index`): the incremental path — only the
@@ -1232,6 +1302,31 @@ def near_dup_against_index(
 
     idx_sigs = _rd.read_parquet(f"{index_path}/sigs", columns=["doc_id", "sig"])
     all_sigs = new_sigs.union(idx_sigs)
+
+    # the same verify strategy selection as near_dup_minhash: when the
+    # combined signature table fits an object store, one zero-copy
+    # broadcast beats hash-partitioning the WHOLE table (three
+    # exchanges) to serve what is usually a small candidate set
+    if verify_mode == "auto":
+        all_sigs = all_sigs.materialize()
+        n_docs = all_sigs.count()
+        verify_mode = (
+            "broadcast" if n_docs * DEFAULT_NUM_PERM * 8 <= broadcast_limit_bytes else "join"
+        )
+
+    if verify_mode == "broadcast":
+        verified = _broadcast_verify_pairs(candidates, all_sigs, threshold)
+
+        def rename(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "new_id": batch.column("id_a"),
+                    "index_id": batch.column("id_b"),
+                    "jaccard_est": batch.column("jaccard_est"),
+                }
+            )
+
+        return verified.map_batches(rename, batch_format="pyarrow")
 
     sided = attach_pair_sides(
         candidates, {}, all_sigs, "doc_id", "sig", pa.list_(pa.uint64()), num_parts=num_parts
