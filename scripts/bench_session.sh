@@ -1,0 +1,41 @@
+#!/bin/bash
+# One full-board bench session for round 4: writes
+# bench_out/bench_r4_session<N>.json plus a host-noise probe reading, and
+# refreshes the min-of-all-sessions aggregate bench_out/bench_r4.json.
+# Per the repo's noise methodology (BASELINE.md): co-tenant host, stalls
+# only ever add time -> per-query minima across sessions estimate the
+# noise floor; never conclude regressions from a single session.
+set -e
+cd /root/repo
+N=$(ls bench_out/bench_r4_session*.json 2>/dev/null | wc -l)
+N=$((N+1))
+PROBE=$(python -c "
+import numpy as np, time
+a = np.random.rand(9_000_000); b = np.random.rand(9_000_000)
+t0=time.time()
+for _ in range(5): c=a+b; d=a*b
+print(round((time.time()-t0)/5*1000,1))")
+echo "session $N, probe ${PROBE}ms (quiet ~30)"
+python bench.py 2>/dev/null | tail -1 > /tmp/bench_r4_raw.json
+python - <<PY
+import json
+d = json.load(open("/tmp/bench_r4_raw.json"))
+d["host_probe_ms"] = $PROBE
+with open("bench_out/bench_r4_session$N.json", "w") as f:
+    json.dump(d, f, indent=1)
+# min-of-all-sessions aggregate
+import glob
+sessions = [json.load(open(p)) for p in sorted(glob.glob("bench_out/bench_r4_session*.json"))]
+agg = dict(sessions[-1])
+qmin = {}
+for s in sessions:
+    for q, t in s["queries"].items():
+        qmin[q] = min(qmin.get(q, 1e9), t)
+agg["queries"] = qmin
+agg["value"] = qmin.get("q_pages_flagship")
+agg["sessions"] = len(sessions)
+agg["probes_ms"] = [s.get("host_probe_ms") for s in sessions]
+with open("bench_out/bench_r4.json", "w") as f:
+    json.dump(agg, f, indent=1)
+print("aggregate over", len(sessions), "sessions; flagship:", agg["value"])
+PY
