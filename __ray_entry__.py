@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- changed or new this round ---
         "q_pages_flagship": Q.q_pages_flagship,
         "q_doc_vectors": Q.q_doc_vectors,
+        "q_bloom_dedup": Q.q_bloom_dedup,
         "q_corpus_release": Q.q_corpus_release,
         "q_pages_neardup": Q.q_pages_neardup,
         "q_ann_topk": Q.q_ann_topk,

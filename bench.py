@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "q_video_dedup",
     "q_audio_dedup",
     "q_doc_vectors",
+    "q_bloom_dedup",
 ]
 
 

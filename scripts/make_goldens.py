@@ -56,6 +56,7 @@ GOLDEN_QUERIES = [
     "q_incremental_dedup",
     "q_distinct_sketch",
     "q_doc_vectors",
+    "q_bloom_dedup",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

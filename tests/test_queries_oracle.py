@@ -39,7 +39,7 @@ def oracle_names():
     "q_host_stats", "q_paragraph_filter", "q_boilerplate_dedup", "q_ppl_buckets",
     "q_url_filter", "q_media_phash_dedup", "q_url_dedup", "q_corpus_release",
     "q_dsir", "q_embedding_pca", "q_video_dedup", "q_audio_dedup",
-    "q_para_ppl", "q_incremental_dedup", "q_distinct_sketch", "q_doc_vectors",
+    "q_para_ppl", "q_incremental_dedup", "q_distinct_sketch", "q_doc_vectors", "q_bloom_dedup",
 ])
 def test_query_matches_oracle(ray_session, name):
     from textpipe_ray.pipelines.compare import compare, run_oracle
@@ -117,6 +117,31 @@ def test_doc_vectors_store_parity_and_oov(ray_session):
     assert (df["n_vocab"] > 0).any()                   # registered vectors hit
     assert (df["gensim_n"] > 0).any()                  # in-vocab gensim embeddings
     assert set(df["top_cat"]) - {""}                   # textcat labels produced
+
+
+def test_bloom_dedup_zero_false_negatives(ray_session):
+    """Every odd-half page whose cleaned text also appears in the even
+    half MUST be flagged (Bloom filters cannot miss); false positives
+    are allowed but must stay under 1% at the 10+-bits/key sizing."""
+    import duckdb
+
+    from textpipe_ray.pipelines.queries import pages_dir_for, q_bloom_dedup
+
+    df = q_bloom_dedup(SF).to_pandas()
+    pages = pages_dir_for(SF)
+    truth = duckdb.sql(
+        f"""
+        WITH p AS (SELECT CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) AS id, text
+                   FROM '{pages}/pages-*.parquet'),
+        even AS (SELECT text FROM p WHERE id % 2 = 0)
+        SELECT id FROM p WHERE id % 2 = 1
+          AND EXISTS (SELECT 1 FROM even e WHERE e.text = p.text)"""
+    ).fetchdf()
+    t = set(truth["id"])
+    flagged = set(df[df["bloom_hit"]]["doc_id"])
+    assert t, "fixture must plant cross-parity exact dups"
+    assert t <= flagged, sorted(t - flagged)[:5]          # zero false negatives
+    assert len(flagged - t) <= max(1, len(df) // 100)     # FP rate bound
 
 
 def test_pca_batching_independent(ray_session):

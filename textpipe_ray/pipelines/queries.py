@@ -4550,6 +4550,65 @@ def q_incremental_dedup(sf_dir: str, index_path: str | None = None):
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter cross-snapshot exact dedup — the constant-memory
+# complement of q_incremental_dedup's persisted parquet index: the
+# indexed corpus is distilled to ONE bitmap (10 bits/key), broadcast
+# once, and the new snapshot scans row-locally with zero exchanges.
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 22  # 512 KiB bitmap; ~10+ bits/key at test scales
+BLOOM_K = 6
+
+
+def q_bloom_dedup(sf_dir: str):
+    """DCLM-style Bloom dedup of a new crawl snapshot against an
+    already-ingested corpus, over the EXTRACTED pages (even url-id =
+    indexed corpus, odd = new snapshot; the pages table plants
+    byte-identical template families across the split): build the
+    filter over the even half's cleaned-text hashes (one constant-size
+    bitmap partial per batch, OR-folded in a worker task), broadcast
+    it, scan the odd half row-locally.  Zero false negatives by
+    construction (every true exact dup is flagged — tested against the
+    DuckDB ground truth); false positives are bounded by the
+    10+-bits/key sizing and are part of the deterministic output
+    (golden-checked).  Scale: the filter is the ONLY shared state — m
+    grows with the indexed corpus, the scan never exchanges."""
+    import glob as _glob
+
+    from textpipe_ray.stages.dedup import bloom_scan, build_bloom
+    from textpipe_ray.stages.text import clean_batch
+
+    pages = pages_dir_for(sf_dir)
+
+    # in production the indexed corpus and the new snapshot are separate
+    # inputs; the even/odd url-id split here stands in for that — parity
+    # is filtered from the URL BEFORE extraction, so each branch parses
+    # only its own half (no page is extracted twice, nothing shared
+    # between the two jobs except the 512 KiB filter bitmap)
+    def half(parity: int):
+        def pre(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(
+                [int(u.rsplit("/", 1)[1]) for u in batch.column("url").to_pylist()],
+                dtype=np.int64,
+            )
+            batch = batch.filter(pa.array(ids % 2 == parity))
+            out = clean_batch(batch)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[ids % 2 == parity], _I64),
+                    "text": out.column("clean"),
+                }
+            )
+
+        return ray.data.read_parquet(
+            sorted(_glob.glob(f"{pages}/pages-*.parquet")), columns=["url", "html"]
+        ).map_batches(pre, batch_format="pyarrow")
+
+    bloom_ref = build_bloom(half(0), m_bits=BLOOM_M_BITS, k=BLOOM_K)
+    return bloom_scan(half(1), bloom_ref, m_bits=BLOOM_M_BITS, k=BLOOM_K)
+
+
+# ---------------------------------------------------------------------------
 # HyperLogLog distinct-token sketch — the APPROXIMATE companion of
 # q_distinct_tokens for cardinalities where the exact (lang, token)
 # exchange is too wide (10^9+ distinct tokens): the exchange carries one

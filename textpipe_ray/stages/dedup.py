@@ -1175,6 +1175,103 @@ def write_minhash_index(
     )
 
 
+_BLOOM_SALT = np.uint64(0x5851F42D4C957F2D)
+
+
+def _bloom_hashes(texts: pa.Array, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit indices via Kirsch-Mitzenmacher double hashing of the
+    avalanched 64-bit content hash: idx_i = (h1 + i·h2) mod m.  h2 is
+    forced odd so it is coprime with the power-of-two m (every probe
+    sequence walks the whole table)."""
+    from textpipe_ray.functions.strhash import avalanche, hash64_mixed
+
+    h1 = hash64_mixed(texts)
+    with np.errstate(over="ignore"):
+        h2 = avalanche(h1 ^ _BLOOM_SALT) | np.uint64(1)
+        steps = np.arange(k, dtype=np.uint64)
+        idx = (h1[:, None] + steps[None, :] * h2[:, None]) % np.uint64(m_bits)
+    return idx
+
+
+@ray.remote
+def _or_bloom_blocks(words_len: int, *blocks: pa.Table) -> np.ndarray:
+    """OR-fold per-batch bitmap partials INSIDE a worker task; the
+    driver only holds the ObjectRef, scan tasks read it zero-copy."""
+    acc = np.zeros(words_len, dtype=np.uint64)
+    for b in blocks:
+        if len(b) == 0 or "bits" not in b.column_names:
+            continue
+        flat = np.asarray(b.column("bits").combine_chunks().flatten(), dtype=np.uint64)
+        acc |= np.bitwise_or.reduce(flat.reshape(len(b), words_len), axis=0)
+    return acc
+
+
+def build_bloom(
+    ds: "ray.data.Dataset", text_col: str = "text", m_bits: int = 1 << 22, k: int = 6
+):
+    """Build a Bloom filter over a corpus' exact content hashes →
+    ObjectRef of a ``m_bits/64``-word uint64 bitmap.
+
+    The DCLM-style constant-memory membership structure for
+    cross-snapshot exact dedup: each batch emits ONE constant-size
+    bitmap partial (m/8 bytes — the HLL exchange idiom), a worker task
+    OR-folds them, and the final bitmap broadcasts through the object
+    store (one copy per node).  Scale: m is sized to the indexed corpus
+    (~10 bits/key for ~1% FP) — GBs at 10^9-10^10 keys, still a
+    broadcast; beyond that, shard the scan by key range or use the
+    persisted parquet index (:func:`write_minhash_index` /
+    :func:`near_dup_against_index`), which is exact."""
+    words_len = m_bits // 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(words_len, dtype=np.uint64)
+        if len(batch):
+            idx = _bloom_hashes(batch.column(text_col), m_bits, k)
+            flat = idx.reshape(-1).astype(np.int64)
+            np.bitwise_or.at(bits, flat >> 6, np.uint64(1) << (flat & np.int64(63)).astype(np.uint64))
+        return pa.table({"bits": pa.array([bits.tolist()], pa.list_(pa.uint64()))})
+
+    refs = ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    return _or_bloom_blocks.remote(words_len, *refs)
+
+
+def bloom_scan(
+    ds: "ray.data.Dataset",
+    bloom_ref,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 22,
+    k: int = 6,
+) -> "ray.data.Dataset":
+    """Row-local membership scan of a snapshot against a built filter →
+    (id, bloom_hit).  No exchange at all: the one broadcast bitmap is
+    read zero-copy per node, every batch tests its own rows.  Hits are
+    probabilistic (bounded false-positive rate, zero false negatives) —
+    the cheap first pass that keeps true-duplicate candidates only,
+    before any exact verification."""
+
+    def scan(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bits = _ray.get(bloom_ref)
+        if len(batch) == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "bloom_hit": pa.array([], pa.bool_())}
+            )
+        idx = _bloom_hashes(batch.column(text_col), m_bits, k)
+        flat = idx.astype(np.int64)
+        probe = (bits[flat >> 6] >> (flat & np.int64(63)).astype(np.uint64)) & np.uint64(1)
+        hit = probe.astype(bool).all(axis=1)
+        return pa.table(
+            {
+                id_col: pc.cast(batch.column(id_col), pa.int64()),
+                "bloom_hit": pa.array(hit),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
 def near_dup_against_index(
     ds: "ray.data.Dataset",
     index_path: str,
