@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "q_audio_dedup",
     "q_doc_vectors",
     "q_bloom_dedup",
+    "q_bpe_train",
 ]
 
 

@@ -57,6 +57,7 @@ GOLDEN_QUERIES = [
     "q_distinct_sketch",
     "q_doc_vectors",
     "q_bloom_dedup",
+    "q_bpe_train",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

@@ -4609,6 +4609,91 @@ def q_bloom_dedup(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+# tokenizer-prep layer next to q_char_coverage: BPE learns from the
+# WORD-TYPE frequency table, so the corpus-sized work is one
+# combiner-bounded word count; the merge loop runs on the bounded top-V
+# type table on the driver; applying the tokenizer is row-local.
+# ---------------------------------------------------------------------------
+
+BPE_NUM_MERGES = 48
+BPE_TOP_WORDS = 10_000  # merge-table training vocabulary cap (bounded driver work)
+
+
+def q_bpe_train(sf_dir: str):
+    """Train a BPE tokenizer on the corpus and apply it: per-document
+    whitespace-word and BPE-token counts under the learned merges.
+
+    Physical plan: (1) per-batch word-count combiner → ``groupby(word)``
+    — the exchange moves distinct word TYPES × blocks, never token
+    instances; (2) exact top-V types by (count desc, word asc) — the
+    sort runs over the type table, not the corpus; (3) the driver
+    learns ≤``BPE_NUM_MERGES`` merges from the bounded type table
+    (deterministic tie-breaks, functions/bpe.py) — the k-means-on-a-
+    sample idiom, except BPE-from-type-frequencies is EXACT Sennrich
+    semantics, not an approximation; (4) the merge-rank table
+    broadcasts once (``ray.put``) and every batch encodes its own docs
+    with a per-batch distinct-word cache.  Golden-oracle value-checked
+    (the merge learning is not SQL-expressible)."""
+    import regex as _re
+
+    from textpipe_ray.functions.bpe import learn_bpe, token_count
+    from textpipe_ray.functions.quality import RE2_PATTERNS
+
+    creg = _re.compile(RE2_PATTERNS["nwords"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def wc_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter as _Counter
+
+        c: dict = _Counter()
+        for t in pc.utf8_lower(batch.column("text")).to_pylist():
+            c.update(creg.findall(t or ""))
+        words = sorted(c)
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "n": pa.array([c[w] for w in words], _I64),
+            }
+        )
+
+    top = (
+        ds.map_batches(wc_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "word"], descending=[True, False])
+        .limit(BPE_TOP_WORDS)
+        .take_all()
+    )
+    merges = learn_bpe([(r["word"], r["n"]) for r in top], BPE_NUM_MERGES)
+    ranks_ref = ray.put({p: i for i, p in enumerate(merges)})
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ranks = ray.get(ranks_ref)
+        cache: dict[str, int] = {}
+        n_words, n_bpe = [], []
+        for t in pc.utf8_lower(batch.column("text")).to_pylist():
+            ws = creg.findall(t or "")
+            n_words.append(len(ws))
+            total = 0
+            for w in ws:
+                k = cache.get(w)
+                if k is None:
+                    k = cache[w] = token_count(w, ranks)
+                total += k
+            n_bpe.append(total)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), _I64),
+                "n_words": pa.array(n_words, _I64),
+                "n_bpe_tokens": pa.array(n_bpe, _I64),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # HyperLogLog distinct-token sketch — the APPROXIMATE companion of
 # q_distinct_tokens for cardinalities where the exact (lang, token)
 # exchange is too wide (10^9+ distinct tokens): the exchange carries one
