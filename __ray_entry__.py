@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_vectors": Q.q_doc_vectors,
         "q_bloom_dedup": Q.q_bloom_dedup,
         "q_bpe_train": Q.q_bpe_train,
+        "q_semdedup": Q.q_semdedup,
         "q_corpus_release": Q.q_corpus_release,
         "q_pages_neardup": Q.q_pages_neardup,
         "q_ann_topk": Q.q_ann_topk,

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "q_doc_vectors",
     "q_bloom_dedup",
     "q_bpe_train",
+    "q_semdedup",
 ]
 
 

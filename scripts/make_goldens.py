@@ -58,6 +58,7 @@ GOLDEN_QUERIES = [
     "q_doc_vectors",
     "q_bloom_dedup",
     "q_bpe_train",
+    "q_semdedup",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

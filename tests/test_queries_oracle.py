@@ -39,7 +39,7 @@ def oracle_names():
     "q_host_stats", "q_paragraph_filter", "q_boilerplate_dedup", "q_ppl_buckets",
     "q_url_filter", "q_media_phash_dedup", "q_url_dedup", "q_corpus_release",
     "q_dsir", "q_embedding_pca", "q_video_dedup", "q_audio_dedup",
-    "q_para_ppl", "q_incremental_dedup", "q_distinct_sketch", "q_doc_vectors", "q_bloom_dedup", "q_bpe_train",
+    "q_para_ppl", "q_incremental_dedup", "q_distinct_sketch", "q_doc_vectors", "q_bloom_dedup", "q_bpe_train", "q_semdedup",
 ])
 def test_query_matches_oracle(ray_session, name):
     from textpipe_ray.pipelines.compare import compare, run_oracle
@@ -142,6 +142,44 @@ def test_bloom_dedup_zero_false_negatives(ray_session):
     assert t, "fixture must plant cross-parity exact dups"
     assert t <= flagged, sorted(t - flagged)[:5]          # zero false negatives
     assert len(flagged - t) <= max(1, len(df) // 100)     # FP rate bound
+
+
+def test_semdedup_within_cluster_invariants(ray_session):
+    """Exact properties of the greedy keep rule: (a) no two KEPT docs
+    in the same cluster are within the cosine threshold; (b) every
+    same-cell pair at/above threshold loses exactly its higher id when
+    both ids are otherwise kept; (c) the min id of every cluster is
+    always kept."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from textpipe_ray.pipelines.queries import SEMDEDUP_COS_Q, _doc_tf_embed, q_semdedup
+
+    df = q_semdedup(SF).to_pandas()
+    assert len(df) == 500
+    assert (~df["keep"]).sum() > 0  # planted near-dups actually drop
+
+    emb_t = _doc_tf_embed(pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]))
+    ids = np.asarray(emb_t.column("vec_id"), dtype=np.int64)
+    mat = np.array(emb_t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0] = 1.0
+    cos_q = np.floor((mat @ mat.T) / (norms[:, None] * norms[None, :]) * 1e9).astype(np.int64)
+
+    d = df.set_index("vec_id").loc[ids]
+    keep = d["keep"].to_numpy()
+    cell = d["cell"].to_numpy()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if cell[i] == cell[j] and cos_q[i, j] >= SEMDEDUP_COS_Q:
+                assert not (keep[i] and keep[j]), (ids[i], ids[j])
+    # min id per cluster always survives
+    import pandas as pd
+
+    first = pd.DataFrame({"cell": cell, "id": ids, "keep": keep}).sort_values("id")
+    assert first.groupby("cell").first()["keep"].all()
 
 
 def test_pca_batching_independent(ray_session):

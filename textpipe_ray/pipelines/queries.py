@@ -1457,41 +1457,131 @@ def q_media_features(sf_dir: str):
     )
 
 
-def q_embedding_neardup(sf_dir: str):
-    """Cosine near-duplicate pairs via hyperplane LSH, over document
-    embeddings (hashed tf vectors of ``documents.text``) — the planted
-    near-dup texts produce genuinely similar vectors, so the operator's
-    recall is observable.  (The ``embeddings`` table is uniform random
-    — max pairwise cosine ~0.51 — so no near-dup threshold is
-    meaningful there; it serves the ANN top-k queries instead.)"""
+def _doc_tf_embed(batch: pa.Table) -> pa.Table:
+    """Hashed tf document embeddings of ``documents.text`` → (vec_id,
+    embedding).  Planted near-dup texts produce genuinely similar
+    vectors, so embedding-dedup recall is observable on this column.
+    (The ``embeddings`` table is uniform random — max pairwise cosine
+    ~0.51 — so no near-dup threshold is meaningful there; it serves the
+    ANN top-k queries instead.)"""
     import re as _re
 
     from textpipe_ray.functions.vectors import DIM, _hash_vector
-    from textpipe_ray.stages.dedup import near_dup_embeddings
 
     tok_re = _re.compile(TFIDF_TOKEN_RE)
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+    vecs = []
+    for t in batch.column("text").to_pylist():
+        toks = tok_re.findall((t or "").lower())
+        if not toks:
+            vecs.append(np.zeros(DIM))
+            continue
+        uniq, tf = np.unique(toks, return_counts=True)
+        m = np.stack([_hash_vector(w) for w in uniq])
+        vecs.append((tf[:, None] * m).sum(axis=0) / len(toks))
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, _I64),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(_F64)),
+        }
+    )
 
-    def embed(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
-        vecs = []
-        for t in batch.column("text").to_pylist():
-            toks = tok_re.findall((t or "").lower())
-            if not toks:
-                vecs.append(np.zeros(DIM))
-                continue
-            uniq, tf = np.unique(toks, return_counts=True)
-            m = np.stack([_hash_vector(w) for w in uniq])
-            vecs.append((tf[:, None] * m).sum(axis=0) / len(toks))
+
+def q_embedding_neardup(sf_dir: str):
+    """Cosine near-duplicate pairs via hyperplane LSH over the hashed-tf
+    document embeddings (:func:`_doc_tf_embed`)."""
+    from textpipe_ray.functions.vectors import DIM
+    from textpipe_ray.stages.dedup import near_dup_embeddings
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    emb = ds.map_batches(_doc_tf_embed, batch_format="pyarrow")
+    return near_dup_embeddings(emb, threshold=0.9, dim=DIM)
+
+
+SEMDEDUP_K = 16  # clusters; scales with the corpus (SemDeDup used ~10^5)
+SEMDEDUP_COS_Q = int(0.92 * 1e9)  # quantized within-cluster cosine threshold
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) semantic dedup: k-means-cluster the
+    document embeddings, then deduplicate WITHIN each cluster by
+    pairwise cosine — keep the min-id representative of every similar
+    group (greedy in id order: a doc is kept iff it is not within
+    threshold of any already-kept lower id; deterministic and
+    engine-independent after the floor(cos·1e9) quantization).
+
+    Physical plan: centroids fit on the hash-uniform bounded sample
+    (stages/ann._uniform_sample — survives cluster-sorted corpora) and
+    broadcast once; assignment is one row-local pass; the ONLY exchange
+    is the ``groupby(cell)``, which turns the O(n²) all-pairs
+    comparison into K independent O((n/K)²) in-task jobs.  Partitioning
+    assumption (documented SemDeDup failure mode): cluster sizes stay
+    ~n/K — K must scale with the corpus, and a skewed mega-cluster
+    needs recursive splitting or a per-cluster pair cap before the
+    quadratic verify.  Golden-oracle value-checked (k-means is not
+    SQL-expressible)."""
+    import pandas as pd
+
+    from textpipe_ray.stages.ann import _kmeans, _uniform_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # materialized because BOTH the centroid sample and the assignment
+    # pass consume it (object-store blocks, spillable — never driver
+    # memory); in production the embeddings are a precomputed parquet
+    # column (like the `embeddings` table) and this pass disappears
+    emb = ds.map_batches(_doc_tf_embed, batch_format="pyarrow").materialize()
+    sample = _uniform_sample(emb, 2048, "vec_id", "embedding")
+    cents = _kmeans(sample, SEMDEDUP_K, iters=8, seed=13)
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents_ = ray.get(cents_ref)
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], _I64),
+                    "cell": pa.array([], _I64),
+                    "embedding": pa.array([], pa.list_(_F64)),
+                }
+            )
+        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        d = ((m[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
         return pa.table(
             {
-                "vec_id": pa.array(ids, _I64),
-                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(_F64)),
+                "vec_id": pc.cast(batch.column("vec_id"), _I64),
+                "cell": pa.array(d.argmin(axis=1).astype(np.int64), _I64),
+                "embedding": batch.column("embedding"),
             }
         )
 
-    emb = ds.map_batches(embed, batch_format="pyarrow")
-    return near_dup_embeddings(emb, threshold=0.9, dim=DIM)
+    def dedup_cluster(group: pd.DataFrame) -> pa.Table:
+        ids = group["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.array(group["embedding"].tolist(), dtype=np.float64)[order]
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = 1.0  # zero vectors: cosine 0 with everything
+        cos_q = np.floor((mat @ mat.T) / (norms[:, None] * norms[None, :]) * 1e9).astype(
+            np.int64
+        )
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        for j in range(1, n):  # python loop bounded by CLUSTER size (~n/K)
+            if (cos_q[j, :j][keep[:j]] >= SEMDEDUP_COS_Q).any():
+                keep[j] = False
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, _I64),
+                "cell": pa.array(group["cell"].to_numpy(dtype=np.int64)[order], _I64),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return (
+        emb.map_batches(assign, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(dedup_cluster, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -60,6 +60,11 @@ def _uniform_sample(
     n = ds.count()
     if n is None or n <= sample_size:
         rows = ds.take_all()
+        # take_all row order follows block completion and is NOT
+        # deterministic run-to-run (observed on materialized datasets);
+        # k-means seeding reads the matrix by position, so sort by id
+        # to keep centroids — and everything derived — bit-stable
+        rows.sort(key=lambda r: r[id_col])
         return np.array([r[embedding_col] for r in rows], dtype=np.float64)
 
     def make_filt(thresh: np.uint64):
