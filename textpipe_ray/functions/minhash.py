@@ -103,17 +103,39 @@ def jaccard(sig1: np.ndarray, sig2: np.ndarray) -> float:
     return float(np.count_nonzero(sig1 == sig2)) / float(len(sig1))
 
 
+_BAND_OFFSET = np.uint64(0xCBF29CE484222325)
+_BAND_MULT = np.uint64(0x100000001B3)  # FNV-1a 64 prime
+
+
+def lsh_band_hashes_matrix(sigs: np.ndarray, num_bands: int = 32) -> np.ndarray:
+    """(n, num_perm) uint64 signature matrix → (n, num_bands) int64
+    bucket keys, fully vectorized: an FNV-style xor-multiply fold over
+    each band's lanes (one numpy op per lane, vectorized over
+    n × num_bands) + the splitmix finalizer so every output bit is
+    uniform for bucket-modulo partitioning.  Equal band slices hash
+    equal — the LSH requirement; bucket keys are internal (candidate
+    generation only), the verified pair sets are what goldens pin."""
+    from textpipe_ray.functions.strhash import avalanche
+
+    sigs = np.asarray(sigs, dtype=np.uint64)
+    n, num_perm = sigs.shape
+    rows = num_perm // num_bands
+    bands = sigs[:, : rows * num_bands].reshape(n, num_bands, rows)
+    with np.errstate(over="ignore"):
+        acc = np.full((n, num_bands), _BAND_OFFSET, dtype=np.uint64)
+        for r in range(rows):  # loop bounded by rows-per-band (e.g. 8)
+            acc ^= bands[:, :, r]
+            acc *= _BAND_MULT
+        out = avalanche(acc.reshape(-1)).reshape(n, num_bands)
+    return out.view(np.int64)
+
+
 def lsh_band_hashes(sig: np.ndarray, num_bands: int = 32) -> list[int]:
-    """Split the signature into ``num_bands`` rows-per-band groups and
-    hash each band to an int64 bucket key.  Docs sharing any band key
-    are near-dup candidates (classic MinHash-LSH)."""
-    rows = len(sig) // num_bands
-    out = []
-    for i in range(num_bands):
-        band = sig[i * rows : (i + 1) * rows]
-        digest = hashlib.blake2b(band.tobytes(), digest_size=8).digest()
-        out.append(struct.unpack("<q", digest)[0])
-    return out
+    """Single-signature convenience wrapper of
+    :func:`lsh_band_hashes_matrix` (same values by construction)."""
+    return lsh_band_hashes_matrix(
+        np.asarray(sig, dtype=np.uint64)[None, :], num_bands
+    )[0].tolist()
 
 
 def simhash64(tokens: list[str]) -> int:

@@ -38,6 +38,28 @@ def _tokenize(text: str) -> list[str]:
     return [w for w, _ in words(text or "")]
 
 
+def _explode_band_rows(batch: pa.Table, num_bands: int):
+    """(doc_id, sig) batch → flattened (ids, band_hashes, band_idx)
+    arrays of length n·num_bands, via the vectorized matrix band hash
+    (functions/minhash.lsh_band_hashes_matrix) — no per-row hashing."""
+    from textpipe_ray.functions.minhash import lsh_band_hashes_matrix
+
+    n = len(batch)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(0, dtype=np.int32)
+    ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+    sigs = np.asarray(
+        batch.column("sig").combine_chunks().flatten(), dtype=np.uint64
+    ).reshape(n, -1)
+    bh = lsh_band_hashes_matrix(sigs, num_bands)  # (n, B) int64
+    return (
+        np.repeat(ids, num_bands),
+        bh.reshape(-1),
+        np.tile(np.arange(num_bands, dtype=np.int32), n),
+    )
+
+
 def minhash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Append the 128-perm minhash signature as ``list<uint64>``."""
     sigs = [minhash_signature(_tokenize(t)) for t in batch.column(text_col).to_pylist()]
@@ -252,18 +274,11 @@ def near_dup_minhash(
     num_parts = 32
 
     def explode_bands(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        out_id, out_band, out_hash = [], [], []
-        for i, s in zip(ids, batch.column("sig").to_pylist()):
-            for b, h in enumerate(lsh_band_hashes(np.asarray(s, dtype=np.uint64), num_bands)):
-                out_id.append(i)
-                out_band.append(b)
-                out_hash.append(h)
-        hashes = np.asarray(out_hash, dtype=np.int64)
+        ids, hashes, band_idx = _explode_band_rows(batch, num_bands)
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "band": pa.array(band_idx, pa.int32()),
                 "band_hash": pa.array(hashes, pa.int64()),
                 # coarse hash partition: all rows of a bucket land together
                 "__part": pa.array(
@@ -1150,18 +1165,11 @@ def write_minhash_index(
     sig_ds.write_parquet(f"{path}/sigs", partition_cols=["bucket"])
 
     def bands_of(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        out_id, out_band, out_hash = [], [], []
-        for i, s in zip(ids, batch.column("sig").to_pylist()):
-            for b, h in enumerate(lsh_band_hashes(np.asarray(s, dtype=np.uint64), num_bands)):
-                out_id.append(i)
-                out_band.append(b)
-                out_hash.append(h)
-        hashes = np.asarray(out_hash, dtype=np.int64)
+        ids, hashes, band_idx = _explode_band_rows(batch, num_bands)
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "band": pa.array(band_idx, pa.int32()),
                 "band_hash": pa.array(hashes, pa.int64()),
                 "bucket": pa.array(
                     (hashes.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int32),
@@ -1321,20 +1329,13 @@ def near_dup_against_index(
     new_sigs = ds.map_batches(compute_sigs, batch_format="pyarrow").materialize()
 
     def new_bands(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        out_id, out_band, out_hash = [], [], []
-        for i, s in zip(ids, batch.column("sig").to_pylist()):
-            for b, h in enumerate(lsh_band_hashes(np.asarray(s, dtype=np.uint64), num_bands)):
-                out_id.append(i)
-                out_band.append(b)
-                out_hash.append(h)
-        hashes = np.asarray(out_hash, dtype=np.int64)
+        ids, hashes, band_idx = _explode_band_rows(batch, num_bands)
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "band": pa.array(band_idx, pa.int32()),
                 "band_hash": pa.array(hashes, pa.int64()),
-                "is_new": pa.array(np.ones(len(out_id), dtype=np.int8), pa.int8()),
+                "is_new": pa.array(np.ones(len(ids), dtype=np.int8), pa.int8()),
                 "__part": pa.array(
                     (hashes.astype(np.uint64) % np.uint64(num_parts)).astype(np.int32),
                     pa.int32(),
