@@ -89,6 +89,36 @@ def test_brute_partial_topk_bounds_exchange_and_is_exact(emb_ds):
         assert list(got["rank"]) == list(range(1, k + 1))
 
 
+def test_ivf_layout_prunes_reads_and_matches(emb_ds, tmp_path):
+    """The partition-by-centroid parquet layout must (a) let a query
+    open ONLY its probed cell partitions (file-level pruning — the
+    'touches nprobe/num_centroids of the data' claim made executable)
+    and (b) return exactly the same top-k as the in-memory IVF with the
+    same centroids and parameters."""
+    from textpipe_ray.stages.ann import ann_ivf_topk, ann_ivf_topk_layout, write_ivf_layout
+
+    ds, vecs = emb_ds
+    qids = np.arange(3, dtype=np.int64)
+    qmat = vecs[:3]
+    layout = str(tmp_path / "ivf")
+    write_ivf_layout(ds, layout, num_centroids=16, sample_size=2048, seed=13)
+
+    got, cells_read, cells_total = ann_ivf_topk_layout(layout, qids, qmat, k=10, nprobe=4)
+    got = got.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert cells_read < cells_total, (cells_read, cells_total)  # pruning is real
+    assert cells_read <= 3 * 4  # ≤ Q × nprobe partitions opened
+
+    want = (
+        ann_ivf_topk(ds, qids, qmat, k=10, num_centroids=16, nprobe=4, sample_size=2048, seed=13)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got[["query_id", "neighbor_id", "rank", "cos_q"]].equals(
+        want[["query_id", "neighbor_id", "rank", "cos_q"]]
+    )
+
+
 def test_ivf_recall_on_label_sorted_input(ray_session):
     """Centroid sampling must survive input ORDERED by cluster (exactly
     how real corpora are laid out: by source/lang/crawl). A head sample

@@ -218,6 +218,134 @@ def ann_brute_topk(
     )
 
 
+def write_ivf_layout(
+    ds: "ray.data.Dataset",
+    path: str,
+    num_centroids: int = 32,
+    sample_size: int = 2048,
+    kmeans_iters: int = 8,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> np.ndarray:
+    """Persist the embedding table PARTITIONED BY IVF CELL — the layout
+    that turns nprobe into file-level read pruning: centroids fit on
+    the hash-uniform bounded sample, every vector is assigned in one
+    streaming pass, and ``write_parquet(partition_cols=["cell"])``
+    co-locates each cell's vectors.  Centroids are saved next to the
+    data (``centroids.npy``).  ``path`` must be shared storage on a
+    multi-node cluster (same contract as the minhash index).  Returns
+    the centroid matrix."""
+    sample = _uniform_sample(ds, sample_size, id_col, embedding_col)
+    cents = _kmeans(sample, num_centroids, kmeans_iters, seed)
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents_ = ray.get(cents_ref)
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    embedding_col: pa.array([], pa.list_(pa.float64())),
+                    "cell": pa.array([], pa.int64()),
+                }
+            )
+        emb = np.array(batch.column(embedding_col).to_pylist(), dtype=np.float64)
+        d = ((emb[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                embedding_col: batch.column(embedding_col),
+                "cell": pa.array(d.argmin(axis=1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["cell"]
+    )
+    np.save(f"{path}/centroids.npy", cents)
+    return cents
+
+
+def ann_ivf_topk_layout(
+    path: str,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> tuple["ray.data.Dataset", int, int]:
+    """IVF top-k over a :func:`write_ivf_layout` table, reading ONLY the
+    probed cell partitions — the executable form of the "a query
+    touches nprobe/num_centroids of the data" claim: pruning happens at
+    the READ (file level), not as a post-read filter.  Returns
+    (result dataset, cells read, cells total).  Scoring/merging reuse
+    the bounded partial-top-k machinery, so results are identical to
+    :func:`ann_ivf_topk` with the same centroids and parameters."""
+    import glob as _glob
+
+    cents = np.load(f"{path}/centroids.npy")
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qmat = np.asarray(query_mat, dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    qd = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)  # (Q, C)
+    probe = np.argsort(qd, axis=1)[:, :nprobe]  # (Q, nprobe)
+    probed_cells = sorted({int(c) for row in probe for c in row})
+    all_cells = sorted(
+        int(p.rsplit("cell=", 1)[1]) for p in _glob.glob(f"{path}/cell=*")
+    )
+    probe_sets = [set(int(c) for c in row) for row in probe]
+    ref = ray.put((qids, qmat, qnorm, probe_sets))
+
+    import ray.data as _rd
+
+    # file-level pruning: ONLY the probed hive partitions are opened;
+    # the partition key lives in the dir name (not the files), so each
+    # probed cell dir is read on its own and stamped with its cell id
+    existing = set(all_cells)
+    parts = []
+    for c in probed_cells:
+        if c not in existing:
+            continue
+
+        def stamp(batch: pa.Table, c: int = c) -> pa.Table:
+            return batch.append_column(
+                "cell", pa.array(np.full(len(batch), c, dtype=np.int64), pa.int64())
+            )
+
+        parts.append(
+            _rd.read_parquet(
+                f"{path}/cell={c}", columns=[id_col, embedding_col]
+            ).map_batches(stamp, batch_format="pyarrow")
+        )
+    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+    def score(batch: pa.Table) -> pa.Table:
+        qids_, qmat_, qnorm_, probe_sets_ = ray.get(ref)
+        if len(batch) == 0:
+            return _partial_topk_table([], [], [])
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        cells = np.asarray(batch.column("cell"), dtype=np.int64)
+        emb = np.array(batch.column(embedding_col).to_pylist(), dtype=np.float64)
+        norms = np.sqrt((emb * emb).sum(axis=1))
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(qids_):
+            keep = np.isin(cells, list(probe_sets_[j])) & (ids != qid)
+            if not keep.any():
+                continue
+            sub = emb[keep]
+            sims_j = (sub @ qmat_[j]) / (norms[keep] * qnorm_[j])
+            cq, nid = _topk_select(np.floor(sims_j * 1e9).astype(np.int64), ids[keep], k)
+            out_q.append(np.full(len(nid), qid, dtype=np.int64))
+            out_n.append(nid)
+            out_s.append(cq)
+        return _partial_topk_table(out_q, out_n, out_s)
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return _merge_topk(scored, k), len(parts), len(all_cells)
+
+
 def ann_ivf_topk(
     ds: "ray.data.Dataset",
     query_ids: np.ndarray,
