@@ -59,6 +59,7 @@ GOLDEN_QUERIES = [
     "q_bloom_dedup",
     "q_bpe_train",
     "q_semdedup",
+    "q_classifier_train",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

@@ -4905,3 +4905,194 @@ def q_distinct_sketch(sf_dir: str):
         .map_groups(merge, batch_format="pandas")
         .sort("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed classifier training (IRLS logistic regression)
+# ---------------------------------------------------------------------------
+
+CLF_QF = 1_000_000  # feature micro-quantization (floor(f * 1e6))
+CLF_QG = 1_000_000_000  # per-row gradient/Hessian/loss quantization
+CLF_ITERS = 6  # Newton steps (IRLS converges in ~5 on this problem)
+CLF_RIDGE = 1e-2  # ridge on the standardized scale — bounds the Newton
+#                   step if the rule labels happen to be separable
+
+
+def _clf_sigmoid(z: np.ndarray) -> np.ndarray:
+    """Overflow-stable logistic; identical op sequence in training and
+    scoring so the learned boundary and the emitted probabilities come
+    from the same floats."""
+    out = np.empty_like(z)
+    pos = z >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-z[pos]))
+    ez = np.exp(z[~pos])
+    out[~pos] = ez / (1.0 + ez)
+    return out
+
+
+def _train_quality_classifier(feats, features: list[str]):
+    """Distributed IRLS (Newton) logistic regression over a feature
+    Dataset with columns ``{f}_micro`` (int64, floor(f·1e6)), ``y``
+    (int8) and ``is_train`` (bool).
+
+    Every per-iteration exchange is ONE small integer row per block:
+    the per-row gradient / Hessian / log-loss contributions quantize to
+    int64 (floor(x·1e9)) BEFORE any summation — the
+    ``q_embedding_pca`` fixed-point idiom — so the accumulated
+    sufficient statistics are exact integers, identical under any
+    batching, block order or cluster size.  Block partials are summed
+    on the driver as Python bigints (arbitrary precision), so the only
+    int64 headroom needed is within one block: |row term| ≤ ~2e11 ×
+    rows/block.  Returns ``(beta, losses, n_train)`` where ``beta`` is
+    the (D+1,) coefficient vector on the STANDARDIZED scale with the
+    intercept first, plus ``(mu, sd)`` to apply it to raw features.
+    """
+    D = len(features)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        mask = np.asarray(batch.column("is_train"), dtype=bool)
+        cols = [np.asarray(batch.column(f + "_micro"), dtype=np.int64)[mask] for f in features]
+        s1 = [int(c.sum()) for c in cols]
+        # second moment re-derives the float feature per row, squares
+        # and re-quantizes per row (order-independent by construction)
+        s2 = [int(np.floor((c / CLF_QF) ** 2 * 1000.0).astype(np.int64).sum()) for c in cols]
+        return pa.table(
+            {
+                "n": pa.array([int(mask.sum())], _I64),
+                "s1": pa.array([s1], pa.list_(pa.int64())),
+                "s2": pa.array([s2], pa.list_(pa.int64())),
+            }
+        )
+
+    parts = feats.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    s1 = [sum(int(row[k]) for row in parts["s1"]) for k in range(D)]
+    s2 = [sum(int(row[k]) for row in parts["s2"]) for k in range(D)]
+    mu = np.array([s / CLF_QF / n for s in s1], dtype=np.float64)
+    ex2 = np.array([s / 1000.0 / n for s in s2], dtype=np.float64)
+    sd = np.sqrt(np.maximum(ex2 - mu * mu, 0.0))
+    sd[sd == 0.0] = 1.0
+
+    P = D + 1  # intercept first
+    iu = np.triu_indices(P)
+
+    beta = np.zeros(P, dtype=np.float64)
+    losses: list[float] = []
+    for _ in range(CLF_ITERS):
+        beta_now = beta.copy()
+
+        def partials(batch: pa.Table, beta_=beta_now) -> pa.Table:
+            mask = np.asarray(batch.column("is_train"), dtype=bool)
+            y = np.asarray(batch.column("y"), dtype=np.int64)[mask].astype(np.float64)
+            Z = np.empty((int(mask.sum()), P), dtype=np.float64)
+            Z[:, 0] = 1.0
+            for k, f in enumerate(features):
+                c = np.asarray(batch.column(f + "_micro"), dtype=np.int64)[mask]
+                Z[:, k + 1] = (c / CLF_QF - mu[k]) / sd[k]
+            z = Z @ beta_
+            p = _clf_sigmoid(z)
+            g = p - y
+            # per-row quantization BEFORE the sums (exactness under any
+            # block order); Hessian rows use only the upper triangle
+            gq = np.floor(g[:, None] * Z * CLF_QG).astype(np.int64).sum(axis=0)
+            w = p * (1.0 - p)
+            hrow = w[:, None] * Z[:, iu[0]] * Z[:, iu[1]]
+            hq = np.floor(hrow * CLF_QG).astype(np.int64).sum(axis=0)
+            ll = np.maximum(z, 0.0) - z * y + np.log1p(np.exp(-np.abs(z)))
+            lq = int(np.floor(ll * CLF_QG).astype(np.int64).sum())
+            return pa.table(
+                {
+                    "g": pa.array([gq.tolist()], pa.list_(pa.int64())),
+                    "h": pa.array([hq.tolist()], pa.list_(pa.int64())),
+                    "l": pa.array([lq], _I64),
+                }
+            )
+
+        agg = feats.map_batches(partials, batch_format="pyarrow").to_pandas()
+        gsum = np.array(
+            [sum(int(row[k]) for row in agg["g"]) for k in range(P)], dtype=np.float64
+        )
+        hsum = np.array(
+            [sum(int(row[k]) for row in agg["h"]) for k in range(len(iu[0]))],
+            dtype=np.float64,
+        )
+        losses.append(float(sum(int(v) for v in agg["l"]) / CLF_QG / n))
+        gm = gsum / CLF_QG / n
+        H = np.zeros((P, P), dtype=np.float64)
+        H[iu] = hsum / CLF_QG / n
+        H = H + np.triu(H, 1).T
+        beta = beta - np.linalg.solve(
+            H + CLF_RIDGE * np.eye(P), gm + CLF_RIDGE * beta
+        )
+
+    return beta, mu, sd, losses, n
+
+
+def q_classifier_train(sf_dir: str):
+    """In-pipeline distributed training of the fasttext-style quality
+    classifier (the CCNet / GPT-3 pattern: learn a linear model that
+    imitates a trusted keep/drop signal, then score the whole corpus
+    with one dot product).  The teacher here is the repo's own
+    rule-based ``keep`` label; the committed
+    ``models/quality_weights.json`` was distilled OFFLINE by the same
+    recipe — this query makes the distillation itself a distributed,
+    driver-checked operator.
+
+    Scale shape:
+      1. feature pass (row-local): ``quality_batch`` features
+         micro-quantized to int64, plus the rule label and a
+         splitmix64 ``doc_id`` train/holdout split; materialized —
+         ~90 bytes/doc in the object store, spillable.  At 10^12 docs
+         you'd bound this with a hash-uniform training sample (the
+         ``_uniform_sample`` idiom) and keep inference streaming; the
+         synthetic table IS the sample here.
+      2. training: distributed IRLS — ``CLF_ITERS`` Newton steps, each
+         one ``map_batches`` pass emitting a single ~530-byte integer
+         row per block (per-row fixed-point gradient + Hessian
+         partials, the ``q_embedding_pca`` idiom), solved 11×11 on the
+         driver.  Bit-identical under any block order or cluster size.
+      3. scoring pass (row-local) over ALL docs with the learned
+         boundary: quantized probability, prediction, teacher label,
+         split flag.  Golden-oracle value-checked (IRLS is not
+         SQL-expressible)."""
+    from textpipe_ray.functions.quality_score import SCORE_FEATURES
+    from textpipe_ray.stages.ann import _id_hash
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        b = quality_batch(batch, text_col="text")
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        cols: dict = {"doc_id": pa.array(ids, _I64)}
+        for f in SCORE_FEATURES:
+            v = np.asarray(b.column(f), dtype=np.float64)
+            cols[f + "_micro"] = pa.array(np.floor(v * CLF_QF).astype(np.int64), _I64)
+        cols["y"] = pc.cast(b.column("keep"), pa.int8())
+        cols["is_train"] = pa.array((_id_hash(ids) % np.uint64(2)) == 0)
+        return pa.table(cols)
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow").materialize()
+    beta, mu, sd, _losses, _n = _train_quality_classifier(feats, list(SCORE_FEATURES))
+    model_ref = ray.put((beta, mu, sd))
+
+    def score(batch: pa.Table) -> pa.Table:
+        beta_, mu_, sd_ = ray.get(model_ref)
+        P = len(beta_)
+        Z = np.empty((len(batch), P), dtype=np.float64)
+        Z[:, 0] = 1.0
+        for k, f in enumerate(SCORE_FEATURES):
+            c = np.asarray(batch.column(f + "_micro"), dtype=np.int64)
+            Z[:, k + 1] = (c / CLF_QF - mu_[k]) / sd_[k]
+        z = Z @ beta_
+        p = _clf_sigmoid(z)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "prob_micro": pa.array(np.floor(p * CLF_QG).astype(np.int64), _I64),
+                "pred": pa.array(z > 0.0),
+                "keep": pc.cast(batch.column("y"), pa.bool_()),
+                "is_train": batch.column("is_train"),
+            }
+        )
+
+    return feats.map_batches(score, batch_format="pyarrow")
