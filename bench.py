@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "q_bloom_dedup",
     "q_bpe_train",
     "q_semdedup",
+    "q_classifier_train",
 ]
 
 
