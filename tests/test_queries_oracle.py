@@ -59,6 +59,30 @@ def test_every_oracle_has_query():
         assert name in q, name
 
 
+def test_rotation_policy():
+    """Window discipline (round-3 advice): every query PAST the driver's
+    ~50-query check window must (a) have a green row in some committed
+    CORRECTNESS_r*.json — i.e. it has been driver-verified at least once
+    — and (b) have a value-checking oracle so local pytest re-checks it
+    every run.  New/changed queries belong in the front of the window."""
+    import glob
+    import json
+
+    m = _entry()
+    names = list(m.queries())
+    oracles = m.oracle_sql()
+    ever_green: set = set()
+    for p in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        with open(p, "r", encoding="utf8") as f:
+            for q, row in json.load(f).items():
+                if row.get("rows_match") and row.get("hash_match"):
+                    ever_green.add(q)
+    for q in names[50:]:
+        assert q in ever_green, f"tail query {q} never driver-verified"
+    for q in names:
+        assert q in oracles, f"{q} has no value-checking oracle"
+
+
 def test_entry_smoke(ray_session):
     ds = _entry().entry()
     assert ds.count() >= 0
