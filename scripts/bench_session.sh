@@ -24,8 +24,12 @@ d["host_probe_ms"] = $PROBE
 with open("bench_out/bench_r4_session$N.json", "w") as f:
     json.dump(d, f, indent=1)
 # min-of-all-sessions aggregate
-import glob
-sessions = [json.load(open(p)) for p in sorted(glob.glob("bench_out/bench_r4_session*.json"))]
+import glob, re
+paths = sorted(
+    glob.glob("bench_out/bench_r4_session*.json"),
+    key=lambda p: int(re.search(r"session(\d+)", p).group(1)),
+)
+sessions = [json.load(open(p)) for p in paths]
 agg = dict(sessions[-1])
 qmin = {}
 for s in sessions:

@@ -119,6 +119,36 @@ def test_ivf_layout_prunes_reads_and_matches(emb_ds, tmp_path):
     )
 
 
+def test_ivf_layout_all_probed_cells_empty(ray_session, tmp_path):
+    """k-means empty cells get no hive dir; a query whose probed
+    centroids all own zero vectors must return an empty result (not
+    IndexError)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textpipe_ray.stages.ann import ann_ivf_topk_layout
+
+    layout = tmp_path / "ivf"
+    (layout / "cell=1").mkdir(parents=True)
+    # two centroids, but only cell 1 holds vectors — cell 0 is empty
+    np.save(str(layout / "centroids.npy"), np.array([[0.0, 0.0], [10.0, 10.0]]))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([1, 2], pa.int64()),
+                "embedding": pa.array([[10.0, 10.0], [9.0, 11.0]], pa.list_(pa.float64())),
+            }
+        ),
+        str(layout / "cell=1" / "part.parquet"),
+    )
+    # query at the empty centroid with nprobe=1 → probes only cell 0
+    got, cells_read, cells_total = ann_ivf_topk_layout(
+        str(layout), np.array([7], dtype=np.int64), np.array([[0.1, -0.1]]), k=5, nprobe=1
+    )
+    assert cells_read == 0 and cells_total == 1
+    assert got.count() == 0
+
+
 def test_ivf_recall_on_label_sorted_input(ray_session):
     """Centroid sampling must survive input ORDERED by cluster (exactly
     how real corpora are laid out: by source/lang/crawl). A head sample

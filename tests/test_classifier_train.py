@@ -4,6 +4,8 @@ Planted ground truth: the teacher labels come from the rule set the
 features feed, so a correctly-trained linear model must reproduce them
 almost perfectly on the HELD-OUT half.  The fixed-point sufficient
 statistics must make training bit-identical under any block layout.
+The layout/loss tests run the SAME ``clf_featurize`` the shipped query
+uses (imported, not copied) so they certify the production featurization.
 """
 
 import sys
@@ -37,35 +39,22 @@ def test_split_and_prob_bounds(result):
     assert ((result.prob_micro > 5 * 10**8) == result.pred).mean() > 0.99
 
 
-def test_block_layout_independence(ray_session):
+@pytest.fixture(scope="module")
+def feats(ray_session):
+    """Materialized feature table via the PRODUCTION featurize pass."""
+    from textpipe_ray.pipelines import queries as Q
+
+    ds = Q._read(SF, "documents", ["doc_id", "text"])
+    return ds.map_batches(Q.clf_featurize, batch_format="pyarrow").materialize()
+
+
+def test_block_layout_independence(feats):
     """The per-row fixed-point quantization makes the learned
     coefficients EXACTLY equal under different block layouts — the
     property that keeps training deterministic across cluster sizes."""
     from textpipe_ray.functions.quality_score import SCORE_FEATURES
     from textpipe_ray.pipelines import queries as Q
 
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import ray
-    from textpipe_ray.stages.ann import _id_hash
-    from textpipe_ray.stages.text import quality_batch
-
-    ds = Q._read(SF, "documents", ["doc_id", "text"])
-
-    def featurize(batch: pa.Table) -> pa.Table:
-        b = quality_batch(batch, text_col="text")
-        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
-        cols = {"doc_id": pa.array(ids, pa.int64())}
-        for f in SCORE_FEATURES:
-            v = np.asarray(b.column(f), dtype=np.float64)
-            cols[f + "_micro"] = pa.array(
-                np.floor(v * Q.CLF_QF).astype(np.int64), pa.int64()
-            )
-        cols["y"] = pc.cast(b.column("keep"), pa.int8())
-        cols["is_train"] = pa.array((_id_hash(ids) % np.uint64(2)) == 0)
-        return pa.table(cols)
-
-    feats = ds.map_batches(featurize, batch_format="pyarrow").materialize()
     betas = []
     for nblocks in (1, 7):
         f = feats.repartition(nblocks).materialize()
@@ -80,31 +69,10 @@ def test_block_layout_independence(ray_session):
     assert l1 == l2
 
 
-def test_loss_decreases(ray_session):
+def test_loss_decreases(feats):
     from textpipe_ray.functions.quality_score import SCORE_FEATURES
     from textpipe_ray.pipelines import queries as Q
 
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    from textpipe_ray.stages.ann import _id_hash
-    from textpipe_ray.stages.text import quality_batch
-
-    ds = Q._read(SF, "documents", ["doc_id", "text"])
-
-    def featurize(batch: pa.Table) -> pa.Table:
-        b = quality_batch(batch, text_col="text")
-        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
-        cols = {"doc_id": pa.array(ids, pa.int64())}
-        for f in SCORE_FEATURES:
-            v = np.asarray(b.column(f), dtype=np.float64)
-            cols[f + "_micro"] = pa.array(
-                np.floor(v * Q.CLF_QF).astype(np.int64), pa.int64()
-            )
-        cols["y"] = pc.cast(b.column("keep"), pa.int8())
-        cols["is_train"] = pa.array((_id_hash(ids) % np.uint64(2)) == 0)
-        return pa.table(cols)
-
-    feats = ds.map_batches(featurize, batch_format="pyarrow").materialize()
     _, _, _, losses, _ = Q._train_quality_classifier(feats, list(SCORE_FEATURES))
     assert len(losses) == Q.CLF_ITERS
     assert losses[-1] < losses[0]

@@ -386,3 +386,40 @@ def test_incremental_index_dedup(ray_session, tmp_path):
     assert got == want
     # every planted text-reuse pair must be recovered
     assert all((10_000 + i, i) in got for i in range(50))
+
+
+def test_incremental_index_meta_guard(ray_session, tmp_path):
+    """An index whose band-hash kernel or build parameters differ from
+    the query's must be REFUSED (a silent mismatch would return zero
+    pairs — total recall collapse), and a missing marker (incompatible
+    engine version / incomplete write) must be refused too."""
+    import json
+
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+
+    from textpipe_ray.stages.dedup import near_dup_against_index, write_minhash_index
+
+    old = pa.table({"doc_id": [0, 1], "text": ["aaaa bbbb cccc", "dddd eeee ffff"]})
+    new = pa.table({"doc_id": [10_000], "text": ["aaaa bbbb cccc"]})
+    idx = str(tmp_path / "idx")
+    write_minhash_index(ray.data.from_arrow(old), idx, num_bands=16, shingle_size=5)
+
+    # parameter mismatch: index built with 16 bands, queried with 32
+    with pytest.raises(ValueError, match="num_bands"):
+        near_dup_against_index(ray.data.from_arrow(new), idx, num_bands=32, shingle_size=5)
+
+    # kernel mismatch: a pre-vectorization index must not be read
+    meta_path = tmp_path / "idx" / "_meta.json"
+    meta = json.loads(meta_path.read_text())
+    meta["band_hash_kernel"] = "blake2b-per-row-v0"
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="band_hash_kernel"):
+        near_dup_against_index(ray.data.from_arrow(new), idx, num_bands=16, shingle_size=5)
+
+    # missing marker (old engine or incomplete write)
+    meta_path.unlink()
+    with pytest.raises(ValueError, match="_meta.json"):
+        near_dup_against_index(ray.data.from_arrow(new), idx, num_bands=16, shingle_size=5)

@@ -106,6 +106,12 @@ def jaccard(sig1: np.ndarray, sig2: np.ndarray) -> float:
 _BAND_OFFSET = np.uint64(0xCBF29CE484222325)
 _BAND_MULT = np.uint64(0x100000001B3)  # FNV-1a 64 prime
 
+# Identifies the band-hash kernel persisted indexes were built with
+# (write_minhash_index stamps it; near_dup_against_index refuses an
+# index whose kernel differs).  BUMP THIS whenever the bucket values
+# produced by lsh_band_hashes_matrix change.
+BAND_HASH_KERNEL = "fnv64-splitmix-v1"
+
 
 def lsh_band_hashes_matrix(sigs: np.ndarray, num_bands: int = 32) -> np.ndarray:
     """(n, num_perm) uint64 signature matrix → (n, num_bands) int64

@@ -1522,7 +1522,7 @@ def q_semdedup(sf_dir: str):
     SQL-expressible)."""
     import pandas as pd
 
-    from textpipe_ray.stages.ann import _kmeans, _uniform_sample
+    from textpipe_ray.stages.ann import _kmeans, _uniform_sample, assign_cells
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     # materialized because BOTH the centroid sample and the assignment
@@ -1532,27 +1532,6 @@ def q_semdedup(sf_dir: str):
     emb = ds.map_batches(_doc_tf_embed, batch_format="pyarrow").materialize()
     sample = _uniform_sample(emb, 2048, "vec_id", "embedding")
     cents = _kmeans(sample, SEMDEDUP_K, iters=8, seed=13)
-    cents_ref = ray.put(cents)
-
-    def assign(batch: pa.Table) -> pa.Table:
-        cents_ = ray.get(cents_ref)
-        if len(batch) == 0:
-            return pa.table(
-                {
-                    "vec_id": pa.array([], _I64),
-                    "cell": pa.array([], _I64),
-                    "embedding": pa.array([], pa.list_(_F64)),
-                }
-            )
-        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-        d = ((m[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
-        return pa.table(
-            {
-                "vec_id": pc.cast(batch.column("vec_id"), _I64),
-                "cell": pa.array(d.argmin(axis=1).astype(np.int64), _I64),
-                "embedding": batch.column("embedding"),
-            }
-        )
 
     def dedup_cluster(group: pd.DataFrame) -> pa.Table:
         ids = group["vec_id"].to_numpy(dtype=np.int64)
@@ -1578,7 +1557,7 @@ def q_semdedup(sf_dir: str):
         )
 
     return (
-        emb.map_batches(assign, batch_format="pyarrow")
+        assign_cells(emb, ray.put(cents))
         .groupby("cell")
         .map_groups(dedup_cluster, batch_format="pandas")
     )
@@ -5028,6 +5007,25 @@ def _train_quality_classifier(feats, features: list[str]):
     return beta, mu, sd, losses, n
 
 
+def clf_featurize(batch: pa.Table) -> pa.Table:
+    """The q_classifier_train feature pass (row-local): quality-rule
+    features micro-quantized to int64, the rule teacher label, and a
+    splitmix64 train/holdout split.  Module-level so the tests certify
+    the EXACT featurization the shipped query runs."""
+    from textpipe_ray.functions.quality_score import SCORE_FEATURES
+    from textpipe_ray.stages.ann import _id_hash
+
+    b = quality_batch(batch, text_col="text")
+    ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+    cols: dict = {"doc_id": pa.array(ids, _I64)}
+    for f in SCORE_FEATURES:
+        v = np.asarray(b.column(f), dtype=np.float64)
+        cols[f + "_micro"] = pa.array(np.floor(v * CLF_QF).astype(np.int64), _I64)
+    cols["y"] = pc.cast(b.column("keep"), pa.int8())
+    cols["is_train"] = pa.array((_id_hash(ids) % np.uint64(2)) == 0)
+    return pa.table(cols)
+
+
 def q_classifier_train(sf_dir: str):
     """In-pipeline distributed training of the fasttext-style quality
     classifier (the CCNet / GPT-3 pattern: learn a linear model that
@@ -5056,22 +5054,9 @@ def q_classifier_train(sf_dir: str):
          split flag.  Golden-oracle value-checked (IRLS is not
          SQL-expressible)."""
     from textpipe_ray.functions.quality_score import SCORE_FEATURES
-    from textpipe_ray.stages.ann import _id_hash
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def featurize(batch: pa.Table) -> pa.Table:
-        b = quality_batch(batch, text_col="text")
-        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
-        cols: dict = {"doc_id": pa.array(ids, _I64)}
-        for f in SCORE_FEATURES:
-            v = np.asarray(b.column(f), dtype=np.float64)
-            cols[f + "_micro"] = pa.array(np.floor(v * CLF_QF).astype(np.int64), _I64)
-        cols["y"] = pc.cast(b.column("keep"), pa.int8())
-        cols["is_train"] = pa.array((_id_hash(ids) % np.uint64(2)) == 0)
-        return pa.table(cols)
-
-    feats = ds.map_batches(featurize, batch_format="pyarrow").materialize()
+    feats = ds.map_batches(clf_featurize, batch_format="pyarrow").materialize()
     beta, mu, sd, _losses, _n = _train_quality_classifier(feats, list(SCORE_FEATURES))
     model_ref = ray.put((beta, mu, sd))
 

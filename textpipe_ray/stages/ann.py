@@ -218,6 +218,46 @@ def ann_brute_topk(
     )
 
 
+def _nearest_cell(emb: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Row-wise nearest-centroid ids ((B, D) × (C, D) → (B,) int64) by
+    squared euclidean distance — the one IVF assignment kernel shared by
+    the layout writer, the in-memory IVF and SemDeDup."""
+    d = ((emb[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1).astype(np.int64)
+
+
+def assign_cells(
+    ds: "ray.data.Dataset",
+    cents_ref,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Row-local IVF cell assignment: (id, embedding) → (id, embedding,
+    cell).  Centroids ship once through the object store (``cents_ref``
+    is a ``ray.put`` ObjectRef), never per batch."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents_ = ray.get(cents_ref)
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    embedding_col: pa.array([], pa.list_(pa.float64())),
+                    "cell": pa.array([], pa.int64()),
+                }
+            )
+        emb = np.array(batch.column(embedding_col).to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                embedding_col: batch.column(embedding_col),
+                "cell": pa.array(_nearest_cell(emb, cents_), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def write_ivf_layout(
     ds: "ray.data.Dataset",
     path: str,
@@ -238,29 +278,7 @@ def write_ivf_layout(
     the centroid matrix."""
     sample = _uniform_sample(ds, sample_size, id_col, embedding_col)
     cents = _kmeans(sample, num_centroids, kmeans_iters, seed)
-    cents_ref = ray.put(cents)
-
-    def assign(batch: pa.Table) -> pa.Table:
-        cents_ = ray.get(cents_ref)
-        if len(batch) == 0:
-            return pa.table(
-                {
-                    id_col: pa.array([], pa.int64()),
-                    embedding_col: pa.array([], pa.list_(pa.float64())),
-                    "cell": pa.array([], pa.int64()),
-                }
-            )
-        emb = np.array(batch.column(embedding_col).to_pylist(), dtype=np.float64)
-        d = ((emb[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
-        return pa.table(
-            {
-                id_col: batch.column(id_col).cast(pa.int64()),
-                embedding_col: batch.column(embedding_col),
-                "cell": pa.array(d.argmin(axis=1).astype(np.int64), pa.int64()),
-            }
-        )
-
-    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+    assign_cells(ds, ray.put(cents), id_col, embedding_col).write_parquet(
         path, partition_cols=["cell"]
     )
     np.save(f"{path}/centroids.npy", cents)
@@ -319,6 +337,11 @@ def ann_ivf_topk_layout(
                 f"{path}/cell={c}", columns=[id_col, embedding_col]
             ).map_batches(stamp, batch_format="pyarrow")
         )
+    if not parts:
+        # every probed centroid owns zero vectors (k-means empty cells
+        # get no hive dir) — the correct answer is an empty result, not
+        # an IndexError
+        return _merge_topk(_rd.from_arrow(_partial_topk_table([], [], [])), k), 0, len(all_cells)
     ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
     def score(batch: pa.Table) -> pa.Table:
@@ -386,8 +409,7 @@ def ann_ivf_topk(
             return _partial_topk_table([], [], [])
         ids = np.asarray(batch.column(id_col), dtype=np.int64)
         emb = np.array(batch.column(embedding_col).to_pylist(), dtype=np.float64)
-        d = ((emb[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
-        cell = d.argmin(axis=1)  # (B,)
+        cell = _nearest_cell(emb, cents_)  # (B,)
         norms = np.sqrt((emb * emb).sum(axis=1))
         visible = pmask_[cell]  # (B, Q): vector's cell probed by query?
         out_q, out_n, out_s = [], [], []

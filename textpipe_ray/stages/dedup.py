@@ -1139,8 +1139,19 @@ def write_minhash_index(
     dedups each NEW crawl snapshot against everything already ingested
     without recomputing the old corpus: signatures are computed once
     per document ever, and the index grows by appending each snapshot's
-    buckets."""
-    from textpipe_ray.functions.minhash import minhash_signature_shingles
+    buckets.
+
+    A ``_meta.json`` format marker is written LAST (it doubles as the
+    commit marker): it records the band-hash kernel id and the build
+    parameters so a reader with a different kernel fails loudly instead
+    of silently finding zero cross-snapshot buckets."""
+    import json
+    import os
+
+    from textpipe_ray.functions.minhash import (
+        BAND_HASH_KERNEL,
+        minhash_signature_shingles,
+    )
 
     def sig_of(t: str) -> np.ndarray:
         if shingle_size is None:
@@ -1181,6 +1192,16 @@ def write_minhash_index(
     sig_ds.map_batches(bands_of, batch_format="pyarrow").write_parquet(
         f"{path}/bands", partition_cols=["bucket"]
     )
+    meta = {
+        "format_version": 1,
+        "band_hash_kernel": BAND_HASH_KERNEL,
+        "num_bands": num_bands,
+        "shingle_size": shingle_size,
+        "num_buckets": num_buckets,
+        "num_perm": DEFAULT_NUM_PERM,
+    }
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(meta, f)
 
 
 _BLOOM_SALT = np.uint64(0x5851F42D4C957F2D)
@@ -1306,10 +1327,42 @@ def near_dup_against_index(
     built).  Verification joins candidates against the union of the new
     signatures and the stored signature table — the pair-side join, no
     driver state."""
+    import json
+    import os
+
     import ray.data as _rd
 
-    from textpipe_ray.functions.minhash import minhash_signature_shingles
+    from textpipe_ray.functions.minhash import (
+        BAND_HASH_KERNEL,
+        minhash_signature_shingles,
+    )
     from textpipe_ray.stages.joins import attach_pair_sides
+
+    # Refuse an index built with a different band-hash kernel or
+    # different parameters: stored band_hash values would never match
+    # freshly computed ones and the query would silently return zero
+    # pairs (total recall collapse) instead of an error.
+    meta_path = os.path.join(index_path, "_meta.json")
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"MinHash index at {index_path!r} has no _meta.json marker: it was "
+            "either written by an incompatible engine version or the write did "
+            "not complete.  Rebuild it with write_minhash_index."
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    expect = {
+        "band_hash_kernel": BAND_HASH_KERNEL,
+        "num_bands": num_bands,
+        "shingle_size": shingle_size,
+    }
+    mismatches = {k: (meta.get(k), v) for k, v in expect.items() if meta.get(k) != v}
+    if mismatches:
+        raise ValueError(
+            f"MinHash index at {index_path!r} is incompatible with this query "
+            f"(stored vs requested): {mismatches}.  Rebuild the index or pass "
+            "matching parameters."
+        )
 
     def sig_of(t: str) -> np.ndarray:
         if shingle_size is None:

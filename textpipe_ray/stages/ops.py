@@ -58,6 +58,15 @@ def _registry(settings):
     return settings.get("__registry")
 
 
+def public_settings(settings: dict) -> dict:
+    """User-provided step settings only: the dispatch layer injects
+    reserved ``__``-prefixed keys (the registry channel) into every
+    op's settings, so ANY op that forwards ``**settings`` to a kernel
+    must strip them here first or the kernel raises
+    ``TypeError: unexpected keyword '__registry'``."""
+    return {k: v for k, v in settings.items() if not k.startswith("__")}
+
+
 def _vector_model_for(lang: str, settings) -> "vec_fn.HashVectorModel":
     """Registered keyed-vectors model for the language if any, else the
     built-in hash-vector stand-in (en fallback, like the reference's
@@ -115,9 +124,7 @@ def op_raw(batch, name, settings, hint):
 
 
 def op_clean_text(batch, name, settings, hint):
-    # reserved keys (the registry channel) are pipeline plumbing, not
-    # clean_text flags — strip them before **settings forwarding
-    settings = {k: v for k, v in settings.items() if not k.startswith("__")}
+    settings = public_settings(settings)
     if not settings and "__clean" in batch.column_names:
         vals_arr = batch.column("__clean")  # default flags: reuse the precomputed kernel
     else:
