@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "q_bpe_train",
     "q_semdedup",
     "q_classifier_train",
+    "q_repetition_rules",
 ]
 
 

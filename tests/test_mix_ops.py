@@ -201,3 +201,42 @@ def test_distinct_sketch_matches_exact_on_corpus(ray_session):
     ).df()
     mg = df.merge(exact, on="lang")
     assert (mg["distinct_est"] == mg["n"]).all(), mg
+
+
+def test_repetition_rules_planted_values(ray_session, tmp_path):
+    """Hand-computed Gopher repetition fractions: a pathological
+    alternating doc fails every rule at exactly-known milli values; a
+    long all-distinct doc passes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textpipe_ray.pipelines.queries import q_repetition_rules
+
+    distinct = " ".join(f"w{i}" for i in range(40))  # 40 distinct words, 110 chars
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["a b a b a b", distinct], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = (
+        q_repetition_rules(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 1: wchars=6; top bigram "a b"×3 → 3·2·1000//6 = 1000;
+    # trigram "a b a"×2 → 2·3·1000//6 = 1000; 4-gram "a b a b"×2 →
+    # 2·4·1000//6 = 1333; all 5 bigram instances are duplicates → 1000
+    r1 = out.loc[1]
+    assert r1.top2_milli == 1000 and r1.top3_milli == 1000
+    assert r1.top4_milli == 1333 and r1.dup2_milli == 1000
+    assert not r1.keep and r1.drop_reason == "top2"  # first failing rule
+    # doc 2: every gram unique; heaviest bigram is two len-3 words →
+    # 6·1000//110 = 54; heaviest 4-gram 12·1000//110 = 109 ≤ 160
+    r2 = out.loc[2]
+    assert r2.top2_milli == 54 and r2.top4_milli == 109 and r2.dup2_milli == 0
+    assert r2.keep and r2.drop_reason == ""

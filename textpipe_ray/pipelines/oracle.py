@@ -773,6 +773,60 @@ SELECT doc_id, n_words, mean_word_len_milli, symbol_milli, alpha_milli, stop_hit
        ELSE '' END AS drop_reason
 FROM r ORDER BY doc_id"""
 
+    # Gopher repetition rules: word grams rebuilt with list lambdas;
+    # char contribution of a gram string g of n words is length(g)-(n-1)
+    # (the joining spaces), so both engines do identical int64 math
+    from textpipe_ray.pipelines.queries import (
+        REP_DUP2_MAX_MILLI,
+        REP_TOP2_MAX_MILLI,
+        REP_TOP3_MAX_MILLI,
+        REP_TOP4_MAX_MILLI,
+    )
+
+    out["q_repetition_rules"] = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') ws,
+         length(replace(text, ' ', '')) wchars
+  FROM documents
+),
+g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) g FROM w),
+g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) g FROM w),
+g4 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) g FROM w),
+t2 AS (SELECT doc_id, max(cnt * (length(g) - 1)) c FROM (SELECT doc_id, g, count(*) cnt FROM g2 GROUP BY 1,2) GROUP BY 1),
+t3 AS (SELECT doc_id, max(cnt * (length(g) - 2)) c FROM (SELECT doc_id, g, count(*) cnt FROM g3 GROUP BY 1,2) GROUP BY 1),
+t4 AS (SELECT doc_id, max(cnt * (length(g) - 3)) c FROM (SELECT doc_id, g, count(*) cnt FROM g4 GROUP BY 1,2) GROUP BY 1),
+d2 AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) dup,
+         sum(cnt) inst
+  FROM (SELECT doc_id, g, count(*) cnt FROM g2 GROUP BY 1,2) GROUP BY 1
+),
+m AS (
+  SELECT w.doc_id,
+    coalesce(t2.c, 0) * 1000 // greatest(w.wchars, 1) AS top2_milli,
+    coalesce(t3.c, 0) * 1000 // greatest(w.wchars, 1) AS top3_milli,
+    coalesce(t4.c, 0) * 1000 // greatest(w.wchars, 1) AS top4_milli,
+    coalesce(d2.dup, 0) * 1000 // greatest(coalesce(d2.inst, 0), 1) AS dup2_milli
+  FROM w LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+         LEFT JOIN t4 USING (doc_id) LEFT JOIN d2 USING (doc_id)
+),
+r AS (
+  SELECT *,
+    (top2_milli <= {REP_TOP2_MAX_MILLI}) AS r_t2,
+    (top3_milli <= {REP_TOP3_MAX_MILLI}) AS r_t3,
+    (top4_milli <= {REP_TOP4_MAX_MILLI}) AS r_t4,
+    (dup2_milli <= {REP_DUP2_MAX_MILLI}) AS r_d2
+  FROM m
+)
+SELECT doc_id, top2_milli, top3_milli, top4_milli, dup2_milli,
+  (r_t2 AND r_t3 AND r_t4 AND r_d2) AS keep,
+  CASE WHEN NOT r_t2 THEN 'top2'
+       WHEN NOT r_t3 THEN 'top3'
+       WHEN NOT r_t4 THEN 'top4'
+       WHEN NOT r_d2 THEN 'dup2'
+       ELSE '' END AS drop_reason
+FROM r ORDER BY doc_id"""
+
     return out
 
 

@@ -4455,6 +4455,108 @@ def q_gopher_rules(sf_dir: str):
     return ds.map_batches(feats, batch_format="pyarrow")
 
 
+# Gopher repetition-rule thresholds (Rae et al. 2021 Table A1, integer
+# milli): top-{2,3,4}-gram thresholds are Gopher's 0.20/0.18/0.16 char
+# fractions; the duplicate-gram family is represented by the bigram
+# INSTANCE fraction at Gopher's 0.15 duplicate-gram level (the synthetic
+# corpus has no duplicate ≥5-grams, so the bigram variant carries the
+# signal; the kernel is n-generic).
+REP_TOP2_MAX_MILLI = 200
+REP_TOP3_MAX_MILLI = 180
+REP_TOP4_MAX_MILLI = 160
+REP_DUP2_MAX_MILLI = 150
+REP_RULE_ORDER = ("top2", "top3", "top4", "dup2")
+
+_REP_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def q_repetition_rules(sf_dir: str):
+    """Gopher REPETITION rule family (the filter companion of the
+    count-fraction signals in ``q_repetition`` and the word-level rules
+    in ``q_gopher_rules``): per doc, the fraction of word characters
+    contained in the most frequent word {2,3,4}-gram (count × gram
+    chars / total word chars) and the fraction of bigram instances that
+    are duplicates — integer-milli quantized, conjunctive ``keep``,
+    first failing rule as ``drop_reason``.
+
+    Row-local and fully vectorized: ONE Arrow split per batch flattens
+    every word of every doc; n-gram keys are rolling 64-bit combines of
+    the vectorized word hashes (functions/strhash.hash64 — short-string
+    inputs, within its documented memory envelope) and per-(doc, gram)
+    counts come from one lexsort + run-length pass.  No shuffle; the
+    DuckDB oracle builds the same grams with list lambdas and the same
+    int64 milli math."""
+    from textpipe_ray.functions.strhash import hash64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        D = len(batch)
+        ids = np.asarray(pc.cast(batch.column("doc_id"), _I64), dtype=np.int64)
+        text = pc.cast(batch.column("text"), pa.string())
+        wl = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(wl).combine_chunks()
+        lens = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+        counts = np.asarray(pc.list_value_length(wl), dtype=np.int64)
+        off = np.zeros(D + 1, dtype=np.int64)
+        np.cumsum(counts, out=off[1:])
+        doc_idx = np.repeat(np.arange(D, dtype=np.int64), counts)
+        # exact: word lengths are small ints, float64 sums are exact far
+        # beyond any document size
+        wchars = np.bincount(doc_idx, weights=lens, minlength=D).astype(np.int64)
+        denom = np.maximum(wchars, 1)
+        h = hash64(flat) if len(flat) else np.empty(0, dtype=np.uint64)
+        N = len(flat)
+        cols = {"doc_id": pa.array(ids, _I64)}
+        milli = {}
+        for n in (2, 3, 4):
+            if N >= n:
+                pos_in_doc = np.arange(N, dtype=np.int64) - off[doc_idx]
+                vpos = np.flatnonzero(pos_in_doc <= counts[doc_idx] - n)
+            else:
+                vpos = np.empty(0, dtype=np.int64)
+            key = np.zeros(len(vpos), dtype=np.uint64)
+            glen = np.zeros(len(vpos), dtype=np.int64)
+            with np.errstate(over="ignore"):
+                for j in range(n):
+                    key = key * _REP_MIX + h[vpos + j]
+                    glen += lens[vpos + j]
+            d = doc_idx[vpos]
+            order = np.lexsort((key, d))
+            d, key, glen = d[order], key[order], glen[order]
+            new = np.ones(len(d), dtype=bool)
+            new[1:] = (d[1:] != d[:-1]) | (key[1:] != key[:-1])
+            starts = np.flatnonzero(new)
+            cnt = np.diff(np.append(starts, len(d)))
+            contrib = cnt * glen[starts]
+            best = np.zeros(D, dtype=np.int64)
+            np.maximum.at(best, d[starts], contrib)
+            milli[f"top{n}"] = best * 1000 // denom
+            if n == 2:
+                inst = np.bincount(doc_idx[vpos], minlength=D).astype(np.int64)
+                dup = np.zeros(D, dtype=np.int64)
+                np.add.at(dup, d[starts[cnt >= 2]], cnt[cnt >= 2])
+                milli["dup2"] = dup * 1000 // np.maximum(inst, 1)
+        rules = {
+            "top2": milli["top2"] <= REP_TOP2_MAX_MILLI,
+            "top3": milli["top3"] <= REP_TOP3_MAX_MILLI,
+            "top4": milli["top4"] <= REP_TOP4_MAX_MILLI,
+            "dup2": milli["dup2"] <= REP_DUP2_MAX_MILLI,
+        }
+        keep = np.ones(D, dtype=bool)
+        reason = np.full(D, "", dtype=object)
+        for name in reversed(REP_RULE_ORDER):  # earliest failure wins
+            keep &= rules[name]
+            reason = np.where(rules[name], reason, name)
+        for name in ("top2", "top3", "top4", "dup2"):
+            cols[name + "_milli"] = pa.array(milli[name], _I64)
+        cols["keep"] = pa.array(keep)
+        cols["drop_reason"] = pa.array(reason.tolist(), pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(feats, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # CCNet-style per-PARAGRAPH perplexity filtering (Wenzek et al. 2020 —
 # the paragraph-level companion of q_ppl_buckets' doc-level tertiles):
