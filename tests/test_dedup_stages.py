@@ -388,6 +388,67 @@ def test_incremental_index_dedup(ray_session, tmp_path):
     assert all((10_000 + i, i) in got for i in range(50))
 
 
+def test_incremental_index_append_lifecycle(ray_session, tmp_path):
+    """The production snapshot loop: index snapshot A, dedup B against
+    it, APPEND B (band parameters come from the index's own meta, never
+    the caller), then dedup C against A∪B — C's pairs must equal a full
+    joint run restricted to C-vs-(A∪B), including C-vs-B pairs that
+    only the appended half can produce."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from textpipe_ray.stages.dedup import (
+        append_minhash_index,
+        near_dup_against_index,
+        near_dup_minhash,
+        write_minhash_index,
+    )
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    texts = t.column("text").to_pylist()
+    a = pa.table({"doc_id": list(range(100)), "text": texts[:100]})
+    # B reuses 20 of A's texts; C reuses 15 of A's and 15 of B's fresh ones
+    b = pa.table(
+        {
+            "doc_id": [1_000 + i for i in range(60)],
+            "text": texts[:20] + texts[100:140],
+        }
+    )
+    c = pa.table(
+        {
+            "doc_id": [2_000 + i for i in range(40)],
+            "text": texts[50:65] + texts[100:115] + texts[200:210],
+        }
+    )
+    kw = dict(num_bands=16, threshold=0.7, shingle_size=5)
+    idx = str(tmp_path / "idx")
+
+    write_minhash_index(ray.data.from_arrow(a), idx, num_bands=16, shingle_size=5)
+    near_dup_against_index(ray.data.from_arrow(b), idx, **kw).materialize()
+    append_minhash_index(ray.data.from_arrow(b), idx)
+
+    inc = near_dup_against_index(ray.data.from_arrow(c), idx, **kw).to_pandas()
+    got = {(x, y) for x, y in zip(inc["new_id"], inc["index_id"])}
+
+    joint = near_dup_minhash(
+        ray.data.from_arrow(pa.concat_tables([a, b, c])), **kw
+    ).to_pandas()
+    want = set()
+    for x, y in zip(joint["id_a"], joint["id_b"]):
+        lo, hi = (x, y) if x < y else (y, x)
+        if hi >= 2_000 and lo < 2_000:
+            want.add((hi, lo))
+    assert got == want
+    # the planted C-vs-B reuse pairs prove the APPENDED half is live
+    assert any(2_000 <= x and 1_000 <= y < 2_000 for x, y in got)
+    # every planted C-vs-A reuse pair recovered
+    assert all((2_000 + i, 50 + i) in got for i in range(15))
+
+
 def test_incremental_index_meta_guard(ray_session, tmp_path):
     """An index whose band-hash kernel or build parameters differ from
     the query's must be REFUSED (a silent mismatch would return zero

@@ -1123,35 +1123,47 @@ def drop_near_dups(
 # ---------------------------------------------------------------------------
 
 
-def write_minhash_index(
-    ds: "ray.data.Dataset",
-    path: str,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_bands: int = 32,
-    shingle_size: int | None = None,
-    num_buckets: int = 32,
-) -> None:
-    """Persist a MinHash-LSH index of a corpus as partitioned parquet:
-    ``{path}/sigs`` (doc_id, sig) and ``{path}/bands`` (doc_id, band,
-    band_hash), both hive-partitioned by a hash bucket so incremental
-    runs read/join them co-partitioned.  This is how a 100 TB pipeline
-    dedups each NEW crawl snapshot against everything already ingested
-    without recomputing the old corpus: signatures are computed once
-    per document ever, and the index grows by appending each snapshot's
-    buckets.
-
-    A ``_meta.json`` format marker is written LAST (it doubles as the
-    commit marker): it records the band-hash kernel id and the build
-    parameters so a reader with a different kernel fails loudly instead
-    of silently finding zero cross-snapshot buckets."""
+def _check_index_meta(index_path: str, expect: dict) -> dict:
+    """Load ``{index_path}/_meta.json`` and refuse kernel/parameter
+    mismatches: stored band_hash values would never match freshly
+    computed ones and a reader would silently find zero cross-snapshot
+    buckets (total recall collapse) instead of an error."""
     import json
     import os
 
-    from textpipe_ray.functions.minhash import (
-        BAND_HASH_KERNEL,
-        minhash_signature_shingles,
-    )
+    meta_path = os.path.join(index_path, "_meta.json")
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"MinHash index at {index_path!r} has no _meta.json marker: it was "
+            "either written by an incompatible engine version or the write did "
+            "not complete.  Rebuild it with write_minhash_index."
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    mismatches = {k: (meta.get(k), v) for k, v in expect.items() if meta.get(k) != v}
+    if mismatches:
+        raise ValueError(
+            f"MinHash index at {index_path!r} is incompatible "
+            f"(stored vs requested): {mismatches}.  Rebuild the index or pass "
+            "matching parameters."
+        )
+    return meta
+
+
+def _write_index_data(
+    ds: "ray.data.Dataset",
+    path: str,
+    text_col: str,
+    id_col: str,
+    num_bands: int,
+    shingle_size: int | None,
+    num_buckets: int,
+) -> None:
+    """Compute (doc_id, sig) and exploded (doc_id, band, band_hash)
+    tables for ``ds`` and write them into the index's bucket-partitioned
+    layout — new parquet files land NEXT TO any existing ones in the
+    same hive dirs, which is exactly how the index grows per snapshot."""
+    from textpipe_ray.functions.minhash import minhash_signature_shingles
 
     def sig_of(t: str) -> np.ndarray:
         if shingle_size is None:
@@ -1192,6 +1204,36 @@ def write_minhash_index(
     sig_ds.map_batches(bands_of, batch_format="pyarrow").write_parquet(
         f"{path}/bands", partition_cols=["bucket"]
     )
+
+
+def write_minhash_index(
+    ds: "ray.data.Dataset",
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bands: int = 32,
+    shingle_size: int | None = None,
+    num_buckets: int = 32,
+) -> None:
+    """Persist a MinHash-LSH index of a corpus as partitioned parquet:
+    ``{path}/sigs`` (doc_id, sig) and ``{path}/bands`` (doc_id, band,
+    band_hash), both hive-partitioned by a hash bucket so incremental
+    runs read/join them co-partitioned.  This is how a 100 TB pipeline
+    dedups each NEW crawl snapshot against everything already ingested
+    without recomputing the old corpus: signatures are computed once
+    per document ever, and the index grows via
+    :func:`append_minhash_index` after each snapshot is deduped.
+
+    A ``_meta.json`` format marker is written LAST (it doubles as the
+    commit marker): it records the band-hash kernel id and the build
+    parameters so a reader with a different kernel fails loudly instead
+    of silently finding zero cross-snapshot buckets."""
+    import json
+    import os
+
+    from textpipe_ray.functions.minhash import BAND_HASH_KERNEL
+
+    _write_index_data(ds, path, text_col, id_col, num_bands, shingle_size, num_buckets)
     meta = {
         "format_version": 1,
         "band_hash_kernel": BAND_HASH_KERNEL,
@@ -1202,6 +1244,36 @@ def write_minhash_index(
     }
     with open(os.path.join(path, "_meta.json"), "w") as f:
         json.dump(meta, f)
+
+
+def append_minhash_index(
+    ds: "ray.data.Dataset",
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Grow an existing MinHash index with a new snapshot's documents —
+    the ingest step after :func:`near_dup_against_index` has deduped the
+    snapshot.  Build parameters come from the INDEX's own ``_meta.json``
+    (never from the caller), so every appended snapshot is banded
+    identically to the stored corpus; the new sig/band parquet files
+    land next to the existing ones in the same bucket partitions, and
+    the stored corpus is never recomputed.  Doc ids must stay disjoint
+    across snapshots (use a snapshot-id prefix in the high bits)."""
+    from textpipe_ray.functions.minhash import BAND_HASH_KERNEL
+
+    meta = _check_index_meta(
+        path, {"band_hash_kernel": BAND_HASH_KERNEL, "format_version": 1}
+    )
+    _write_index_data(
+        ds,
+        path,
+        text_col,
+        id_col,
+        int(meta["num_bands"]),
+        meta["shingle_size"],
+        int(meta["num_buckets"]),
+    )
 
 
 _BLOOM_SALT = np.uint64(0x5851F42D4C957F2D)
@@ -1327,9 +1399,6 @@ def near_dup_against_index(
     built).  Verification joins candidates against the union of the new
     signatures and the stored signature table — the pair-side join, no
     driver state."""
-    import json
-    import os
-
     import ray.data as _rd
 
     from textpipe_ray.functions.minhash import (
@@ -1338,31 +1407,14 @@ def near_dup_against_index(
     )
     from textpipe_ray.stages.joins import attach_pair_sides
 
-    # Refuse an index built with a different band-hash kernel or
-    # different parameters: stored band_hash values would never match
-    # freshly computed ones and the query would silently return zero
-    # pairs (total recall collapse) instead of an error.
-    meta_path = os.path.join(index_path, "_meta.json")
-    if not os.path.exists(meta_path):
-        raise ValueError(
-            f"MinHash index at {index_path!r} has no _meta.json marker: it was "
-            "either written by an incompatible engine version or the write did "
-            "not complete.  Rebuild it with write_minhash_index."
-        )
-    with open(meta_path) as f:
-        meta = json.load(f)
-    expect = {
-        "band_hash_kernel": BAND_HASH_KERNEL,
-        "num_bands": num_bands,
-        "shingle_size": shingle_size,
-    }
-    mismatches = {k: (meta.get(k), v) for k, v in expect.items() if meta.get(k) != v}
-    if mismatches:
-        raise ValueError(
-            f"MinHash index at {index_path!r} is incompatible with this query "
-            f"(stored vs requested): {mismatches}.  Rebuild the index or pass "
-            "matching parameters."
-        )
+    _check_index_meta(
+        index_path,
+        {
+            "band_hash_kernel": BAND_HASH_KERNEL,
+            "num_bands": num_bands,
+            "shingle_size": shingle_size,
+        },
+    )
 
     def sig_of(t: str) -> np.ndarray:
         if shingle_size is None:
