@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "q_semdedup",
     "q_classifier_train",
     "q_repetition_rules",
+    "q_substring_dedup",
 ]
 
 

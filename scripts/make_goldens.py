@@ -60,6 +60,7 @@ GOLDEN_QUERIES = [
     "q_bpe_train",
     "q_semdedup",
     "q_classifier_train",
+    "q_substring_dedup",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

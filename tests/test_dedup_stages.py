@@ -484,3 +484,54 @@ def test_incremental_index_meta_guard(ray_session, tmp_path):
     meta_path.unlink()
     with pytest.raises(ValueError, match="_meta.json"):
         near_dup_against_index(ray.data.from_arrow(new), idx, num_bands=16, shingle_size=5)
+
+
+def test_substring_dedup_removes_shared_run_keeps_keeper(ray_session, tmp_path):
+    """q_substring_dedup semantics on planted data: a cross-document
+    shared run is excised from the higher doc_id (window-covered core
+    gone), fully retained by the min-doc_id keeper; internal repeats
+    within one document and unique text are untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textpipe_ray.pipelines.queries import SPAN_W, q_substring_dedup
+
+    shared = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sparrows argue about breadcrumbs near the old stone fountain and "
+        "a tired postman wheels his squeaking bicycle past the bakery "
+        "window full of warm loaves on a grey tuesday morning in autumn"
+    )
+    # content-defined anchors fire with prob 1/SUB_GAP per position; at
+    # this run length the miss probability is ~1e-10 and the outcome is
+    # DETERMINISTIC given the content (it passed once → it always passes)
+    assert len(shared) > 200
+    uniq1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    uniq2 = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    internal = "repeat me repeat me repeat me repeat me repeat me repeat me repeat me"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [uniq1 + " " + shared, shared + " " + uniq2, internal],
+                    pa.string(),
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = (
+        q_substring_dedup(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    )
+    # keeper (doc 1) untouched
+    assert out.loc[1, "text"] == uniq1 + " " + shared
+    assert out.loc[1, "removed_chars"] == 0
+    # doc 2 lost the shared run's anchored core but kept its tail
+    assert shared not in out.loc[2, "text"]
+    assert uniq2 in out.loc[2, "text"]
+    assert out.loc[2, "removed_chars"] >= SPAN_W
+    assert out.loc[2, "n_banned_windows"] >= 1
+    # internal-only repetition is NOT cross-document: untouched
+    assert out.loc[3, "text"] == internal
+    assert out.loc[3, "removed_chars"] == 0

@@ -40,7 +40,7 @@ def oracle_names():
     "q_url_filter", "q_media_phash_dedup", "q_url_dedup", "q_corpus_release",
     "q_dsir", "q_embedding_pca", "q_video_dedup", "q_audio_dedup",
     "q_para_ppl", "q_incremental_dedup", "q_distinct_sketch", "q_doc_vectors", "q_bloom_dedup", "q_bpe_train", "q_semdedup",
-    "q_classifier_train",
+    "q_classifier_train", "q_substring_dedup",
 ])
 def test_query_matches_oracle(ray_session, name):
     from textpipe_ray.pipelines.compare import compare, run_oracle

@@ -63,3 +63,35 @@ def test_part_ids_stable_and_bounded():
     assert (p == q).all()
     # reasonable balance: no partition holds more than 4x the mean
     assert np.bincount(p, minlength=64).max() < 4 * (1000 / 64)
+
+
+def test_rolling_window_hash_matches_naive_and_position_independent():
+    """Window hashes equal the per-window naive polynomial, and equal
+    window CONTENT hashes equal at any position in any array."""
+    import numpy as np
+
+    from textpipe_ray.functions.strhash import (
+        _RW_BASE,
+        avalanche,
+        rolling_window_hash64,
+        window_hash64_at,
+    )
+
+    rng = np.random.RandomState(3)
+    codes = rng.randint(32, 5000, 120).astype(np.uint32)
+    starts, hashes = rolling_window_hash64(codes, 13, 5)
+    for s, h in zip(starts, hashes):
+        acc = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for j in range(13):
+                acc = acc * _RW_BASE + np.uint64(codes[s + j])
+        assert avalanche(np.array([acc]))[0] == h
+    # position independence across documents
+    c1 = np.frombuffer("xxxxabcdefghijkl".encode("utf-32-le"), dtype=np.uint32)
+    c2 = np.frombuffer("abcdefghijklyyyyyyy".encode("utf-32-le"), dtype=np.uint32)
+    h1 = window_hash64_at(c1, np.array([4]), 12)
+    h2 = window_hash64_at(c2, np.array([0]), 12)
+    assert h1[0] == h2[0]
+    # and different content differs
+    h3 = window_hash64_at(c2, np.array([1]), 12)
+    assert h3[0] != h2[0]

@@ -135,6 +135,60 @@ def hash64_mixed(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return avalanche(hash64(arr))
 
 
+_RW_BASE = np.uint64(0x100000001B5)  # odd → invertible mod 2^64
+_RW_BASE_INV = np.uint64(pow(0x100000001B5, -1, 1 << 64))
+
+
+def rolling_window_hash64(
+    codes: np.ndarray, width: int, stride: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Hashes of EVERY ``width``-codepoint window at ``stride`` over one
+    document's codepoint array, without a per-window loop: →
+    (window starts int64, avalanched window hashes uint64).
+
+    Polynomial hash in the ring Z/2^64 (wraparound uint64 arithmetic is
+    the modulus).  With reversed base powers P[k] = B^(n-1-k) and the
+    weighted prefix sums S of codes·P, every window hash
+    ``sum_j codes[i+j]·B^(width-1-j)`` is one subtraction plus one
+    multiply by the precomputed inverse power — O(n) total for all
+    windows vs O(n·width/stride) naive.  Equal windows hash equal
+    regardless of position or document; 64-bit collisions decide
+    equality for the substring-dedup caller (non-adversarial input,
+    ~2^-64 per pair).  Memory: ~4 temporaries × 8 bytes per codepoint —
+    per-document arrays only, never whole batches."""
+    n = len(codes)
+    if n < width:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    starts = np.arange(0, n - width + 1, stride, dtype=np.int64)
+    return starts, window_hash64_at(codes, starts, width)
+
+
+def window_hash64_at(codes: np.ndarray, starts: np.ndarray, width: int) -> np.ndarray:
+    """Avalanched polynomial hashes of the ``width``-codepoint windows
+    at the given (arbitrary, in-bounds) start positions — the same O(n)
+    prefix construction as :func:`rolling_window_hash64`, shared by the
+    strided profile and content-defined-anchor (winnowing) callers."""
+    n = len(codes)
+    if len(starts) == 0:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        pows = np.empty(n, dtype=np.uint64)
+        pows[0] = 1
+        if n > 1:
+            np.cumprod(np.full(n - 1, _RW_BASE, dtype=np.uint64), out=pows[1:])
+        weighted = codes.astype(np.uint64) * pows[::-1]
+        prefix = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(weighted, out=prefix[1:])
+        diff = prefix[starts + width] - prefix[starts]
+        # un-weight: window at i carries a stray B^(n-width-i) factor
+        inv_pows = np.empty(n, dtype=np.uint64)
+        inv_pows[0] = 1
+        if n > 1:
+            np.cumprod(np.full(n - 1, _RW_BASE_INV, dtype=np.uint64), out=inv_pows[1:])
+        hashes = diff * inv_pows[n - width - starts]
+    return avalanche(hashes)
+
+
 def md5_hex(arr: pa.Array | pa.ChunkedArray) -> list[str]:
     """md5 hex digest per string (DuckDB ``md5()``-compatible), hashing
     memoryview slices of the Arrow UTF-8 buffer — no per-row string

@@ -3348,6 +3348,177 @@ def q_span_dedup(sf_dir: str):
     return agg.map_batches(post, batch_format="pyarrow")
 
 
+SUB_ANCHOR = 8  # anchor-gram width (codepoints) for content-defined starts
+SUB_GAP = 10  # expected anchor spacing: P(anchor at a position) = 1/SUB_GAP
+
+
+def _sub_windows(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Content-defined window starts + hashes (the winnowing/CDC
+    anchoring trick): a ``SPAN_W``-codepoint window begins wherever the
+    ``SUB_ANCHOR``-gram hash ≡ 0 (mod ``SUB_GAP``), so identical runs
+    select identical windows at ANY document offset — a strided grid
+    only matches when the two copies agree mod the stride."""
+    from textpipe_ray.functions.strhash import (
+        rolling_window_hash64,
+        window_hash64_at,
+    )
+
+    n = len(codes)
+    if n < SPAN_W:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    a_starts, a_h = rolling_window_hash64(codes, SUB_ANCHOR, 1)
+    cand = a_starts[(a_h % np.uint64(SUB_GAP)) == 0]
+    cand = cand[cand <= n - SPAN_W]
+    return cand, window_hash64_at(codes, cand, SPAN_W)
+
+
+def q_substring_dedup(sf_dir: str):
+    """Lee-et-al-2022 exact substring REMOVAL — the rewrite companion
+    of ``q_span_dedup``'s profile: every ``SPAN_W``-char window (at
+    content-defined anchor positions, see :func:`_sub_windows`) whose
+    text occurs in ≥2 distinct documents is excised from every document
+    EXCEPT the min-doc_id keeper; overlapping banned windows merge
+    before excision (one +1/-1 coverage pass).  A cross-document shared
+    run selects the SAME windows in every copy regardless of offset, so
+    the non-keeper copies lose the anchored core (each anchor fires
+    with prob 1/``SUB_GAP`` per position — a shared run of L chars is
+    missed with prob ≈ (1-1/GAP)^(L-SPAN_W), deterministic given the
+    content) while the keeper retains one full copy.  Output: rewritten
+    ``text``, chars removed, banned-window count per document.
+
+    Scale shape — window TEXT never leaves its task:
+      1. count pass: O(n)-per-doc vectorized anchor + window hashes
+         (functions/strhash rolling/at-position kernels); a per-batch
+         combiner reduces to one (hash, min_doc, max_doc) row per
+         distinct window per block; ONE hash exchange on ``h % P``
+         partitions with a vectorized reduceat Min/Max per partition
+         (13× the per-group Dataset aggregate at sf0.1: same rows
+         moved, numpy instead of per-group machinery); banned =
+         min≠max, broadcast SORTED with the keeper column.
+         The broadcast is bounded by the corpus's duplicated-window
+         vocabulary (the q_boilerplate_dedup budget argument — ~10^6-8
+         hashes at web scale); past the object-store bound the lookup
+         becomes a co-partitioned join (stages/joins.py).
+      2. scrub pass (row-local, no exchange): recompute window hashes,
+         ``searchsorted`` against the banned array, coverage mask,
+         re-encode kept codepoints.  64-bit window-hash equality decides
+         duplication (non-adversarial input; ~2^-64 per pair).
+    Golden-oracle value-checked (range-merge text rewriting is not
+    practically SQL-expressible)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        docs = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        hs, dls = [], []
+        for d, t in zip(docs, batch.column("text").to_pylist()):
+            codes = np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32)
+            _, h = _sub_windows(codes)
+            if len(h):
+                hs.append(h.view(np.int64))
+                dls.append(np.full(len(h), d, dtype=np.int64))
+        if not hs:
+            return pa.table(
+                {
+                    "h": pa.array([], _I64),
+                    "dmin": pa.array([], _I64),
+                    "dmax": pa.array([], _I64),
+                }
+            )
+        h = np.concatenate(hs)
+        d = np.concatenate(dls)
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        new = np.ones(len(h), dtype=bool)
+        new[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(h))
+        return pa.table(
+            {
+                "h": pa.array(h[starts], _I64),
+                "dmin": pa.array(d[starts], _I64),  # d ascending within h
+                "dmax": pa.array(d[ends - 1], _I64),
+            }
+        )
+
+    import pandas as pd
+
+    def part_tag(t: pa.Table) -> pa.Table:
+        h = np.asarray(t.column("h"), dtype=np.int64)
+        return t.append_column(
+            "__p", pa.array((h % _N_SPAN_PARTS).astype(np.int32), pa.int32())
+        )
+
+    def reduce_part(g: pd.DataFrame) -> pa.Table:
+        h = g["h"].to_numpy()
+        dmin = g["dmin"].to_numpy()
+        dmax = g["dmax"].to_numpy()
+        order = np.argsort(h, kind="mergesort")
+        h, dmin, dmax = h[order], dmin[order], dmax[order]
+        new = np.ones(len(h), dtype=bool)
+        new[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(new)
+        mn = np.minimum.reduceat(dmin, starts)
+        mx = np.maximum.reduceat(dmax, starts)
+        keep = mn != mx  # banned = seen in ≥2 distinct docs
+        return pa.table(
+            {
+                "h": pa.array(h[starts][keep], _I64),
+                "dmin": pa.array(mn[keep], _I64),
+            }
+        )
+
+    banned_rows = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .map_batches(part_tag, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(reduce_part, batch_format="pandas")
+        .take_all()
+    )
+    bh = np.asarray([r["h"] for r in banned_rows], dtype=np.int64)
+    bk = np.asarray([r["dmin"] for r in banned_rows], dtype=np.int64)
+    order = np.argsort(bh)
+    ref = ray.put((bh[order], bk[order]))
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        h_sorted, keeper = ray.get(ref)
+        docs = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        out_text: list[str] = []
+        removed = np.zeros(len(docs), dtype=np.int64)
+        nwin = np.zeros(len(docs), dtype=np.int64)
+        for i, (d, t) in enumerate(zip(docs, batch.column("text").to_pylist())):
+            t = t or ""
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            st, h = _sub_windows(codes)
+            bad = np.empty(0, dtype=np.int64)
+            if len(h) and len(h_sorted):
+                hi = h.view(np.int64)
+                idx = np.minimum(
+                    np.searchsorted(h_sorted, hi), len(h_sorted) - 1
+                )
+                found = (h_sorted[idx] == hi) & (keeper[idx] != d)
+                bad = st[found]
+            if len(bad):
+                delta = np.zeros(len(codes) + 1, dtype=np.int64)
+                np.add.at(delta, bad, 1)
+                np.add.at(delta, bad + SPAN_W, -1)
+                covered = np.cumsum(delta[:-1]) > 0
+                out_text.append(codes[~covered].tobytes().decode("utf-32-le"))
+                removed[i] = int(covered.sum())
+                nwin[i] = len(bad)
+            else:
+                out_text.append(t)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, _I64),
+                "text": pa.array(out_text, pa.string()),
+                "removed_chars": pa.array(removed, _I64),
+                "n_banned_windows": pa.array(nwin, _I64),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # PII / toxicity incidence rollup
 # ---------------------------------------------------------------------------
