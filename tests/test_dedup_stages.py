@@ -427,9 +427,14 @@ def test_incremental_index_append_lifecycle(ray_session, tmp_path):
     kw = dict(num_bands=16, threshold=0.7, shingle_size=5)
     idx = str(tmp_path / "idx")
 
+    from textpipe_ray.stages.dedup import compute_minhash_sigs
+
     write_minhash_index(ray.data.from_arrow(a), idx, num_bands=16, shingle_size=5)
-    near_dup_against_index(ray.data.from_arrow(b), idx, **kw).materialize()
-    append_minhash_index(ray.data.from_arrow(b), idx)
+    # production loop: B's signatures computed ONCE, shared between the
+    # dedup call and the ingest call
+    sig_b = compute_minhash_sigs(ray.data.from_arrow(b), shingle_size=5).materialize()
+    near_dup_against_index(None, idx, sig_ds=sig_b, **kw).materialize()
+    append_minhash_index(None, idx, sig_ds=sig_b)
 
     inc = near_dup_against_index(ray.data.from_arrow(c), idx, **kw).to_pandas()
     got = {(x, y) for x, y in zip(inc["new_id"], inc["index_id"])}
@@ -535,3 +540,100 @@ def test_substring_dedup_removes_shared_run_keeps_keeper(ray_session, tmp_path):
     # internal-only repetition is NOT cross-document: untouched
     assert out.loc[3, "text"] == internal
     assert out.loc[3, "removed_chars"] == 0
+
+
+def test_substring_dedup_keeper_protection_under_overlap(ray_session, tmp_path):
+    """Overlapping duplicated runs with DIFFERENT keepers: chars covered
+    by a window this document keeps must survive, even when a
+    foreign-keeper run covers the same chars — otherwise the straddling
+    windows' content would survive in NO document."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textpipe_ray.pipelines.queries import SPAN_W, _sub_windows, q_substring_dedup
+
+    rng = np.random.RandomState(11)
+    words = ["w%03d" % i for i in rng.randint(0, 900, 90)]
+    S = " ".join(words)  # ~450 chars, content-random
+    CUT = 200
+    # doc 0 shares S's head → keeper of every window fully inside [0, CUT)
+    # doc 2 shares all of S  → windows straddling/after CUT are doc 1's own
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array([S[:CUT], S, "zz " + S], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = (
+        q_substring_dedup(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    )
+    # doc 0 keeps everything (it is the keeper of all its windows)
+    assert out.loc[0, "text"] == S[:CUT]
+    # doc 1 lost head content to doc 0's windows...
+    assert out.loc[1, "removed_chars"] > 0
+    # ...but every window doc 1 KEEPS (those extending past CUT, which
+    # doc 0 cannot contain) must survive contiguously in doc 1
+    codes = np.frombuffer(S.encode("utf-32-le"), dtype=np.uint32)
+    starts, _ = _sub_windows(codes)
+    own = [int(a) for a in starts if a + SPAN_W > CUT]
+    assert own, "test needs at least one straddling/late window"
+    for a in own:
+        assert S[a : a + SPAN_W] in out.loc[1, "text"], a
+    # doc 2 is keeper of nothing: its copy of S is eroded
+    assert out.loc[2, "removed_chars"] > 0
+    assert S not in out.loc[2, "text"]
+
+
+def test_incremental_index_append_atomicity(ray_session, tmp_path):
+    """A crashed append (generation data written, meta bump never
+    committed) must be INVISIBLE to readers, and a retried append must
+    overwrite the stale generation and commit it exactly once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from textpipe_ray.stages.dedup import (
+        _write_index_data,
+        append_minhash_index,
+        compute_minhash_sigs,
+        near_dup_against_index,
+        write_minhash_index,
+    )
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    texts = t.column("text").to_pylist()
+    a = pa.table({"doc_id": list(range(100)), "text": texts[:100]})
+    b = pa.table({"doc_id": [1_000 + i for i in range(30)], "text": texts[100:130]})
+    # C reuses 10 of A's texts and 10 of B's
+    c = pa.table(
+        {
+            "doc_id": [2_000 + i for i in range(20)],
+            "text": texts[:10] + texts[100:110],
+        }
+    )
+    kw = dict(num_bands=16, threshold=0.7, shingle_size=5)
+    idx = str(tmp_path / "idx")
+    write_minhash_index(ray.data.from_arrow(a), idx, num_bands=16, shingle_size=5)
+
+    # simulate the crash: generation 2's data lands, meta is never bumped
+    sig_b = compute_minhash_sigs(ray.data.from_arrow(b), shingle_size=5).materialize()
+    _write_index_data(sig_b, idx, 2, 16, 32)
+
+    inc = near_dup_against_index(ray.data.from_arrow(c), idx, **kw).to_pandas()
+    got = {(x, y) for x, y in zip(inc["new_id"], inc["index_id"])}
+    assert got and all(y < 1_000 for _, y in got)  # B's half invisible
+
+    # retry commits; now B's pairs appear exactly once
+    append_minhash_index(None, idx, sig_ds=sig_b)
+    inc2 = near_dup_against_index(ray.data.from_arrow(c), idx, **kw).to_pandas()
+    got2 = {(x, y) for x, y in zip(inc2["new_id"], inc2["index_id"])}
+    assert len(inc2) == len(got2)  # no duplicated pairs from the stale attempt
+    assert got < got2
+    assert all((2_000 + 10 + i, 1_000 + i) in got2 for i in range(10))

@@ -138,6 +138,60 @@ def hash64_mixed(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
 _RW_BASE = np.uint64(0x100000001B5)  # odd → invertible mod 2^64
 _RW_BASE_INV = np.uint64(pow(0x100000001B5, -1, 1 << 64))
 
+# Base-power tables grow once per process and are sliced per call —
+# rebuilding them was 4 redundant O(n) cumprods per document in the
+# substring-dedup hot kernel.  Safe because map tasks are
+# single-threaded per worker process.
+_RW_POWS = np.array([1], dtype=np.uint64)
+_RW_INV_POWS = np.array([1], dtype=np.uint64)
+
+
+def _pow_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
+    global _RW_POWS, _RW_INV_POWS
+    if len(_RW_POWS) < n:
+        m = max(n, 2 * len(_RW_POWS))
+        with np.errstate(over="ignore"):
+            pw = np.empty(m, dtype=np.uint64)
+            pw[0] = 1
+            np.cumprod(np.full(m - 1, _RW_BASE, dtype=np.uint64), out=pw[1:])
+            iv = np.empty(m, dtype=np.uint64)
+            iv[0] = 1
+            np.cumprod(np.full(m - 1, _RW_BASE_INV, dtype=np.uint64), out=iv[1:])
+        _RW_POWS, _RW_INV_POWS = pw, iv
+    return _RW_POWS, _RW_INV_POWS
+
+
+def poly_prefix(codes: np.ndarray) -> np.ndarray:
+    """Weighted polynomial prefix sums of one document's codepoints —
+    compute ONCE per document, then hash windows of any width at any
+    starts with :func:`window_hash64_from_prefix` (the substring-dedup
+    kernel hashes anchor grams AND full windows from the same prefix)."""
+    n = len(codes)
+    pw, _ = _pow_tables(n)
+    prefix = np.zeros(n + 1, dtype=np.uint64)
+    if n:
+        with np.errstate(over="ignore"):
+            weighted = codes.astype(np.uint64) * pw[n - 1 :: -1]
+            np.cumsum(weighted, out=prefix[1:])
+    return prefix
+
+
+def window_hash64_from_prefix(
+    prefix: np.ndarray, starts: np.ndarray, width: int
+) -> np.ndarray:
+    """Avalanched hashes of ``width``-codepoint windows at ``starts``,
+    given :func:`poly_prefix` output: one subtraction plus one multiply
+    by the cached inverse power per window."""
+    if len(starts) == 0:
+        return np.empty(0, dtype=np.uint64)
+    n = len(prefix) - 1
+    _, iv = _pow_tables(n)
+    with np.errstate(over="ignore"):
+        diff = prefix[starts + width] - prefix[starts]
+        # un-weight: the window at i carries a stray B^(n-width-i) factor
+        hashes = diff * iv[n - width - starts]
+    return avalanche(hashes)
+
 
 def rolling_window_hash64(
     codes: np.ndarray, width: int, stride: int
@@ -165,28 +219,12 @@ def rolling_window_hash64(
 
 def window_hash64_at(codes: np.ndarray, starts: np.ndarray, width: int) -> np.ndarray:
     """Avalanched polynomial hashes of the ``width``-codepoint windows
-    at the given (arbitrary, in-bounds) start positions — the same O(n)
-    prefix construction as :func:`rolling_window_hash64`, shared by the
-    strided profile and content-defined-anchor (winnowing) callers."""
-    n = len(codes)
+    at the given (arbitrary, in-bounds) start positions.  Convenience
+    wrapper — callers hashing several window families of one document
+    should compute :func:`poly_prefix` once instead."""
     if len(starts) == 0:
         return np.empty(0, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        pows = np.empty(n, dtype=np.uint64)
-        pows[0] = 1
-        if n > 1:
-            np.cumprod(np.full(n - 1, _RW_BASE, dtype=np.uint64), out=pows[1:])
-        weighted = codes.astype(np.uint64) * pows[::-1]
-        prefix = np.zeros(n + 1, dtype=np.uint64)
-        np.cumsum(weighted, out=prefix[1:])
-        diff = prefix[starts + width] - prefix[starts]
-        # un-weight: window at i carries a stray B^(n-width-i) factor
-        inv_pows = np.empty(n, dtype=np.uint64)
-        inv_pows[0] = 1
-        if n > 1:
-            np.cumprod(np.full(n - 1, _RW_BASE_INV, dtype=np.uint64), out=inv_pows[1:])
-        hashes = diff * inv_pows[n - width - starts]
-    return avalanche(hashes)
+    return window_hash64_from_prefix(poly_prefix(codes), starts, width)
 
 
 def md5_hex(arr: pa.Array | pa.ChunkedArray) -> list[str]:

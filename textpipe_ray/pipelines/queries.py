@@ -3359,17 +3359,19 @@ def _sub_windows(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     select identical windows at ANY document offset — a strided grid
     only matches when the two copies agree mod the stride."""
     from textpipe_ray.functions.strhash import (
-        rolling_window_hash64,
-        window_hash64_at,
+        poly_prefix,
+        window_hash64_from_prefix,
     )
 
     n = len(codes)
     if n < SPAN_W:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
-    a_starts, a_h = rolling_window_hash64(codes, SUB_ANCHOR, 1)
+    prefix = poly_prefix(codes)  # shared by the anchor AND window passes
+    a_starts = np.arange(0, n - SUB_ANCHOR + 1, dtype=np.int64)
+    a_h = window_hash64_from_prefix(prefix, a_starts, SUB_ANCHOR)
     cand = a_starts[(a_h % np.uint64(SUB_GAP)) == 0]
     cand = cand[cand <= n - SPAN_W]
-    return cand, window_hash64_at(codes, cand, SPAN_W)
+    return cand, window_hash64_from_prefix(prefix, cand, SPAN_W)
 
 
 def q_substring_dedup(sf_dir: str):
@@ -3383,8 +3385,13 @@ def q_substring_dedup(sf_dir: str):
     the non-keeper copies lose the anchored core (each anchor fires
     with prob 1/``SUB_GAP`` per position — a shared run of L chars is
     missed with prob ≈ (1-1/GAP)^(L-SPAN_W), deterministic given the
-    content) while the keeper retains one full copy.  Output: rewritten
-    ``text``, chars removed, banned-window count per document.
+    content).  Retention guarantee is per WINDOW: chars covered by a
+    window THIS document keeps are protected from excision, so every
+    banned window's content survives intact in its keeper even when an
+    overlapping run with a different (lower-id) keeper covers the same
+    chars; for non-overlapping duplication — the common case — the
+    keeper therefore retains the full run.  Output: rewritten ``text``,
+    chars removed, banned-window count per document.
 
     Scale shape — window TEXT never leaves its task:
       1. count pass: O(n)-per-doc vectorized anchor + window hashes
@@ -3490,18 +3497,27 @@ def q_substring_dedup(sf_dir: str):
             codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
             st, h = _sub_windows(codes)
             bad = np.empty(0, dtype=np.int64)
+            own = np.empty(0, dtype=np.int64)
             if len(h) and len(h_sorted):
                 hi = h.view(np.int64)
                 idx = np.minimum(
                     np.searchsorted(h_sorted, hi), len(h_sorted) - 1
                 )
-                found = (h_sorted[idx] == hi) & (keeper[idx] != d)
-                bad = st[found]
+                found = (h_sorted[idx] == hi)
+                bad = st[found & (keeper[idx] != d)]
+                own = st[found & (keeper[idx] == d)]
             if len(bad):
-                delta = np.zeros(len(codes) + 1, dtype=np.int64)
-                np.add.at(delta, bad, 1)
-                np.add.at(delta, bad + SPAN_W, -1)
-                covered = np.cumsum(delta[:-1]) > 0
+                def _coverage(starts_: np.ndarray) -> np.ndarray:
+                    delta = np.zeros(len(codes) + 1, dtype=np.int64)
+                    np.add.at(delta, starts_, 1)
+                    np.add.at(delta, starts_ + SPAN_W, -1)
+                    return np.cumsum(delta[:-1]) > 0
+                # chars inside a window THIS doc keeps are protected —
+                # without this, an overlapping foreign-keeper run erodes
+                # the keeper's own copy and no intact copy survives
+                covered = _coverage(bad)
+                if len(own):
+                    covered &= ~_coverage(own)
                 out_text.append(codes[~covered].tobytes().decode("utf-32-le"))
                 removed[i] = int(covered.sum())
                 nwin[i] = len(bad)
@@ -4700,13 +4716,24 @@ def q_repetition_rules(sf_dir: str):
             starts = np.flatnonzero(new)
             cnt = np.diff(np.append(starts, len(d)))
             contrib = cnt * glen[starts]
+            # runs are grouped by doc (lexsort's primary key), so per-doc
+            # max/sum are contiguous-segment reduceats — not ufunc.at's
+            # per-element scalar dispatch
+            drun = d[starts]
             best = np.zeros(D, dtype=np.int64)
-            np.maximum.at(best, d[starts], contrib)
+            if len(drun):
+                doc_new = np.ones(len(drun), dtype=bool)
+                doc_new[1:] = drun[1:] != drun[:-1]
+                doc_starts = np.flatnonzero(doc_new)
+                best[drun[doc_starts]] = np.maximum.reduceat(contrib, doc_starts)
             milli[f"top{n}"] = best * 1000 // denom
             if n == 2:
                 inst = np.bincount(doc_idx[vpos], minlength=D).astype(np.int64)
                 dup = np.zeros(D, dtype=np.int64)
-                np.add.at(dup, d[starts[cnt >= 2]], cnt[cnt >= 2])
+                if len(drun):
+                    dup[drun[doc_starts]] = np.add.reduceat(
+                        np.where(cnt >= 2, cnt, 0), doc_starts
+                    )
                 milli["dup2"] = dup * 1000 // np.maximum(inst, 1)
         rules = {
             "top2": milli["top2"] <= REP_TOP2_MAX_MILLI,

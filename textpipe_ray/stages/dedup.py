@@ -1150,19 +1150,18 @@ def _check_index_meta(index_path: str, expect: dict) -> dict:
     return meta
 
 
-def _write_index_data(
+def compute_minhash_sigs(
     ds: "ray.data.Dataset",
-    path: str,
-    text_col: str,
-    id_col: str,
-    num_bands: int,
-    shingle_size: int | None,
-    num_buckets: int,
-) -> None:
-    """Compute (doc_id, sig) and exploded (doc_id, band, band_hash)
-    tables for ``ds`` and write them into the index's bucket-partitioned
-    layout — new parquet files land NEXT TO any existing ones in the
-    same hive dirs, which is exactly how the index grows per snapshot."""
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int | None = None,
+) -> "ray.data.Dataset":
+    """(doc_id, sig) MinHash signature table for a snapshot.  Shingle
+    sha1 dominates snapshot ingest cost, so the production loop computes
+    this ONCE per snapshot and passes it to BOTH
+    :func:`near_dup_against_index` (dedup) and
+    :func:`append_minhash_index` (ingest) via their ``sig_ds``
+    parameters — 'signatures are computed once per document ever'."""
     from textpipe_ray.functions.minhash import minhash_signature_shingles
 
     def sig_of(t: str) -> np.ndarray:
@@ -1177,15 +1176,71 @@ def _write_index_data(
             {
                 "doc_id": pa.array(ids, pa.int64()),
                 "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
-                "bucket": pa.array(
-                    ((ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)).astype(np.int32),
-                    pa.int32(),
-                ),
             }
         )
 
-    sig_ds = ds.map_batches(compute, batch_format="pyarrow").materialize()
-    sig_ds.write_parquet(f"{path}/sigs", partition_cols=["bucket"])
+    return ds.map_batches(compute, batch_format="pyarrow")
+
+
+def _index_gen_dirs(path: str, sub: str, generations: int) -> list[str]:
+    """Parquet files of the COMMITTED generations only — an uncommitted
+    generation dir (crashed append) is never listed.  read_parquet gets
+    explicit files because it does not expand directories in a list."""
+    import glob as _glob
+
+    files: list[str] = []
+    for g in range(1, generations + 1):
+        files.extend(
+            sorted(_glob.glob(f"{path}/{sub}/gen={g}/**/*.parquet", recursive=True))
+        )
+    return files
+
+
+def _write_meta_atomic(path: str, meta: dict) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(path, "_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "_meta.json"))
+
+
+def _write_index_data(
+    sig_ds: "ray.data.Dataset",
+    path: str,
+    gen: int,
+    num_bands: int,
+    num_buckets: int,
+) -> None:
+    """Write one GENERATION of the index from a materialized (doc_id,
+    sig) table: ``{path}/sigs/gen={g}`` and ``{path}/bands/gen={g}``,
+    bucket-partitioned inside the generation.  Any stale directory for
+    this generation (a crashed earlier attempt that never committed the
+    meta bump) is removed first, so retries are idempotent."""
+    import shutil
+
+    sdir = f"{path}/sigs/gen={gen}"
+    bdir = f"{path}/bands/gen={gen}"
+    for d in (sdir, bdir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return batch.append_column(
+            "bucket",
+            pa.array(
+                (
+                    (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                    % np.uint64(num_buckets)
+                ).astype(np.int32),
+                pa.int32(),
+            ),
+        )
+
+    sig_ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        sdir, partition_cols=["bucket"]
+    )
 
     def bands_of(batch: pa.Table) -> pa.Table:
         ids, hashes, band_idx = _explode_band_rows(batch, num_bands)
@@ -1202,78 +1257,91 @@ def _write_index_data(
         )
 
     sig_ds.map_batches(bands_of, batch_format="pyarrow").write_parquet(
-        f"{path}/bands", partition_cols=["bucket"]
+        bdir, partition_cols=["bucket"]
     )
 
 
 def write_minhash_index(
-    ds: "ray.data.Dataset",
+    ds: "ray.data.Dataset | None",
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_bands: int = 32,
     shingle_size: int | None = None,
     num_buckets: int = 32,
+    sig_ds: "ray.data.Dataset | None" = None,
 ) -> None:
     """Persist a MinHash-LSH index of a corpus as partitioned parquet:
-    ``{path}/sigs`` (doc_id, sig) and ``{path}/bands`` (doc_id, band,
-    band_hash), both hive-partitioned by a hash bucket so incremental
-    runs read/join them co-partitioned.  This is how a 100 TB pipeline
-    dedups each NEW crawl snapshot against everything already ingested
-    without recomputing the old corpus: signatures are computed once
-    per document ever, and the index grows via
+    ``{path}/sigs/gen={g}`` (doc_id, sig) and ``{path}/bands/gen={g}``
+    (doc_id, band, band_hash), bucket-partitioned within each
+    GENERATION (one generation per ingested snapshot).  This is how a
+    100 TB pipeline dedups each NEW crawl snapshot against everything
+    already ingested without recomputing the old corpus: signatures are
+    computed once per document ever (pass a shared ``sig_ds`` from
+    :func:`compute_minhash_sigs`), and the index grows via
     :func:`append_minhash_index` after each snapshot is deduped.
 
-    A ``_meta.json`` format marker is written LAST (it doubles as the
-    commit marker): it records the band-hash kernel id and the build
-    parameters so a reader with a different kernel fails loudly instead
-    of silently finding zero cross-snapshot buckets."""
-    import json
-    import os
-
+    ``_meta.json`` is the COMMIT MARKER, written atomically (temp +
+    rename) AFTER the generation's data: it records the band-hash
+    kernel id, the build parameters and the committed generation count,
+    so readers never see a torn write/append and a reader with a
+    different kernel fails loudly instead of silently finding zero
+    cross-snapshot buckets."""
     from textpipe_ray.functions.minhash import BAND_HASH_KERNEL
 
-    _write_index_data(ds, path, text_col, id_col, num_bands, shingle_size, num_buckets)
-    meta = {
-        "format_version": 1,
-        "band_hash_kernel": BAND_HASH_KERNEL,
-        "num_bands": num_bands,
-        "shingle_size": shingle_size,
-        "num_buckets": num_buckets,
-        "num_perm": DEFAULT_NUM_PERM,
-    }
-    with open(os.path.join(path, "_meta.json"), "w") as f:
-        json.dump(meta, f)
+    if sig_ds is None:
+        sig_ds = compute_minhash_sigs(ds, text_col, id_col, shingle_size)
+    sig_ds = sig_ds.materialize()
+    _write_index_data(sig_ds, path, 1, num_bands, num_buckets)
+    _write_meta_atomic(
+        path,
+        {
+            "format_version": 2,
+            "band_hash_kernel": BAND_HASH_KERNEL,
+            "num_bands": num_bands,
+            "shingle_size": shingle_size,
+            "num_buckets": num_buckets,
+            "num_perm": DEFAULT_NUM_PERM,
+            "generations": 1,
+        },
+    )
 
 
 def append_minhash_index(
-    ds: "ray.data.Dataset",
+    ds: "ray.data.Dataset | None",
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sig_ds: "ray.data.Dataset | None" = None,
 ) -> None:
     """Grow an existing MinHash index with a new snapshot's documents —
     the ingest step after :func:`near_dup_against_index` has deduped the
-    snapshot.  Build parameters come from the INDEX's own ``_meta.json``
-    (never from the caller), so every appended snapshot is banded
-    identically to the stored corpus; the new sig/band parquet files
-    land next to the existing ones in the same bucket partitions, and
-    the stored corpus is never recomputed.  Doc ids must stay disjoint
-    across snapshots (use a snapshot-id prefix in the high bits)."""
+    snapshot (pass the SAME ``sig_ds`` to both so signatures are
+    computed once).  Build parameters come from the INDEX's own
+    ``_meta.json`` (never from the caller), so every appended snapshot
+    is banded identically to the stored corpus; the snapshot writes a
+    fresh generation directory and the meta's generation count is
+    bumped atomically LAST — a crashed append leaves an uncommitted
+    generation that readers ignore and a retry overwrites.  Doc ids
+    must stay disjoint across snapshots (use a snapshot-id prefix in
+    the high bits)."""
     from textpipe_ray.functions.minhash import BAND_HASH_KERNEL
 
     meta = _check_index_meta(
-        path, {"band_hash_kernel": BAND_HASH_KERNEL, "format_version": 1}
-    )
-    _write_index_data(
-        ds,
         path,
-        text_col,
-        id_col,
-        int(meta["num_bands"]),
-        meta["shingle_size"],
-        int(meta["num_buckets"]),
+        {
+            "band_hash_kernel": BAND_HASH_KERNEL,
+            "format_version": 2,
+            "num_perm": DEFAULT_NUM_PERM,
+        },
     )
+    if sig_ds is None:
+        sig_ds = compute_minhash_sigs(ds, text_col, id_col, meta["shingle_size"])
+    sig_ds = sig_ds.materialize()
+    gen = int(meta["generations"]) + 1
+    _write_index_data(sig_ds, path, gen, int(meta["num_bands"]), int(meta["num_buckets"]))
+    meta["generations"] = gen
+    _write_meta_atomic(path, meta)
 
 
 _BLOOM_SALT = np.uint64(0x5851F42D4C957F2D)
@@ -1374,7 +1442,7 @@ def bloom_scan(
 
 
 def near_dup_against_index(
-    ds: "ray.data.Dataset",
+    ds: "ray.data.Dataset | None",
     index_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -1384,6 +1452,7 @@ def near_dup_against_index(
     num_parts: int = 32,
     verify_mode: str = "auto",
     broadcast_limit_bytes: int = 1 << 30,
+    sig_ds: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """Near-dup pairs between a NEW snapshot and a persisted corpus
     index (:func:`write_minhash_index`): the incremental path — only the
@@ -1398,40 +1467,29 @@ def near_dup_against_index(
     self-dedup concern, index-vs-index was settled when the index was
     built).  Verification joins candidates against the union of the new
     signatures and the stored signature table — the pair-side join, no
-    driver state."""
+    driver state.  Pass ``sig_ds`` (from :func:`compute_minhash_sigs`,
+    same ``shingle_size``) to reuse signatures the snapshot loop will
+    also hand to :func:`append_minhash_index`."""
     import ray.data as _rd
 
-    from textpipe_ray.functions.minhash import (
-        BAND_HASH_KERNEL,
-        minhash_signature_shingles,
-    )
+    from textpipe_ray.functions.minhash import BAND_HASH_KERNEL
     from textpipe_ray.stages.joins import attach_pair_sides
 
-    _check_index_meta(
+    meta = _check_index_meta(
         index_path,
         {
             "band_hash_kernel": BAND_HASH_KERNEL,
+            "format_version": 2,
             "num_bands": num_bands,
             "shingle_size": shingle_size,
+            "num_perm": DEFAULT_NUM_PERM,
         },
     )
+    generations = int(meta["generations"])
 
-    def sig_of(t: str) -> np.ndarray:
-        if shingle_size is None:
-            return minhash_signature(_tokenize(t))
-        return minhash_signature_shingles(t or "", shingle_size)
-
-    def compute_sigs(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(id_col), dtype=np.int64)
-        sigs = [sig_of(t) for t in batch.column(text_col).to_pylist()]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
-            }
-        )
-
-    new_sigs = ds.map_batches(compute_sigs, batch_format="pyarrow").materialize()
+    if sig_ds is None:
+        sig_ds = compute_minhash_sigs(ds, text_col, id_col, shingle_size)
+    new_sigs = sig_ds.materialize()
 
     def new_bands(batch: pa.Table) -> pa.Table:
         ids, hashes, band_idx = _explode_band_rows(batch, num_bands)
@@ -1464,7 +1522,8 @@ def near_dup_against_index(
         )
 
     idx_bands = _rd.read_parquet(
-        f"{index_path}/bands", columns=["doc_id", "band", "band_hash"]
+        _index_gen_dirs(index_path, "bands", generations),
+        columns=["doc_id", "band", "band_hash"],
     ).map_batches(tag_index_bands, batch_format="pyarrow")
 
     both = new_sigs.map_batches(new_bands, batch_format="pyarrow").union(idx_bands)
@@ -1503,7 +1562,9 @@ def near_dup_against_index(
 
     candidates = both.groupby("__part").map_groups(cross_pairs, batch_format="pandas")
 
-    idx_sigs = _rd.read_parquet(f"{index_path}/sigs", columns=["doc_id", "sig"])
+    idx_sigs = _rd.read_parquet(
+        _index_gen_dirs(index_path, "sigs", generations), columns=["doc_id", "sig"]
+    )
     all_sigs = new_sigs.union(idx_sigs)
 
     # the same verify strategy selection as near_dup_minhash: when the
