@@ -637,3 +637,71 @@ def test_incremental_index_append_atomicity(ray_session, tmp_path):
     assert len(inc2) == len(got2)  # no duplicated pairs from the stale attempt
     assert got < got2
     assert all((2_000 + 10 + i, 1_000 + i) in got2 for i in range(10))
+
+
+def test_bloom_save_load_merge_cross_run(ray_session, tmp_path):
+    """The cross-RUN Bloom loop: build over snapshot A, save; a later
+    run loads it, scans snapshot B (planted A-dups hit, fresh text has
+    no false negatives by construction), ORs B's keys in and saves
+    back; a third scan sees A∪B.  A kernel/geometry mismatch at load
+    must be refused."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    import ray
+    import ray.data
+
+    from textpipe_ray.stages.dedup import (
+        build_bloom,
+        bloom_scan,
+        load_bloom,
+        merge_blooms,
+        save_bloom,
+    )
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    texts = t.column("text").to_pylist()
+    a = pa.table({"doc_id": list(range(50)), "text": texts[:50]})
+    # B: 10 dups of A + 20 fresh
+    b = pa.table(
+        {"doc_id": [1000 + i for i in range(30)], "text": texts[:10] + texts[50:70]}
+    )
+    c = pa.table(
+        {"doc_id": [2000 + i for i in range(20)], "text": texts[5:15] + texts[90:100]}
+    )
+    M, K = 1 << 20, 6
+    path = str(tmp_path / "bloom.npz")
+
+    ref_a = build_bloom(ray.data.from_arrow(a), m_bits=M, k=K)
+    save_bloom(ref_a, path, M, K)
+
+    # next run: load, scan B
+    loaded = load_bloom(path, M, K)
+    hits = (
+        bloom_scan(ray.data.from_arrow(b), loaded, m_bits=M, k=K)
+        .to_pandas()
+        .set_index("doc_id")["bloom_hit"]
+    )
+    assert all(hits[1000 + i] for i in range(10))  # zero false negatives
+    assert sum(hits) <= 10 + 2  # FP-bounded on the fresh 20
+
+    # ingest B, save back, scan C against A∪B
+    merged = merge_blooms(loaded, build_bloom(ray.data.from_arrow(b), m_bits=M, k=K))
+    save_bloom(merged, path, M, K)
+    hits_c = (
+        bloom_scan(ray.data.from_arrow(c), load_bloom(path, M, K), m_bits=M, k=K)
+        .to_pandas()
+        .set_index("doc_id")["bloom_hit"]
+    )
+    # C's first 10 texts are A-or-B members (texts[5:15] ⊂ A)
+    assert all(hits_c[2000 + i] for i in range(10))
+
+    # geometry mismatch refused
+    with pytest.raises(ValueError, match="m_bits"):
+        load_bloom(path, M * 2, K)

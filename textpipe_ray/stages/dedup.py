@@ -1441,6 +1441,61 @@ def bloom_scan(
     return ds.map_batches(scan, batch_format="pyarrow")
 
 
+_BLOOM_HASH_KERNEL = "km-splitmix-v1"  # identifies _bloom_hashes; bump on change
+
+
+def save_bloom(bloom_ref, path: str, m_bits: int, k: int) -> None:
+    """Persist a built Bloom bitmap for cross-RUN reuse — the DCLM loop:
+    each crawl snapshot loads the accumulated filter, scans, ORs its own
+    keys in (:func:`merge_blooms`) and saves back.  Written atomically
+    (temp + rename); the embedded meta (hash kernel id + geometry) is
+    validated at load, because a changed kernel or m/k would make every
+    probe miss — silent zero hits instead of an error."""
+    import json
+    import os
+
+    bits = ray.get(bloom_ref)
+    meta = {"bloom_hash_kernel": _BLOOM_HASH_KERNEL, "m_bits": m_bits, "k": k}
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, bits=bits, meta=np.frombuffer(json.dumps(meta).encode(), np.uint8))
+    os.replace(tmp, path)
+
+
+def load_bloom(path: str, m_bits: int, k: int):
+    """Load a :func:`save_bloom` bitmap → ObjectRef for
+    :func:`bloom_scan`.  Refuses a kernel/geometry mismatch."""
+    import json
+
+    with np.load(path) as z:
+        bits = z["bits"]
+        meta = json.loads(bytes(z["meta"]).decode())
+    expect = {"bloom_hash_kernel": _BLOOM_HASH_KERNEL, "m_bits": m_bits, "k": k}
+    mismatches = {kk: (meta.get(kk), v) for kk, v in expect.items() if meta.get(kk) != v}
+    if mismatches:
+        raise ValueError(
+            f"Bloom filter at {path!r} is incompatible (stored vs requested): "
+            f"{mismatches}.  Rebuild it or pass matching parameters."
+        )
+    return ray.put(bits.astype(np.uint64))
+
+
+@ray.remote
+def _or_bloom_refs(*bitmaps: np.ndarray) -> np.ndarray:
+    acc = bitmaps[0].copy()
+    for b in bitmaps[1:]:
+        acc |= b
+    return acc
+
+
+def merge_blooms(*bloom_refs):
+    """OR several built filters into one (same geometry assumed) —
+    the snapshot-ingest step of the cross-run loop.  Refs pass straight
+    to the worker task (Ray dereferences them there); the driver never
+    holds a bitmap."""
+    return _or_bloom_refs.remote(*bloom_refs)
+
+
 def near_dup_against_index(
     ds: "ray.data.Dataset | None",
     index_path: str,
