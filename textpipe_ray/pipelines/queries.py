@@ -1500,6 +1500,7 @@ def q_embedding_neardup(sf_dir: str):
 
 SEMDEDUP_K = 16  # clusters; scales with the corpus (SemDeDup used ~10^5)
 SEMDEDUP_COS_Q = int(0.92 * 1e9)  # quantized within-cluster cosine threshold
+SEMDEDUP_CHUNK = 2048  # cosine-block edge: memory ≤ CHUNK² doubles per task
 
 
 def q_semdedup(sf_dir: str):
@@ -1516,9 +1517,11 @@ def q_semdedup(sf_dir: str):
     is the ``groupby(cell)``, which turns the O(n²) all-pairs
     comparison into K independent O((n/K)²) in-task jobs.  Partitioning
     assumption (documented SemDeDup failure mode): cluster sizes stay
-    ~n/K — K must scale with the corpus, and a skewed mega-cluster
-    needs recursive splitting or a per-cluster pair cap before the
-    quadratic verify.  Golden-oracle value-checked (k-means is not
+    ~n/K — K must scale with the corpus to bound the quadratic
+    within-cluster COMPUTE; a skewed mega-cluster is memory-safe
+    regardless (the greedy verify evaluates cosine in
+    ``SEMDEDUP_CHUNK``-square blocks against the kept set, never an
+    n×n matrix).  Golden-oracle value-checked (k-means is not
     SQL-expressible)."""
     import pandas as pd
 
@@ -1534,20 +1537,43 @@ def q_semdedup(sf_dir: str):
     cents = _kmeans(sample, SEMDEDUP_K, iters=8, seed=13)
 
     def dedup_cluster(group: pd.DataFrame) -> pa.Table:
+        # Greedy min-id keep with CHUNKED evaluation: cosine blocks are
+        # (CHUNK × CHUNK) matmuls against the already-kept rows, never a
+        # full n×n matrix — a skewed mega-cluster is memory-SAFE (the
+        # quadratic COMPUTE within a cluster is inherent to SemDeDup;
+        # K must still scale with the corpus to bound it).
+        CH = SEMDEDUP_CHUNK
         ids = group["vec_id"].to_numpy(dtype=np.int64)
         order = np.argsort(ids)
         ids = ids[order]
         mat = np.array(group["embedding"].tolist(), dtype=np.float64)[order]
         norms = np.sqrt((mat * mat).sum(axis=1))
         norms[norms == 0] = 1.0  # zero vectors: cosine 0 with everything
-        cos_q = np.floor((mat @ mat.T) / (norms[:, None] * norms[None, :]) * 1e9).astype(
-            np.int64
-        )
         n = len(ids)
-        keep = np.ones(n, dtype=bool)
-        for j in range(1, n):  # python loop bounded by CLUSTER size (~n/K)
-            if (cos_q[j, :j][keep[:j]] >= SEMDEDUP_COS_Q).any():
-                keep[j] = False
+        keep = np.zeros(n, dtype=bool)
+        kept: list[int] = []  # indices of kept rows, ascending id order
+        for c0 in range(0, n, CH):
+            c1 = min(c0 + CH, n)
+            chunk, cn = mat[c0:c1], norms[c0:c1]
+            blocked = np.zeros(c1 - c0, dtype=bool)
+            for k0 in range(0, len(kept), CH):
+                ks = kept[k0 : k0 + CH]
+                sims = (chunk @ mat[ks].T) / (cn[:, None] * norms[ks][None, :])
+                blocked |= (
+                    np.floor(sims * 1e9).astype(np.int64) >= SEMDEDUP_COS_Q
+                ).any(axis=1)
+            local: list[int] = []
+            for j in range(c1 - c0):  # python loop bounded by CHUNK size
+                if blocked[j]:
+                    continue
+                if local:
+                    s = (chunk[local] @ chunk[j]) / (cn[local] * cn[j])
+                    if (np.floor(s * 1e9).astype(np.int64) >= SEMDEDUP_COS_Q).any():
+                        continue
+                local.append(j)
+            for j in local:
+                keep[c0 + j] = True
+                kept.append(c0 + j)
         return pa.table(
             {
                 "vec_id": pa.array(ids, _I64),
