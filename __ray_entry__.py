@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pages_flagship": Q.q_pages_flagship,
         "q_repetition_rules": Q.q_repetition_rules,
         "q_substring_dedup": Q.q_substring_dedup,
+        "q_filter_pr_curve": Q.q_filter_pr_curve,
         "q_classifier_train": Q.q_classifier_train,
         "q_doc_vectors": Q.q_doc_vectors,
         "q_bloom_dedup": Q.q_bloom_dedup,

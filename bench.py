@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "q_classifier_train",
     "q_repetition_rules",
     "q_substring_dedup",
+    "q_filter_pr_curve",
 ]
 
 

@@ -31,7 +31,7 @@ def oracle_names():
     "q_lang_temperature", "q_json_extract", "q_shuffle_shards", "q_char_coverage",
     "q_span_dedup", "q_pii_stats", "q_trigram_lm", "q_collocations",
     "q_quality_percentile", "q_budget_mix", "q_normalized_dedup", "q_funnel",
-    "q_gopher_rules", "q_repetition_rules",
+    "q_gopher_rules", "q_repetition_rules", "q_filter_pr_curve",
     # golden-parquet oracles (scripts/make_goldens.py)
     "q_langid", "q_perplexity", "q_minhash", "q_simhash", "q_simhash_neardup",
     "q_ann_ivf", "q_embedding_neardup", "q_pages_flagship", "q_pages_neardup",

@@ -505,6 +505,26 @@ s AS (SELECT doc_id, CAST(floor(({score_sql_expr(_w)}) * 1e6) AS BIGINT) AS scor
 t AS (SELECT quantile_disc(score_micro, {_qnum / _qden}) AS thr FROM s)
 SELECT s.doc_id, s.score_micro FROM s, t WHERE s.score_micro >= t.thr ORDER BY doc_id"""
 
+    from textpipe_ray.pipelines.queries import (
+        PR_THR_MAX_MICRO,
+        PR_THR_MIN_MICRO,
+        PR_THR_STEP_MICRO,
+    )
+
+    out["q_filter_pr_curve"] = f"""
+WITH f AS (SELECT doc_id, {feats} FROM documents),
+r AS (SELECT *, {ratios} FROM f),
+s AS (SELECT CAST(floor(({score_sql_expr(_w)}) * 1e6) AS BIGINT) AS sm,
+             {keep_expr(t)} AS keep FROM r),
+g AS (SELECT range AS thr_micro
+      FROM range({PR_THR_MIN_MICRO}, {PR_THR_MAX_MICRO}, {PR_THR_STEP_MICRO}))
+SELECT g.thr_micro,
+  CAST(sum(CASE WHEN s.sm >= g.thr_micro AND s.keep THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CAST(sum(CASE WHEN s.sm >= g.thr_micro AND NOT s.keep THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+  CAST(sum(CASE WHEN s.sm < g.thr_micro AND s.keep THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+  CAST(sum(CASE WHEN s.sm < g.thr_micro AND NOT s.keep THEN 1 ELSE 0 END) AS BIGINT) AS tn
+FROM s CROSS JOIN g GROUP BY g.thr_micro ORDER BY g.thr_micro"""
+
     out["q_dup_stats"] = """
 SELECT source,
        CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,

@@ -2273,6 +2273,61 @@ def q_quality_score(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+# fixed micro-score threshold grid for the classifier PR sweep
+PR_THR_MIN_MICRO = -2_000_000
+PR_THR_MAX_MICRO = 2_000_001
+PR_THR_STEP_MICRO = 250_000
+
+
+def q_filter_pr_curve(sf_dir: str):
+    """Threshold-sweep confusion table for the learned quality
+    classifier against the rule-set teacher labels — the calibration
+    operator that picks the production keep-threshold (FineWeb / DCLM
+    tune their classifier cut exactly this way).  For every threshold
+    on a fixed micro grid: tp/fp/fn/tn of ``score_micro >= thr`` vs the
+    rule ``keep``.
+
+    Scale shape: row-local scoring (the ``q_quality_score`` kernel) +
+    one vectorized (T × batch) confusion partial per batch — the
+    exchange moves n_thresholds × blocks int rows, never documents;
+    one tiny groupby sum finishes.  Counts stay int64 so the DuckDB
+    oracle is bit-exact; precision/recall floats are consumer-side."""
+    from textpipe_ray.functions.quality_score import load_weights, score_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    weights = load_weights()
+    thrs = np.arange(
+        PR_THR_MIN_MICRO, PR_THR_MAX_MICRO, PR_THR_STEP_MICRO, dtype=np.int64
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = quality_batch(batch, text_col="text")
+        score = np.asarray(score_batch(b, weights), dtype=np.float64)
+        sm = np.floor(score * 1e6).astype(np.int64)
+        y = np.asarray(b.column("keep"), dtype=bool)
+        pred = sm[None, :] >= thrs[:, None]  # (T, n)
+        return pa.table(
+            {
+                "thr_micro": pa.array(thrs, _I64),
+                "tp": pa.array((pred & y[None, :]).sum(axis=1).astype(np.int64), _I64),
+                "fp": pa.array((pred & ~y[None, :]).sum(axis=1).astype(np.int64), _I64),
+                "fn": pa.array((~pred & y[None, :]).sum(axis=1).astype(np.int64), _I64),
+                "tn": pa.array((~pred & ~y[None, :]).sum(axis=1).astype(np.int64), _I64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("thr_micro")
+        .aggregate(
+            Sum("tp", alias_name="tp"),
+            Sum("fp", alias_name="fp"),
+            Sum("fn", alias_name="fn"),
+            Sum("tn", alias_name="tn"),
+        )
+    )
+
+
 def q_dup_stats(sf_dir: str):
     """Per-source duplication profile (corpus-health dashboard query):
     exact distinct-content counts via two pre-reduced exchanges —
