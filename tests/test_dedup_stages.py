@@ -705,3 +705,63 @@ def test_bloom_save_load_merge_cross_run(ray_session, tmp_path):
     # geometry mismatch refused
     with pytest.raises(ValueError, match="m_bits"):
         load_bloom(path, M * 2, K)
+
+
+def test_incremental_index_compaction(ray_session, tmp_path):
+    """compact_minhash_index merges all generations into one (from the
+    stored signatures — no re-shingling) with IDENTICAL query results,
+    retires the old directories, and the index keeps accepting appends
+    afterwards."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from textpipe_ray.stages.dedup import (
+        append_minhash_index,
+        compact_minhash_index,
+        near_dup_against_index,
+        write_minhash_index,
+    )
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    texts = t.column("text").to_pylist()
+    a = pa.table({"doc_id": list(range(80)), "text": texts[:80]})
+    b = pa.table({"doc_id": [1000 + i for i in range(40)], "text": texts[80:120]})
+    c = pa.table(
+        {"doc_id": [2000 + i for i in range(20)], "text": texts[:10] + texts[80:90]}
+    )
+    d = pa.table({"doc_id": [3000 + i for i in range(10)], "text": texts[120:130]})
+    kw = dict(num_bands=16, threshold=0.7, shingle_size=5)
+    idx = str(tmp_path / "idx")
+
+    write_minhash_index(ray.data.from_arrow(a), idx, num_bands=16, shingle_size=5)
+    append_minhash_index(ray.data.from_arrow(b), idx)
+    before = near_dup_against_index(ray.data.from_arrow(c), idx, **kw).to_pandas()
+    pairs_before = {(x, y) for x, y in zip(before["new_id"], before["index_id"])}
+
+    compact_minhash_index(idx)
+    meta = json.loads(open(os.path.join(idx, "_meta.json")).read())
+    assert meta["gens"] == [3]
+    assert not os.path.exists(f"{idx}/sigs/gen=1") and not os.path.exists(
+        f"{idx}/bands/gen=2"
+    )
+    after = near_dup_against_index(ray.data.from_arrow(c), idx, **kw).to_pandas()
+    pairs_after = {(x, y) for x, y in zip(after["new_id"], after["index_id"])}
+    assert pairs_before == pairs_after and len(pairs_after) >= 20
+
+    # appends keep working post-compaction
+    append_minhash_index(ray.data.from_arrow(d), idx)
+    meta = json.loads(open(os.path.join(idx, "_meta.json")).read())
+    assert meta["gens"] == [3, 4]
+
+    # compacting a single-generation index is a no-op
+    compact_minhash_index(idx)
+    compact_minhash_index(idx)
+    meta2 = json.loads(open(os.path.join(idx, "_meta.json")).read())
+    assert len(meta2["gens"]) == 1

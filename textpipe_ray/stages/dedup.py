@@ -1182,14 +1182,25 @@ def compute_minhash_sigs(
     return ds.map_batches(compute, batch_format="pyarrow")
 
 
-def _index_gen_dirs(path: str, sub: str, generations: int) -> list[str]:
+def _committed_gens(meta: dict) -> list[int]:
+    """Committed generation ids.  ``gens`` is the explicit list
+    (compaction retires ids, so it need not be contiguous); the older
+    ``generations`` count form is accepted for indexes written before
+    compaction existed."""
+    if "gens" in meta:
+        return [int(g) for g in meta["gens"]]
+    return list(range(1, int(meta["generations"]) + 1))
+
+
+def _index_gen_dirs(path: str, sub: str, gens: list[int]) -> list[str]:
     """Parquet files of the COMMITTED generations only — an uncommitted
-    generation dir (crashed append) is never listed.  read_parquet gets
-    explicit files because it does not expand directories in a list."""
+    generation dir (crashed append/compaction) is never listed.
+    read_parquet gets explicit files because it does not expand
+    directories in a list."""
     import glob as _glob
 
     files: list[str] = []
-    for g in range(1, generations + 1):
+    for g in gens:
         files.extend(
             sorted(_glob.glob(f"{path}/{sub}/gen={g}/**/*.parquet", recursive=True))
         )
@@ -1302,7 +1313,7 @@ def write_minhash_index(
             "shingle_size": shingle_size,
             "num_buckets": num_buckets,
             "num_perm": DEFAULT_NUM_PERM,
-            "generations": 1,
+            "gens": [1],
         },
     )
 
@@ -1338,10 +1349,53 @@ def append_minhash_index(
     if sig_ds is None:
         sig_ds = compute_minhash_sigs(ds, text_col, id_col, meta["shingle_size"])
     sig_ds = sig_ds.materialize()
-    gen = int(meta["generations"]) + 1
+    gens = _committed_gens(meta)
+    gen = max(gens) + 1
     _write_index_data(sig_ds, path, gen, int(meta["num_bands"]), int(meta["num_buckets"]))
-    meta["generations"] = gen
+    meta.pop("generations", None)
+    meta["gens"] = gens + [gen]
     _write_meta_atomic(path, meta)
+
+
+def compact_minhash_index(path: str) -> None:
+    """Merge every committed generation into ONE and retire the old
+    directories — the small-files lifecycle step after many snapshot
+    appends (read fan-in grows by O(num_buckets) files per append;
+    compaction restores a single generation's worth).  Crash-safe like
+    append: the merged generation is written from the stored signature
+    table (no text, no re-shingling), the atomic meta swap commits it,
+    and only then are retired directories deleted (best-effort —
+    readers never list them either way)."""
+    import shutil
+
+    import ray.data as _rd
+
+    from textpipe_ray.functions.minhash import BAND_HASH_KERNEL
+
+    meta = _check_index_meta(
+        path,
+        {
+            "band_hash_kernel": BAND_HASH_KERNEL,
+            "format_version": 2,
+            "num_perm": DEFAULT_NUM_PERM,
+        },
+    )
+    gens = _committed_gens(meta)
+    if len(gens) <= 1:
+        return
+    sig_ds = _rd.read_parquet(
+        _index_gen_dirs(path, "sigs", gens), columns=["doc_id", "sig"]
+    ).materialize()
+    new_gen = max(gens) + 1
+    _write_index_data(
+        sig_ds, path, new_gen, int(meta["num_bands"]), int(meta["num_buckets"])
+    )
+    meta.pop("generations", None)
+    meta["gens"] = [new_gen]
+    _write_meta_atomic(path, meta)
+    for sub in ("sigs", "bands"):
+        for g in gens:
+            shutil.rmtree(f"{path}/{sub}/gen={g}", ignore_errors=True)
 
 
 _BLOOM_SALT = np.uint64(0x5851F42D4C957F2D)
@@ -1540,7 +1594,7 @@ def near_dup_against_index(
             "num_perm": DEFAULT_NUM_PERM,
         },
     )
-    generations = int(meta["generations"])
+    gens = _committed_gens(meta)
 
     if sig_ds is None:
         sig_ds = compute_minhash_sigs(ds, text_col, id_col, shingle_size)
@@ -1577,7 +1631,7 @@ def near_dup_against_index(
         )
 
     idx_bands = _rd.read_parquet(
-        _index_gen_dirs(index_path, "bands", generations),
+        _index_gen_dirs(index_path, "bands", gens),
         columns=["doc_id", "band", "band_hash"],
     ).map_batches(tag_index_bands, batch_format="pyarrow")
 
@@ -1618,7 +1672,7 @@ def near_dup_against_index(
     candidates = both.groupby("__part").map_groups(cross_pairs, batch_format="pandas")
 
     idx_sigs = _rd.read_parquet(
-        _index_gen_dirs(index_path, "sigs", generations), columns=["doc_id", "sig"]
+        _index_gen_dirs(index_path, "sigs", gens), columns=["doc_id", "sig"]
     )
     all_sigs = new_sigs.union(idx_sigs)
 
