@@ -765,3 +765,35 @@ def test_incremental_index_compaction(ray_session, tmp_path):
     compact_minhash_index(idx)
     meta2 = json.loads(open(os.path.join(idx, "_meta.json")).read())
     assert len(meta2["gens"]) == 1
+
+
+def test_bloom_geometry_validated_everywhere(ray_session):
+    """Every consumer of a built filter must refuse a geometry mismatch
+    -- an OR of same-shape bitmaps built under different k would
+    succeed silently and then produce FALSE NEGATIVES at scan (probes
+    of positions the builder never set), breaking the filter's one
+    guarantee."""
+    import pyarrow as pa
+    import pytest
+
+    import ray
+    import ray.data
+
+    from textpipe_ray.stages.dedup import bloom_scan, build_bloom, merge_blooms
+
+    t = pa.table({"doc_id": [1, 2], "text": ["aa", "bb"]})
+    M = 1 << 16
+    ref_k6 = build_bloom(ray.data.from_arrow(t), m_bits=M, k=6)
+    ref_k4 = build_bloom(ray.data.from_arrow(t), m_bits=M, k=4)
+
+    # same m_bits, different k: merge task must raise
+    with pytest.raises(Exception, match="incompatible"):
+        ray.get(merge_blooms(ref_k6, ref_k4))
+    # matching geometries merge fine and scan validates too
+    merged = merge_blooms(ref_k6, build_bloom(ray.data.from_arrow(t), m_bits=M, k=6))
+    ok = bloom_scan(ray.data.from_arrow(t), merged, m_bits=M, k=6).take_all()
+    assert all(r["bloom_hit"] for r in ok)
+    with pytest.raises(Exception, match="incompatible"):
+        bloom_scan(ray.data.from_arrow(t), merged, m_bits=M, k=4).take_all()
+    with pytest.raises(ValueError, match="at least one"):
+        merge_blooms()

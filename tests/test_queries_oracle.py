@@ -229,3 +229,38 @@ def test_pca_batching_independent(ray_session):
     finally:
         Q._read = orig_read
     assert base.equals(alt)
+
+
+def test_repetition_rules_null_text(ray_session, tmp_path):
+    """A NULL text row must not poison the vectorized gram kernel (a
+    raw int64 cast of the null list length yields INT64_MIN and blows
+    up np.repeat): the doc contributes zero words -> all-zero millis,
+    keep=true, matching the oracle's coalesce/greatest math -- checked
+    by running BOTH engines over a table with a planted NULL."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textpipe_ray.pipelines.compare import compare, run_oracle
+
+    sf = str(tmp_path / "sf_null")
+    os.makedirs(sf)
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings".split()
+    ):
+        os.symlink(f"{SF}/{t}.parquet", f"{sf}/{t}.parquet")
+    base = pq.read_table(f"{SF}/documents.parquet")
+    texts = base.column("text").to_pylist()
+    texts[3] = None
+    texts[7] = ""
+    i = base.column_names.index("text")
+    pq.write_table(
+        base.set_column(i, "text", pa.array(texts, base.column("text").type)),
+        f"{sf}/documents.parquet",
+    )
+
+    m = _entry()
+    res = m.queries()["q_repetition_rules"](sf)
+    c = compare(res, run_oracle(sf, m.oracle_sql()["q_repetition_rules"]))
+    assert c["rows_match"] and c["cols_match"] and c["values_match"], c

@@ -95,3 +95,21 @@ def test_rolling_window_hash_matches_naive_and_position_independent():
     # and different content differs
     h3 = window_hash64_at(c2, np.array([1]), 12)
     assert h3[0] != h2[0]
+
+
+def test_hash64_mixed_chunked_equals_unchunked():
+    """Byte-bounded slicing is an internal detail: output must be
+    bit-identical to the one-shot hash for any max_bytes, including
+    bounds smaller than a single string (one-row slices) and slice
+    boundaries landing mid-array; nulls hash as empty."""
+    from textpipe_ray.functions.strhash import hash64_mixed, hash64_mixed_chunked
+
+    vals = ["alpha", None, "", "b" * 300, "mid", "ünïcode ☃" * 40, "z", "q" * 7]
+    arr = pa.array(vals, pa.string())
+    exp = list(hash64_mixed(arr))
+    for max_bytes in (1, 8, 64, 301, 1 << 20):
+        assert list(hash64_mixed_chunked(arr, max_bytes=max_bytes)) == exp
+    # chunked array + empty input
+    ch = pa.chunked_array([pa.array(vals[:3], pa.string()), pa.array(vals[3:], pa.string())])
+    assert list(hash64_mixed_chunked(ch, max_bytes=16)) == exp
+    assert len(hash64_mixed_chunked(pa.array([], pa.string()))) == 0

@@ -135,6 +135,44 @@ def hash64_mixed(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return avalanche(hash64(arr))
 
 
+_CHUNK_HASH_BYTES = 4 << 20
+
+
+def hash64_mixed_chunked(
+    arr: pa.Array | pa.ChunkedArray, max_bytes: int = _CHUNK_HASH_BYTES
+) -> np.ndarray:
+    """:func:`hash64_mixed` computed over byte-bounded zero-copy slices
+    of the column — bit-identical output, bounded temporaries.
+
+    :func:`hash64` materializes ~32 bytes of int64/uint64 temporaries
+    per input BYTE; on a full-document text column a 128 MB batch would
+    transiently allocate ~4 GB inside one map task.  Slicing the Arrow
+    array (zero-copy) so each slice holds ≤ ``max_bytes`` of string
+    data caps the transient at ~32·max_bytes (default 4 MiB → ≤
+    ~128 MB) regardless of batch or document size.  Use this form for
+    document-text columns; the plain functions stay on short-string
+    columns (urls, tokens, chunk keys) where slicing is overhead."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    nbytes = np.asarray(pc.fill_null(pc.binary_length(arr), 0), dtype=np.int64)
+    cum = np.cumsum(nbytes)
+    if int(cum[-1]) <= max_bytes:
+        return hash64_mixed(arr)
+    out = np.empty(n, dtype=np.uint64)
+    lo = 0
+    while lo < n:
+        base = int(cum[lo - 1]) if lo else 0
+        # furthest hi with ≤ max_bytes of data in [lo, hi); always ≥
+        # lo+1 so a single oversized document still makes progress
+        hi = max(int(np.searchsorted(cum, base + max_bytes, side="right")), lo + 1)
+        out[lo:hi] = hash64_mixed(arr.slice(lo, hi - lo))
+        lo = hi
+    return out
+
+
 _RW_BASE = np.uint64(0x100000001B5)  # odd → invertible mod 2^64
 _RW_BASE_INV = np.uint64(pow(0x100000001B5, -1, 1 << 64))
 

@@ -4765,7 +4765,12 @@ def q_repetition_rules(sf_dir: str):
         wl = pc.split_pattern(text, " ")
         flat = pc.list_flatten(wl).combine_chunks()
         lens = np.asarray(pc.utf8_length(flat), dtype=np.int64)
-        counts = np.asarray(pc.list_value_length(wl), dtype=np.int64)
+        # NULL text → null list: list_flatten DROPS null lists, so a
+        # fill_null(0) length keeps doc_idx aligned with flat (a raw
+        # int64 cast of the null length would yield INT64_MIN and blow
+        # up np.repeat); the doc then has zero words → all-zero millis
+        # and keep=true, matching the oracle's coalesce(...,0) math
+        counts = np.asarray(pc.fill_null(pc.list_value_length(wl), 0), dtype=np.int64)
         off = np.zeros(D + 1, dtype=np.int64)
         np.cumsum(counts, out=off[1:])
         doc_idx = np.repeat(np.arange(D, dtype=np.int64), counts)
@@ -4935,10 +4940,14 @@ def q_incremental_dedup(sf_dir: str, index_path: str | None = None):
     bucket-partitioned band join only.
 
     ``index_path`` is where the persisted index lives.  On a multi-node
-    cluster this MUST be shared storage (NFS mount or an object-store
-    URI — ``write_parquet``/``read_parquet`` accept either): index
-    shards are written by tasks on every node, and a node-local path
-    would leave each node holding only its own shards.  When omitted
+    cluster this MUST be a SHARED FILESYSTEM mount (NFS/Lustre/gcsfuse):
+    index shards are written by tasks on every node, and a node-local
+    path would leave each node holding only its own shards.  Raw
+    object-store URIs are NOT supported — the generational commit
+    protocol needs POSIX semantics (atomic ``os.replace`` for the meta
+    marker, ``glob`` for generation listing, ``rmtree`` for stale-dir
+    cleanup); mount the bucket instead of passing ``s3://``.  When
+    omitted
     (the single-node test/driver path) a temp dir under ``/tmp`` is
     used and removed after the result materializes."""
     import shutil as _sh

@@ -27,7 +27,6 @@ import ray.data
 from textpipe_ray.functions.minhash import (
     DEFAULT_NUM_PERM,
     jaccard,
-    lsh_band_hashes,
     minhash_signature,
     simhash64,
 )
@@ -1297,7 +1296,13 @@ def write_minhash_index(
     kernel id, the build parameters and the committed generation count,
     so readers never see a torn write/append and a reader with a
     different kernel fails loudly instead of silently finding zero
-    cross-snapshot buckets."""
+    cross-snapshot buckets.
+
+    ``path`` must be a POSIX filesystem visible to every node (local
+    disk single-node, NFS/Lustre/gcsfuse on a cluster).  Raw
+    object-store URIs are NOT supported: the commit protocol relies on
+    atomic ``os.replace``, ``glob`` generation listing and ``rmtree``
+    stale-dir cleanup — mount the bucket instead of passing ``s3://``."""
     from textpipe_ray.functions.minhash import BAND_HASH_KERNEL
 
     if sig_ds is None:
@@ -1406,9 +1411,12 @@ def _bloom_hashes(texts: pa.Array, m_bits: int, k: int) -> np.ndarray:
     avalanched 64-bit content hash: idx_i = (h1 + i·h2) mod m.  h2 is
     forced odd so it is coprime with the power-of-two m (every probe
     sequence walks the whole table)."""
-    from textpipe_ray.functions.strhash import avalanche, hash64_mixed
+    from textpipe_ray.functions.strhash import avalanche, hash64_mixed_chunked
 
-    h1 = hash64_mixed(texts)
+    # chunked: the inputs here are FULL DOCUMENT TEXTS, and hash64's
+    # vectorization costs ~32 B of temporaries per input byte — the
+    # byte-bounded slices keep each map task's transient ≤ ~128 MB
+    h1 = hash64_mixed_chunked(texts)
     with np.errstate(over="ignore"):
         h2 = avalanche(h1 ^ _BLOOM_SALT) | np.uint64(1)
         steps = np.arange(k, dtype=np.uint64)
@@ -1417,16 +1425,40 @@ def _bloom_hashes(texts: pa.Array, m_bits: int, k: int) -> np.ndarray:
 
 
 @ray.remote
-def _or_bloom_blocks(words_len: int, *blocks: pa.Table) -> np.ndarray:
+def _or_bloom_blocks(meta: dict, *blocks: pa.Table) -> dict:
     """OR-fold per-batch bitmap partials INSIDE a worker task; the
-    driver only holds the ObjectRef, scan tasks read it zero-copy."""
+    driver only holds the ObjectRef, scan tasks read it zero-copy.
+    The filter travels WITH its geometry meta (kernel id, m_bits, k) so
+    every consumer can refuse a mismatched filter instead of silently
+    probing wrong positions."""
+    words_len = meta["m_bits"] // 64
     acc = np.zeros(words_len, dtype=np.uint64)
     for b in blocks:
         if len(b) == 0 or "bits" not in b.column_names:
             continue
         flat = np.asarray(b.column("bits").combine_chunks().flatten(), dtype=np.uint64)
         acc |= np.bitwise_or.reduce(flat.reshape(len(b), words_len), axis=0)
-    return acc
+    return {"bits": acc, **meta}
+
+
+def _bloom_meta(m_bits: int, k: int) -> dict:
+    return {"bloom_hash_kernel": _BLOOM_HASH_KERNEL, "m_bits": m_bits, "k": k}
+
+
+def _check_bloom(filt: dict, m_bits: int, k: int, where: str) -> np.ndarray:
+    """Validate a dereferenced filter's meta against the caller's
+    expected geometry → the bitmap.  A k or kernel mismatch would not
+    crash anything downstream — it would silently produce FALSE
+    NEGATIVES (probes of positions the builder never set), breaking the
+    filter's one guarantee — so every consumer checks."""
+    expect = _bloom_meta(m_bits, k)
+    mismatches = {kk: (filt.get(kk), v) for kk, v in expect.items() if filt.get(kk) != v}
+    if mismatches:
+        raise ValueError(
+            f"Bloom filter passed to {where} is incompatible "
+            f"(stored vs requested): {mismatches}."
+        )
+    return filt["bits"]
 
 
 def build_bloom(
@@ -1455,7 +1487,7 @@ def build_bloom(
         return pa.table({"bits": pa.array([bits.tolist()], pa.list_(pa.uint64()))})
 
     refs = ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
-    return _or_bloom_blocks.remote(words_len, *refs)
+    return _or_bloom_blocks.remote(_bloom_meta(m_bits, k), *refs)
 
 
 def bloom_scan(
@@ -1476,7 +1508,7 @@ def bloom_scan(
     def scan(batch: pa.Table) -> pa.Table:
         import ray as _ray
 
-        bits = _ray.get(bloom_ref)
+        bits = _check_bloom(_ray.get(bloom_ref), m_bits, k, "bloom_scan")
         if len(batch) == 0:
             return pa.table(
                 {id_col: pa.array([], pa.int64()), "bloom_hit": pa.array([], pa.bool_())}
@@ -1508,8 +1540,8 @@ def save_bloom(bloom_ref, path: str, m_bits: int, k: int) -> None:
     import json
     import os
 
-    bits = ray.get(bloom_ref)
-    meta = {"bloom_hash_kernel": _BLOOM_HASH_KERNEL, "m_bits": m_bits, "k": k}
+    bits = _check_bloom(ray.get(bloom_ref), m_bits, k, "save_bloom")
+    meta = _bloom_meta(m_bits, k)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, bits=bits, meta=np.frombuffer(json.dumps(meta).encode(), np.uint8))
@@ -1524,29 +1556,44 @@ def load_bloom(path: str, m_bits: int, k: int):
     with np.load(path) as z:
         bits = z["bits"]
         meta = json.loads(bytes(z["meta"]).decode())
-    expect = {"bloom_hash_kernel": _BLOOM_HASH_KERNEL, "m_bits": m_bits, "k": k}
+    expect = _bloom_meta(m_bits, k)
     mismatches = {kk: (meta.get(kk), v) for kk, v in expect.items() if meta.get(kk) != v}
     if mismatches:
         raise ValueError(
             f"Bloom filter at {path!r} is incompatible (stored vs requested): "
             f"{mismatches}.  Rebuild it or pass matching parameters."
         )
-    return ray.put(bits.astype(np.uint64))
+    return ray.put({"bits": bits.astype(np.uint64), **expect})
 
 
 @ray.remote
-def _or_bloom_refs(*bitmaps: np.ndarray) -> np.ndarray:
-    acc = bitmaps[0].copy()
-    for b in bitmaps[1:]:
-        acc |= b
-    return acc
+def _or_bloom_refs(*filters: dict) -> dict:
+    if not filters:
+        raise ValueError("merge_blooms needs at least one filter")
+    meta0 = {kk: v for kk, v in filters[0].items() if kk != "bits"}
+    acc = filters[0]["bits"].copy()
+    for f in filters[1:]:
+        meta = {kk: v for kk, v in f.items() if kk != "bits"}
+        if meta != meta0:
+            # an OR of mixed-k/kernel filters would still have the
+            # right SHAPE but keys from the odd filter would set fewer
+            # probe positions than scans test → silent false negatives
+            raise ValueError(
+                f"merge_blooms: incompatible filter geometries {meta0} vs {meta}"
+            )
+        acc |= f["bits"]
+    return {"bits": acc, **meta0}
 
 
 def merge_blooms(*bloom_refs):
-    """OR several built filters into one (same geometry assumed) —
-    the snapshot-ingest step of the cross-run loop.  Refs pass straight
-    to the worker task (Ray dereferences them there); the driver never
-    holds a bitmap."""
+    """OR several built filters into one — the snapshot-ingest step of
+    the cross-run loop.  Every filter carries its (kernel, m_bits, k)
+    meta; the merge task REFUSES mixed geometries (same-shape bitmaps
+    built under a different k would OR cleanly and then produce silent
+    false negatives at scan).  Refs pass straight to the worker task
+    (Ray dereferences them there); the driver never holds a bitmap."""
+    if not bloom_refs:
+        raise ValueError("merge_blooms needs at least one filter")
     return _or_bloom_refs.remote(*bloom_refs)
 
 
