@@ -61,6 +61,8 @@ GOLDEN_QUERIES = [
     "q_semdedup",
     "q_classifier_train",
     "q_substring_dedup",
+    "q_snapshot_loop",
+    "q_ann_ivf_layout",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

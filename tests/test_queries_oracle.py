@@ -40,7 +40,8 @@ def oracle_names():
     "q_url_filter", "q_media_phash_dedup", "q_url_dedup", "q_corpus_release",
     "q_dsir", "q_embedding_pca", "q_video_dedup", "q_audio_dedup",
     "q_para_ppl", "q_incremental_dedup", "q_distinct_sketch", "q_doc_vectors", "q_bloom_dedup", "q_bpe_train", "q_semdedup",
-    "q_classifier_train", "q_substring_dedup",
+    "q_classifier_train", "q_substring_dedup", "q_snapshot_loop",
+    "q_ann_ivf_layout",
 ])
 def test_query_matches_oracle(ray_session, name):
     from textpipe_ray.pipelines.compare import compare, run_oracle
@@ -264,3 +265,23 @@ def test_repetition_rules_null_text(ray_session, tmp_path):
     res = m.queries()["q_repetition_rules"](sf)
     c = compare(res, run_oracle(sf, m.oracle_sql()["q_repetition_rules"]))
     assert c["rows_match"] and c["cols_match"] and c["values_match"], c
+
+
+def test_snapshot_loop_append_is_live(ray_session):
+    """q_snapshot_loop's snapshot-2 pass must find pairs against BOTH
+    the bootstrap generation (parity-0 docs) and the generation
+    APPENDED for snapshot 1 (parity-1 docs) -- proving
+    append_minhash_index actually extends what later snapshots dedup
+    against, not just the golden bytes."""
+    from textpipe_ray.pipelines.queries import q_snapshot_loop
+
+    df = q_snapshot_loop(SF).to_pandas()
+    assert (df["snapshot"] == 1).any() and (df["snapshot"] == 2).any()
+    s2 = df[df["snapshot"] == 2]
+    parities = set((s2["index_id"] % 3).tolist())
+    assert parities == {0, 1}, parities
+    # pair ids honor the split: new side is always this snapshot's parity
+    assert ((df["new_id"] % 3) == df["snapshot"]).all()
+    # bloom candidate counts are live values (planted prefix dups exist)
+    assert df[df["snapshot"] == 1]["snap_bloom_hits"].iloc[0] > 0
+    assert df[df["snapshot"] == 2]["snap_bloom_hits"].iloc[0] > 0

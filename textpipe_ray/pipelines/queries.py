@@ -5471,3 +5471,198 @@ def q_classifier_train(sf_dir: str):
         )
 
     return feats.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Cross-run snapshot ingest loop: the production lifecycle of the
+# persisted dedup state (MinHash index generations + Bloom filter)
+# across successive crawl snapshots, end-to-end in one driver query.
+# ---------------------------------------------------------------------------
+
+
+def q_snapshot_loop(sf_dir: str, work_dir: str | None = None):
+    """The full cross-RUN ingest loop a production crawl takes: snapshot
+    0 bootstraps the persisted state (MinHash-LSH index generation 1 +
+    Bloom filter saved to disk); each later snapshot then (a) LOADS the
+    Bloom filter and scans row-locally for exact-dup candidates, (b)
+    near-dups against the stored index (only the new snapshot is
+    shingled), (c) APPENDS its signatures as a new index generation —
+    band parameters come from the index's own meta — and (d) ORs its
+    keys into the filter and saves it back; after the last snapshot the
+    generations are COMPACTED into one.  Signatures are computed ONCE
+    per snapshot (:func:`compute_minhash_sigs`) and shared by the dedup
+    read and the ingest write.
+
+    This gives the state-lifecycle machinery (``append_minhash_index``,
+    ``compact_minhash_index``, ``save_bloom``/``load_bloom``/
+    ``merge_blooms``) a driver-checked row instead of pytest-only
+    coverage.  Snapshots are ``doc_id % 3`` thirds of ``documents``;
+    every exchanged/checked value is integer (jaccard_x128 = signature
+    agreement k of 128), so the output is golden-stable.
+
+    Output: one row per cross-snapshot near-dup pair ``(snapshot,
+    new_id, index_id, jaccard_x128, snap_bloom_hits)`` —
+    ``snap_bloom_hits`` (constant within a snapshot) is the snapshot's
+    Bloom candidate count, tying the scan path into the value check.
+    The filter keys on the 40-char text-prefix fingerprint (the
+    ``q_fingerprint`` dedup key) rather than the full text: the
+    documents table has zero byte-exact duplicates, so a full-text
+    filter would report a vacuous constant 0 — the prefix key has real
+    cross-snapshot membership at every test scale, making the count a
+    live regression signal.  ``work_dir`` must be a shared filesystem
+    on a cluster; omitted → temp dir, removed after materialize."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from textpipe_ray.stages.dedup import (
+        append_minhash_index,
+        bloom_scan,
+        build_bloom,
+        compact_minhash_index,
+        compute_minhash_sigs,
+        load_bloom,
+        merge_blooms,
+        near_dup_against_index,
+        save_bloom,
+        write_minhash_index,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def third(r: int):
+        def f(batch: pa.Table) -> pa.Table:
+            d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            return batch.filter(pa.array(d % 3 == r))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    def with_key(snap_ds):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "key",
+                pc.utf8_slice_codeunits(
+                    pc.fill_null(pc.cast(batch.column("text"), pa.string()), ""), 0, 40
+                ),
+            )
+
+        return snap_ds.map_batches(f, batch_format="pyarrow")
+
+    root = work_dir or _tf.mkdtemp(prefix="textpipe_ray_snapshot_loop_")
+    idx = _os.path.join(root, "minhash_idx")
+    bloom_path = _os.path.join(root, "bloom.npz")
+    SHINGLE, BANDS, BUCKETS = 5, 16, 8
+    M_BITS, K = 1 << 20, 6
+
+    try:
+        # snapshot 0: bootstrap both persisted structures
+        sig0 = compute_minhash_sigs(third(0), shingle_size=SHINGLE)
+        write_minhash_index(
+            None, idx, num_bands=BANDS, shingle_size=SHINGLE, num_buckets=BUCKETS,
+            sig_ds=sig0,
+        )
+        save_bloom(
+            build_bloom(with_key(third(0)), text_col="key", m_bits=M_BITS, k=K),
+            bloom_path, M_BITS, K,
+        )
+
+        parts = []
+        for snap in (1, 2):
+            snap_ds = third(snap)
+            # (a) exact-dup candidate scan against the accumulated filter
+            filt = load_bloom(bloom_path, M_BITS, K)
+            hits = bloom_scan(with_key(snap_ds), filt, text_col="key", m_bits=M_BITS, k=K)
+            n_hits = int(
+                hits.map_batches(
+                    lambda b: pa.table(
+                        {"n": pa.array(
+                            [int(np.asarray(b.column("bloom_hit")).sum())], _I64
+                        )}
+                    ),
+                    batch_format="pyarrow",
+                ).sum("n")
+            )
+            # (b)+(c): ONE signature pass feeds both dedup and ingest
+            sig = compute_minhash_sigs(snap_ds, shingle_size=SHINGLE).materialize()
+            pairs = near_dup_against_index(
+                None, idx, threshold=0.7, num_parts=BUCKETS,
+                num_bands=BANDS, shingle_size=SHINGLE, sig_ds=sig,
+            )
+
+            def stamp(batch: pa.Table, snap: int = snap, n_hits: int = n_hits) -> pa.Table:
+                j = np.asarray(batch.column("jaccard_est"), dtype=np.float64)
+                n = len(batch)
+                return pa.table(
+                    {
+                        "snapshot": pa.array(np.full(n, snap, dtype=np.int64), _I64),
+                        "new_id": pc.cast(batch.column("new_id"), _I64),
+                        "index_id": pc.cast(batch.column("index_id"), _I64),
+                        "jaccard_x128": pa.array(
+                            np.round(j * 128).astype(np.int64), _I64
+                        ),
+                        "snap_bloom_hits": pa.array(
+                            np.full(n, n_hits, dtype=np.int64), _I64
+                        ),
+                    }
+                )
+
+            # the pair set must be complete BEFORE this snapshot enters
+            # the index (else snap-vs-self pairs would appear)
+            parts.append(pairs.map_batches(stamp, batch_format="pyarrow").materialize())
+            append_minhash_index(None, idx, sig_ds=sig)
+            # (d) accumulate the filter
+            save_bloom(
+                merge_blooms(
+                    filt,
+                    build_bloom(with_key(snap_ds), text_col="key", m_bits=M_BITS, k=K),
+                ),
+                bloom_path, M_BITS, K,
+            )
+
+        # lifecycle close: many small generations → one
+        compact_minhash_index(idx)
+        out = parts[0].union(parts[1]).sort(["snapshot", "new_id", "index_id"]).materialize()
+    finally:
+        if work_dir is None:
+            _sh.rmtree(root, ignore_errors=True)
+    return out
+
+
+def q_ann_ivf_layout(sf_dir: str, layout_path: str | None = None):
+    """IVF top-k over a PERSISTED partition-by-centroid layout
+    (stages/ann.write_ivf_layout → ann_ivf_topk_layout): the embedding
+    table is written once partitioned by IVF cell, and a query READS
+    only its nprobe probed cell partitions — pruning at the FILE level,
+    which is the 100 TB story (a probe touches nprobe/num_centroids of
+    the bytes on disk, not a post-read filter).  Same centroids and
+    parameters as q_ann_ivf, so the result is identical to the
+    in-memory IVF (asserted in tests/test_ann.py); golden-checked here
+    so the layout read path has a driver row.  ``layout_path`` must be
+    a shared filesystem on a cluster; omitted → temp dir, removed
+    after materialize."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    import pyarrow.parquet as pq
+
+    from textpipe_ray.stages.ann import ann_ivf_topk_layout, write_ivf_layout
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), ANN_NUM_QUERIES))
+    qids = np.asarray(qt.column("vec_id"), dtype=np.int64)
+    qmat = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
+
+    path = layout_path or _tf.mkdtemp(prefix="textpipe_ray_ivf_layout_")
+    try:
+        write_ivf_layout(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            path, num_centroids=32, sample_size=2048, seed=13,
+        )
+        res, _cells_read, _cells_total = ann_ivf_topk_layout(
+            path, qids, qmat, k=ANN_K, nprobe=8
+        )
+        out = res.materialize()
+    finally:
+        if layout_path is None:
+            _sh.rmtree(path, ignore_errors=True)
+    return out
