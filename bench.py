@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "q_repetition_rules",
     "q_substring_dedup",
     "q_filter_pr_curve",
+    "q_snapshot_loop",
+    "q_ann_ivf_layout",
 ]
 
 
