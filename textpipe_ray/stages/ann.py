@@ -318,31 +318,41 @@ def ann_ivf_topk_layout(
 
     import ray.data as _rd
 
-    # file-level pruning: ONLY the probed hive partitions are opened;
-    # the partition key lives in the dir name (not the files), so each
-    # probed cell dir is read on its own and stamped with its cell id
+    # file-level pruning: ONLY the probed hive partitions are opened.
+    # ONE read_parquet over the union of probed-cell files (not one
+    # read per cell): per-cell reads each get split toward the target
+    # parallelism, so nprobe × splits tiny blocks explode the merge
+    # groupby's per-block scheduling cost (observed 1600 blocks of ~1.5
+    # rows → a 230 s sort at sf0.1).  A single read lets Ray pick the
+    # natural block count for the probed bytes.  The partition key
+    # lives in the dir name (not the files), so it is recovered
+    # vectorized from the ``include_paths`` column.
     existing = set(all_cells)
-    parts = []
-    for c in probed_cells:
-        if c not in existing:
-            continue
-
-        def stamp(batch: pa.Table, c: int = c) -> pa.Table:
-            return batch.append_column(
-                "cell", pa.array(np.full(len(batch), c, dtype=np.int64), pa.int64())
-            )
-
-        parts.append(
-            _rd.read_parquet(
-                f"{path}/cell={c}", columns=[id_col, embedding_col]
-            ).map_batches(stamp, batch_format="pyarrow")
-        )
-    if not parts:
+    cells_read = [c for c in probed_cells if c in existing]
+    files = []
+    for c in cells_read:
+        files.extend(sorted(_glob.glob(f"{path}/cell={c}/*.parquet")))
+    if not files:
         # every probed centroid owns zero vectors (k-means empty cells
         # get no hive dir) — the correct answer is an empty result, not
         # an IndexError
         return _merge_topk(_rd.from_arrow(_partial_topk_table([], [], [])), k), 0, len(all_cells)
-    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+    import pyarrow.compute as _pc
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        cell = _pc.cast(
+            _pc.struct_field(
+                _pc.extract_regex(batch.column("path"), r"cell=(?P<cell>\d+)/"),
+                "cell",
+            ),
+            pa.int64(),
+        )
+        return batch.drop_columns(["path"]).append_column("cell", cell)
+
+    ds = _rd.read_parquet(
+        files, columns=[id_col, embedding_col], include_paths=True
+    ).map_batches(stamp, batch_format="pyarrow")
 
     def score(batch: pa.Table) -> pa.Table:
         qids_, qmat_, qnorm_, probe_sets_ = ray.get(ref)
@@ -366,7 +376,7 @@ def ann_ivf_topk_layout(
         return _partial_topk_table(out_q, out_n, out_s)
 
     scored = ds.map_batches(score, batch_format="pyarrow")
-    return _merge_topk(scored, k), len(parts), len(all_cells)
+    return _merge_topk(scored, k), len(cells_read), len(all_cells)
 
 
 def ann_ivf_topk(
