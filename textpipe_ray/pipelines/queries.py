@@ -5489,9 +5489,13 @@ def q_snapshot_loop(sf_dir: str, work_dir: str | None = None):
     shingled), (c) APPENDS its signatures as a new index generation —
     band parameters come from the index's own meta — and (d) ORs its
     keys into the filter and saves it back; after the last snapshot the
-    generations are COMPACTED into one.  Signatures are computed ONCE
-    per snapshot (:func:`compute_minhash_sigs`) and shared by the dedup
-    read and the ingest write.
+    generations are COMPACTED into one.  Each snapshot's TEXT is read
+    exactly once: the signature pass (:func:`compute_minhash_sigs`)
+    carries the dedup key through (``keep_cols``), and the Bloom scan,
+    hit count, Bloom build and both index jobs all run over that
+    materialized ~1 KB/doc state table — at crawl scale the text is
+    tens of KB/doc, so every structure after the first pass touches
+    ~1-2% of the snapshot's bytes.
 
     This gives the state-lifecycle machinery (``append_minhash_index``,
     ``compact_minhash_index``, ``save_bloom``/``load_bloom``/
@@ -5555,23 +5559,33 @@ def q_snapshot_loop(sf_dir: str, work_dir: str | None = None):
     M_BITS, K = 1 << 20, 6
 
     try:
-        # snapshot 0: bootstrap both persisted structures
-        sig0 = compute_minhash_sigs(third(0), shingle_size=SHINGLE)
+        # snapshot 0: bootstrap both persisted structures from ONE text
+        # pass — the signature job carries the dedup key through
+        # (keep_cols), so the Bloom build reads the ~1 KB/doc signature
+        # table, never the text again
+        sig0 = compute_minhash_sigs(
+            with_key(third(0)), shingle_size=SHINGLE, keep_cols=["key"]
+        ).materialize()
         write_minhash_index(
             None, idx, num_bands=BANDS, shingle_size=SHINGLE, num_buckets=BUCKETS,
-            sig_ds=sig0,
+            sig_ds=sig0.select_columns(["doc_id", "sig"]),
         )
         save_bloom(
-            build_bloom(with_key(third(0)), text_col="key", m_bits=M_BITS, k=K),
+            build_bloom(sig0, text_col="key", m_bits=M_BITS, k=K),
             bloom_path, M_BITS, K,
         )
 
         parts = []
         for snap in (1, 2):
-            snap_ds = third(snap)
+            # ONE text pass per snapshot: signatures + dedup key
+            # materialized together; the Bloom scan/count/build and both
+            # index jobs below all run over this small state table
+            sig = compute_minhash_sigs(
+                with_key(third(snap)), shingle_size=SHINGLE, keep_cols=["key"]
+            ).materialize()
             # (a) exact-dup candidate scan against the accumulated filter
             filt = load_bloom(bloom_path, M_BITS, K)
-            hits = bloom_scan(with_key(snap_ds), filt, text_col="key", m_bits=M_BITS, k=K)
+            hits = bloom_scan(sig, filt, text_col="key", m_bits=M_BITS, k=K)
             n_hits = int(
                 hits.map_batches(
                     lambda b: pa.table(
@@ -5582,11 +5596,11 @@ def q_snapshot_loop(sf_dir: str, work_dir: str | None = None):
                     batch_format="pyarrow",
                 ).sum("n")
             )
-            # (b)+(c): ONE signature pass feeds both dedup and ingest
-            sig = compute_minhash_sigs(snap_ds, shingle_size=SHINGLE).materialize()
+            # (b)+(c): the same signature pass feeds dedup and ingest
             pairs = near_dup_against_index(
                 None, idx, threshold=0.7, num_parts=BUCKETS,
-                num_bands=BANDS, shingle_size=SHINGLE, sig_ds=sig,
+                num_bands=BANDS, shingle_size=SHINGLE,
+                sig_ds=sig.select_columns(["doc_id", "sig"]),
             )
 
             def stamp(batch: pa.Table, snap: int = snap, n_hits: int = n_hits) -> pa.Table:
@@ -5609,12 +5623,12 @@ def q_snapshot_loop(sf_dir: str, work_dir: str | None = None):
             # the pair set must be complete BEFORE this snapshot enters
             # the index (else snap-vs-self pairs would appear)
             parts.append(pairs.map_batches(stamp, batch_format="pyarrow").materialize())
-            append_minhash_index(None, idx, sig_ds=sig)
-            # (d) accumulate the filter
+            append_minhash_index(None, idx, sig_ds=sig.select_columns(["doc_id", "sig"]))
+            # (d) accumulate the filter — keys come off the state table
             save_bloom(
                 merge_blooms(
                     filt,
-                    build_bloom(with_key(snap_ds), text_col="key", m_bits=M_BITS, k=K),
+                    build_bloom(sig, text_col="key", m_bits=M_BITS, k=K),
                 ),
                 bloom_path, M_BITS, K,
             )

@@ -1154,13 +1154,20 @@ def compute_minhash_sigs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_size: int | None = None,
+    keep_cols: list[str] | None = None,
 ) -> "ray.data.Dataset":
     """(doc_id, sig) MinHash signature table for a snapshot.  Shingle
     sha1 dominates snapshot ingest cost, so the production loop computes
     this ONCE per snapshot and passes it to BOTH
     :func:`near_dup_against_index` (dedup) and
     :func:`append_minhash_index` (ingest) via their ``sig_ds``
-    parameters — 'signatures are computed once per document ever'."""
+    parameters — 'signatures are computed once per document ever'.
+
+    ``keep_cols`` carries named input columns through to the output so
+    the one text pass can feed OTHER per-snapshot structures too (e.g.
+    a dedup-key column for the Bloom scan/build in the snapshot-ingest
+    loop) — callers that write the table into an index should
+    ``select_columns(["doc_id", "sig"])`` first."""
     from textpipe_ray.functions.minhash import minhash_signature_shingles
 
     def sig_of(t: str) -> np.ndarray:
@@ -1171,12 +1178,13 @@ def compute_minhash_sigs(
     def compute(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(id_col), dtype=np.int64)
         sigs = [sig_of(t) for t in batch.column(text_col).to_pylist()]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
-            }
-        )
+        out = {
+            "doc_id": pa.array(ids, pa.int64()),
+            "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+        }
+        for c in keep_cols or []:
+            out[c] = batch.column(c)
+        return pa.table(out)
 
     return ds.map_batches(compute, batch_format="pyarrow")
 
