@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "q_filter_pr_curve",
     "q_snapshot_loop",
     "q_ann_ivf_layout",
+    "q_quantile_sketch",
 ]
 
 

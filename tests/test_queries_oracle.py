@@ -32,6 +32,7 @@ def oracle_names():
     "q_span_dedup", "q_pii_stats", "q_trigram_lm", "q_collocations",
     "q_quality_percentile", "q_budget_mix", "q_normalized_dedup", "q_funnel",
     "q_gopher_rules", "q_repetition_rules", "q_filter_pr_curve",
+    "q_quantile_sketch",
     # golden-parquet oracles (scripts/make_goldens.py)
     "q_langid", "q_perplexity", "q_minhash", "q_simhash", "q_simhash_neardup",
     "q_ann_ivf", "q_embedding_neardup", "q_pages_flagship", "q_pages_neardup",
@@ -285,3 +286,69 @@ def test_snapshot_loop_append_is_live(ray_session):
     # bloom candidate counts are live values (planted prefix dups exist)
     assert df[df["snapshot"] == 1]["snap_bloom_hits"].iloc[0] > 0
     assert df[df["snapshot"] == 2]["snap_bloom_hits"].iloc[0] > 0
+
+
+def test_quantile_sketch_exact_small_bounded_large(ray_session):
+    """The bottom-k sketch's two regimes: a language whose population
+    fits in the sample (n <= K, true at sf0.001) must report EXACT
+    quantiles; a genuinely sampled language (sf0.01, n > K) must land
+    its p50 estimate within the binomial rank-error envelope.  The
+    driver/oracle compare separately proves the sample itself is
+    deterministic -- this test proves the ESTIMATES mean what the
+    docstring claims."""
+    import duckdb
+    import numpy as np
+
+    from textpipe_ray.pipelines.queries import (
+        SKETCH_QUANTILES,
+        SKETCH_SAMPLE_K,
+        q_quality_score,
+        q_quantile_sketch,
+    )
+
+    def exact_quantiles(sf):
+        scores = q_quality_score(sf).to_pandas()[["doc_id", "score"]]
+        con = duckdb.connect()
+        langs = con.execute(
+            f"SELECT doc_id, lang FROM parquet_scan('{sf}/documents.parquet')"
+        ).df()
+        df = scores.merge(langs, on="doc_id")
+        df["micro"] = np.floor(df["score"].to_numpy() * 1e6).astype(np.int64)
+        out = {}
+        for lang, g in df.groupby("lang"):
+            v = np.sort(g["micro"].to_numpy())
+            n = len(v)
+            out[lang] = {
+                "n": n,
+                **{
+                    f"p{num * 100 // den}": int(v[max(0, -(-(num * n) // den) - 1)])
+                    for num, den in SKETCH_QUANTILES
+                },
+                "values": v,
+            }
+        return out
+
+    # sf0.001: every lang fits in the sample -> exact
+    sk = q_quantile_sketch(SF).to_pandas().set_index("lang")
+    ex = exact_quantiles(SF)
+    for lang, e in ex.items():
+        assert e["n"] <= SKETCH_SAMPLE_K, "fixture grew; pick a smaller sf"
+        assert int(sk.loc[lang, "n_sample"]) == e["n"]
+        for col in ("p25", "p50", "p75", "p90"):
+            assert int(sk.loc[lang, col]) == e[col], (lang, col)
+
+    # sf0.1: real sampling (per-lang n ~ 1000 > K) -> p50's true rank
+    # within q +/- 3*sqrt(q(1-q)/K)
+    sf1 = "/root/testdata/sf0.1"
+    sk = q_quantile_sketch(sf1).to_pandas().set_index("lang")
+    ex = exact_quantiles(sf1)
+    tol = 3 * (0.25 / SKETCH_SAMPLE_K) ** 0.5
+    sampled = 0
+    for lang, e in ex.items():
+        if e["n"] <= SKETCH_SAMPLE_K:
+            continue
+        sampled += 1
+        est = int(sk.loc[lang, "p50"])
+        true_rank = (e["values"] <= est).mean()
+        assert abs(true_rank - 0.5) <= tol, (lang, est, true_rank, tol)
+    assert sampled > 0, "sf0.1 should have at least one sampled language"

@@ -505,6 +505,25 @@ s AS (SELECT doc_id, CAST(floor(({score_sql_expr(_w)}) * 1e6) AS BIGINT) AS scor
 t AS (SELECT quantile_disc(score_micro, {_qnum / _qden}) AS thr FROM s)
 SELECT s.doc_id, s.score_micro FROM s, t WHERE s.score_micro >= t.thr ORDER BY doc_id"""
 
+    # bottom-k quantile sketch: DuckDB's md5() replays the engine's
+    # EXACT deterministic sample (k smallest md5(doc_id) per lang), so
+    # the sketch estimate itself is SQL-value-checked, not just bounded
+    from textpipe_ray.pipelines.queries import SKETCH_QUANTILES, SKETCH_SAMPLE_K
+
+    _qcols = ", ".join(
+        f"quantile_disc(score_micro, {num / den}) AS p{num * 100 // den}"
+        for num, den in SKETCH_QUANTILES
+    )
+    out["q_quantile_sketch"] = f"""
+WITH f AS (SELECT doc_id, lang, {feats} FROM documents),
+r AS (SELECT *, {ratios} FROM f),
+s AS (SELECT doc_id, lang,
+             CAST(floor(({score_sql_expr(_w)}) * 1e6) AS BIGINT) AS score_micro,
+             md5(CAST(doc_id AS VARCHAR)) AS key FROM r),
+k AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn FROM s)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_sample, {_qcols}
+FROM k WHERE rn <= {SKETCH_SAMPLE_K} GROUP BY lang ORDER BY lang"""
+
     from textpipe_ray.pipelines.queries import (
         PR_THR_MAX_MICRO,
         PR_THR_MIN_MICRO,

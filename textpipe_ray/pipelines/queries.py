@@ -2278,6 +2278,79 @@ PR_THR_MIN_MICRO = -2_000_000
 PR_THR_MAX_MICRO = 2_000_001
 PR_THR_STEP_MICRO = 250_000
 
+# bottom-k quantile sketch: sample size and reported quantiles
+SKETCH_SAMPLE_K = 256
+SKETCH_QUANTILES = ((25, 100), (50, 100), (75, 100), (90, 100))
+
+
+def q_quantile_sketch(sf_dir: str):
+    """Per-language quantiles of the learned quality score via a
+    DETERMINISTIC bottom-k sample sketch — the scale path for
+    distribution stats over HIGH-CARDINALITY values, where the exact
+    value-histogram idiom (q_len_quantiles) degenerates to one exchange
+    row per document: each batch keeps the ≤K rows whose
+    ``md5(doc_id)`` keys are smallest per language (constant-size
+    partial, the HLL exchange idiom), the per-lang merge keeps the K
+    smallest overall — an order-independent, mergeable uniform sample
+    of exactly the same K documents on any engine — and quantiles are
+    read off the sample with the exact-rational ``quantile_disc`` index
+    rule.  Keying the sample on document IDENTITY (never the value)
+    keeps it unbiased for the score distribution; md5 as the key means
+    DuckDB's own ``md5()`` replays the identical sample, so the sketch
+    is fully SQL-value-checkable (a KLL-style sketch is not — its
+    compaction depends on merge order).  Rank error ~1/sqrt(K); a
+    language with ≤K documents samples the whole population and the
+    quantiles are EXACT (asserted in tests)."""
+    from textpipe_ray.functions.quality_score import load_weights, score_batch
+    from textpipe_ray.functions.strhash import md5_hex
+
+    weights = load_weights()
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    K = SKETCH_SAMPLE_K
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        b = quality_batch(batch, text_col="text")
+        micro = np.floor(
+            np.asarray(score_batch(b, weights), dtype=np.float64) * 1e6
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "lang": batch.column("lang").to_pylist(),
+                "key": md5_hex(pc.cast(batch.column("doc_id"), pa.string())),
+                "doc_id": np.asarray(batch.column("doc_id"), dtype=np.int64),
+                "score_micro": micro,
+            }
+        )
+        df = df.sort_values(["lang", "key", "doc_id"]).groupby("lang", sort=False).head(K)
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"], pa.string()),
+                "key": pa.array(df["key"], pa.string()),
+                "doc_id": pa.array(df["doc_id"].to_numpy(), _I64),
+                "score_micro": pa.array(df["score_micro"].to_numpy(), _I64),
+            }
+        )
+
+    def merge(g):
+        import pandas as pd
+
+        g = g.sort_values(["key", "doc_id"]).head(K)
+        v = np.sort(g["score_micro"].to_numpy())
+        n = len(v)
+        out = {"lang": [g["lang"].iloc[0]], "n_sample": [np.int64(n)]}
+        for num, den in SKETCH_QUANTILES:
+            idx = max(0, -(-(num * n) // den) - 1)  # quantile_disc: ceil(q*n)-1
+            out[f"p{num * 100 // den}"] = [np.int64(v[idx])]
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+    )
+
 
 def q_filter_pr_curve(sf_dir: str):
     """Threshold-sweep confusion table for the learned quality
