@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "q_snapshot_loop",
     "q_ann_ivf_layout",
     "q_quantile_sketch",
+    "q_heavy_hitters",
 ]
 
 

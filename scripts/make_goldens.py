@@ -63,6 +63,7 @@ GOLDEN_QUERIES = [
     "q_substring_dedup",
     "q_snapshot_loop",
     "q_ann_ivf_layout",
+    "q_heavy_hitters",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

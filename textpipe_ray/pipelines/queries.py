@@ -5349,6 +5349,171 @@ def q_distinct_sketch(sf_dir: str):
     )
 
 
+# heavy-hitter threshold φ = NUM/DEN of all paragraph occurrences
+HH_PHI_NUM = 1
+HH_PHI_DEN = 1000
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Frequent-paragraph (boilerplate) detection via a Count-Min
+    Sketch + candidate-verify — the third member of the sketch family
+    (HLL cardinality in :func:`q_distinct_sketch`, bottom-k quantiles
+    in :func:`q_quantile_sketch`, CMS frequencies here): every
+    paragraph whose corpus-wide occurrence count is ≥ φ·N (φ =
+    ``HH_PHI_NUM/HH_PHI_DEN``) over the pages table, with both its
+    EXACT count and its CMS estimate.  This is the scale path for the
+    count pass of :func:`q_boilerplate_dedup` when the distinct-
+    paragraph table itself is too large to exchange: the CMS pass
+    moves only constant-size sketch rows no matter how many distinct
+    paragraphs exist.
+
+    Scale shape — two streaming passes, every exchange bounded by the
+    ANSWER size, not the corpus:
+
+    1. sketch pass: per-batch paragraph counts fold into a per-batch
+       partial CMS (≤ depth×width = 8192 int rows per block,
+       functions/cms.py) plus the batch's LOCAL heavy hitters (≤
+       ``HH_PHI_DEN/HH_PHI_NUM`` rows per block by construction —
+       an item with local share ≥ φ caps at 1/φ items).  One small
+       groupby merges both through a single exchange.  The pigeonhole
+       guarantee makes the local-heavy union a SUPERSET of the true
+       heavy hitters (if cnt_b < φ·n_b in every block then Σcnt_b <
+       φ·N), so no true heavy hitter can be missed regardless of
+       block layout; the merged CMS (order-independent integer sums)
+       then prunes candidates whose upper-bound estimate is < φ·N.
+    2. verify pass: exact counts of the surviving candidates only —
+       broadcast sorted candidate hashes, vectorized ``np.isin`` per
+       batch, one groupby whose exchange carries ≤ |candidates| rows
+       per block.  The final filter on EXACT counts makes the output
+       independent of batching (CMS false positives are dropped
+       here), so the result is golden-checkable byte-for-byte.
+
+    Recomputing paragraphs in pass 2 beats shuffling paragraph text
+    (the :func:`q_boilerplate_dedup` argument).  Output: paragraph,
+    exact cnt, cms_est (≥ cnt always), ordered by cnt desc."""
+    from textpipe_ray.functions.clean import html_to_paragraphs
+    from textpipe_ray.functions.cms import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_estimate,
+        cms_partial,
+    )
+
+    import glob as _glob
+
+    pages = pages_dir_for(sf_dir)
+    files = sorted(_glob.glob(f"{pages}/pages-*.parquet"))
+
+    def _paras(htmls: list) -> tuple[list[str], np.ndarray]:
+        paras: list[str] = []
+        for h in htmls:
+            paras.extend(html_to_paragraphs(h.decode("utf8", "replace")))
+        hashes = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(p.encode("utf8"), digest_size=8).digest(), "big"
+                )
+                >> 1
+                for p in paras
+            ],
+            dtype=np.int64,
+        )
+        return paras, hashes
+
+    _schema = pa.schema(
+        [("kind", _I64), ("j", _I64), ("slot", _I64), ("text", pa.string()), ("cnt", _I64)]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        paras, hashes = _paras(batch.column("html").to_pylist())
+        if not len(hashes):
+            return _schema.empty_table()
+        uniq, first_idx, cnt = np.unique(
+            hashes, return_index=True, return_counts=True
+        )
+        cnt = cnt.astype(np.int64)
+        js, bs, cs = cms_partial(uniq, cnt)
+        # local heavy hitters: cnt_b·DEN ≥ n_b·NUM (exact integer φ test)
+        loc = cnt * HH_PHI_DEN >= len(hashes) * HH_PHI_NUM
+        n_cms, n_cand = len(js), int(loc.sum())
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(n_cms, np.int64), np.ones(n_cand, np.int64)]
+                    ),
+                    _I64,
+                ),
+                "j": pa.array(
+                    np.concatenate([js, np.full(n_cand, -1, np.int64)]), _I64
+                ),
+                "slot": pa.array(np.concatenate([bs, uniq[loc]]), _I64),
+                "text": pa.array(
+                    [""] * n_cms + [paras[i] for i in first_idx[loc]], pa.string()
+                ),
+                "cnt": pa.array(np.concatenate([cs, cnt[loc]]), _I64),
+            }
+        )
+
+    merged = (
+        ray.data.read_parquet(files, columns=["html"], override_num_blocks=_cpus())
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["kind", "j", "slot", "text"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+
+    cms = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    cand_text: dict[int, str] = {}
+    n_total = 0
+    for r in merged:
+        if r["kind"] == 0:
+            cms[r["j"], r["slot"]] += r["cnt"]
+            if r["j"] == 0:
+                n_total += r["cnt"]
+        else:
+            cand_text[r["slot"]] = r["text"]
+
+    cand = np.array(sorted(cand_text), dtype=np.int64)
+    est = cms_estimate(cms, cand)
+    keep = est * HH_PHI_DEN >= n_total * HH_PHI_NUM
+    cand, est = cand[keep], est[keep]
+    est_by_h = dict(zip(cand.tolist(), est.tolist()))
+    ref = ray.put(cand)  # already sorted
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sel = ray.get(ref)
+        _, hashes = _paras(batch.column("html").to_pylist())
+        m = np.isin(hashes, sel) if len(hashes) else np.zeros(0, dtype=bool)
+        uniq, cnt = np.unique(hashes[m], return_counts=True)
+        return pa.table(
+            {"h": pa.array(uniq, _I64), "cnt": pa.array(cnt.astype(np.int64), _I64)}
+        )
+
+    rows = (
+        ray.data.read_parquet(files, columns=["html"], override_num_blocks=_cpus())
+        .map_batches(verify, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    out = sorted(
+        (
+            (cand_text[r["h"]], int(r["cnt"]), est_by_h[r["h"]])
+            for r in rows
+            if r["cnt"] * HH_PHI_DEN >= n_total * HH_PHI_NUM
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    return pa.table(
+        {
+            "paragraph": pa.array([t[0] for t in out], pa.string()),
+            "cnt": pa.array([t[1] for t in out], _I64),
+            "cms_est": pa.array([t[2] for t in out], _I64),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # distributed classifier training (IRLS logistic regression)
 # ---------------------------------------------------------------------------
