@@ -14,8 +14,8 @@ from textpipe_ray.functions.cms import (
     CMS_DEPTH,
     CMS_WIDTH,
     cms_buckets,
+    cms_dense,
     cms_estimate,
-    cms_partial,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -34,8 +34,7 @@ def _zipf_items(n_distinct=5000, total=60000, seed=7):
 def _merge_partials(splits):
     cms = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
     for h, c in splits:
-        js, bs, cs = cms_partial(h, c)
-        np.add.at(cms, (js, bs), cs)
+        cms += cms_dense(h, c)
     return cms
 
 
@@ -61,14 +60,14 @@ def test_cms_estimate_overestimates_every_item():
     assert np.all(est[top] - c[top] <= c.sum() * 2 // CMS_WIDTH)
 
 
-def test_cms_partial_exchange_bound():
+def test_cms_dense_preserves_mass_and_bucket_range():
     h, c = _zipf_items()
-    js, bs, cs = cms_partial(h, c)
-    assert len(js) <= CMS_DEPTH * min(CMS_WIDTH, len(h))
-    assert bs.min() >= 0 and bs.max() < CMS_WIDTH
-    # partial preserves total mass per depth row
-    for j in range(CMS_DEPTH):
-        assert cs[js == j].sum() == c.sum()
+    dense = cms_dense(h, c)
+    assert dense.shape == (CMS_DEPTH, CMS_WIDTH)
+    # every occurrence lands in exactly one bucket per depth row
+    assert (dense.sum(axis=1) == c.sum()).all()
+    bk = cms_buckets(h)
+    assert bk.min() >= 0 and bk.max() < CMS_WIDTH
 
 
 def test_local_candidate_bound():
@@ -111,3 +110,14 @@ def test_heavy_hitters_match_exact_counts(ray_session):
     # output ordering contract: cnt desc, paragraph asc
     key = list(zip(-got["cnt"], got["paragraph"]))
     assert key == sorted(key)
+
+
+def test_distributed_prune_path_identical(ray_session):
+    """collect_bound=0 forces the corpus-scale path (driver collects
+    only the sketch; candidates prune distributed) — output must be
+    byte-identical to the direct-collect path."""
+    from textpipe_ray.pipelines.queries import _heavy_hitters, q_heavy_hitters
+
+    a = q_heavy_hitters(SF).to_pandas()
+    b = _heavy_hitters(SF, collect_bound=0).to_pandas()
+    assert a.equals(b)

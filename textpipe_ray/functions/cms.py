@@ -23,7 +23,7 @@ import numpy as np
 from textpipe_ray.functions.strhash import avalanche
 
 CMS_DEPTH = 4
-CMS_WIDTH = 2048
+CMS_WIDTH = 8192
 
 # arbitrary fixed odd salts; one independent-looking hash per depth row
 _SALTS = np.array(
@@ -51,26 +51,19 @@ def cms_buckets(hashes: np.ndarray) -> np.ndarray:
     return out
 
 
-def cms_partial(
-    hashes: np.ndarray, counts: np.ndarray
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Pre-reduced nonzero (depth, bucket, count) rows of one batch's
-    partial sketch — at most CMS_DEPTH × min(CMS_WIDTH, n_items) rows,
-    the combiner that bounds the exchange.  Integer accumulation
-    (np.add.at), so partial sums merge exactly in any order."""
+def cms_dense(hashes: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """One batch's partial sketch as a dense (CMS_DEPTH, CMS_WIDTH)
+    int64 array — shipped as CMS_DEPTH list rows per block (the
+    q_distinct_sketch register idiom: exchange size is per-BLOCK
+    constant, independent of both the item count and the width).
+    Integer accumulation (np.add.at), so partials merge exactly by
+    element-wise addition in any order."""
     bk = cms_buckets(hashes)
     cnt = counts.astype(np.int64, copy=False)
-    js: list[np.ndarray] = []
-    bs: list[np.ndarray] = []
-    cs: list[np.ndarray] = []
+    acc = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
     for j in range(CMS_DEPTH):
-        acc = np.zeros(CMS_WIDTH, dtype=np.int64)
-        np.add.at(acc, bk[j], cnt)
-        nz = np.nonzero(acc)[0]
-        js.append(np.full(len(nz), j, dtype=np.int64))
-        bs.append(nz.astype(np.int64))
-        cs.append(acc[nz])
-    return np.concatenate(js), np.concatenate(bs), np.concatenate(cs)
+        np.add.at(acc[j], bk[j], cnt)
+    return acc
 
 
 def cms_estimate(cms: np.ndarray, hashes: np.ndarray) -> np.ndarray:

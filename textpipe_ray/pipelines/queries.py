@@ -5370,17 +5370,30 @@ def q_heavy_hitters(sf_dir: str):
     Scale shape — two streaming passes, every exchange bounded by the
     ANSWER size, not the corpus:
 
-    1. sketch pass: per-batch paragraph counts fold into a per-batch
-       partial CMS (≤ depth×width = 8192 int rows per block,
-       functions/cms.py) plus the batch's LOCAL heavy hitters (≤
-       ``HH_PHI_DEN/HH_PHI_NUM`` rows per block by construction —
-       an item with local share ≥ φ caps at 1/φ items).  One small
-       groupby merges both through a single exchange.  The pigeonhole
-       guarantee makes the local-heavy union a SUPERSET of the true
-       heavy hitters (if cnt_b < φ·n_b in every block then Σcnt_b <
-       φ·N), so no true heavy hitter can be missed regardless of
-       block layout; the merged CMS (order-independent integer sums)
-       then prunes candidates whose upper-bound estimate is < φ·N.
+    1. sketch pass: each batch's paragraph counts fold into a dense
+       partial CMS shipped as ``depth`` list rows (the
+       :func:`q_distinct_sketch` register idiom — per-block exchange
+       size is constant in BOTH the item count and the sketch width,
+       so width can be generous; functions/cms.py) plus the batch's
+       LOCAL heavy hitters (≤ ``HH_PHI_DEN/HH_PHI_NUM`` rows per
+       block by construction — an item with local share ≥ φ caps at
+       1/φ items).  No groupby: the pigeonhole guarantee makes the
+       local-heavy union a SUPERSET of the true heavy hitters (if
+       cnt_b < φ·n_b in every block then Σcnt_b < φ·N), so no true
+       heavy hitter can be missed regardless of block layout.  The
+       candidate union (up to 1/φ DISTINCT items per block) can grow
+       with the corpus, so past ``collect_bound`` worst-case rows
+       (a STATIC bound known before execution) the sketch merges via
+       a tree-reducing ``Dataset.aggregate`` and candidates prune
+       DISTRIBUTED against the broadcast sketch — only candidates
+       whose upper-bound estimate is ≥ φ·N ever reach the driver: by
+       the CMS guarantee (error ≤ εN with ε = e/width at probability
+       1-e^-depth per item; ε = e/8192 ≪ φ here) that is ~1/(φ-ε)
+       items in expectation, answer-sized and independent of block
+       count.  Below the bound one direct ``take_all`` of the partial
+       rows skips the extra jobs (the ``near_dup_minhash`` auto-select
+       idiom); both paths are asserted identical in
+       tests/test_heavy_hitters.py.
     2. verify pass: exact counts of the surviving candidates only —
        broadcast sorted candidate hashes, vectorized ``np.isin`` per
        batch, one groupby whose exchange carries ≤ |candidates| rows
@@ -5391,13 +5404,18 @@ def q_heavy_hitters(sf_dir: str):
     Recomputing paragraphs in pass 2 beats shuffling paragraph text
     (the :func:`q_boilerplate_dedup` argument).  Output: paragraph,
     exact cnt, cms_est (≥ cnt always), ordered by cnt desc."""
+    return _heavy_hitters(sf_dir)
+
+
+def _heavy_hitters(sf_dir: str, collect_bound: int = 4_000_000):
     from textpipe_ray.functions.clean import html_to_paragraphs
     from textpipe_ray.functions.cms import (
         CMS_DEPTH,
         CMS_WIDTH,
+        cms_dense,
         cms_estimate,
-        cms_partial,
     )
+    from textpipe_ray.functions.strhash import hash64_mixed
 
     import glob as _glob
 
@@ -5408,20 +5426,22 @@ def q_heavy_hitters(sf_dir: str):
         paras: list[str] = []
         for h in htmls:
             paras.extend(html_to_paragraphs(h.decode("utf8", "replace")))
-        hashes = np.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(p.encode("utf8"), digest_size=8).digest(), "big"
-                )
-                >> 1
-                for p in paras
-            ],
-            dtype=np.int64,
-        )
+        if not paras:
+            return paras, np.zeros(0, dtype=np.int64)
+        # vectorized 63-bit positive keys (short strings — hash64's
+        # memory amplification note doesn't apply to paragraphs)
+        hashes = (
+            hash64_mixed(pa.array(paras, pa.string())) >> np.uint64(1)
+        ).astype(np.int64)
         return paras, hashes
 
     _schema = pa.schema(
-        [("kind", _I64), ("j", _I64), ("slot", _I64), ("text", pa.string()), ("cnt", _I64)]
+        [
+            ("kind", _I64),
+            ("slot", _I64),
+            ("text", pa.string()),
+            ("regs", pa.list_(pa.int64())),
+        ]
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -5432,54 +5452,118 @@ def q_heavy_hitters(sf_dir: str):
             hashes, return_index=True, return_counts=True
         )
         cnt = cnt.astype(np.int64)
-        js, bs, cs = cms_partial(uniq, cnt)
+        dense = cms_dense(uniq, cnt)  # (depth, width) int64
         # local heavy hitters: cnt_b·DEN ≥ n_b·NUM (exact integer φ test)
         loc = cnt * HH_PHI_DEN >= len(hashes) * HH_PHI_NUM
-        n_cms, n_cand = len(js), int(loc.sum())
+        n_cand = int(loc.sum())
         return pa.table(
             {
                 "kind": pa.array(
                     np.concatenate(
-                        [np.zeros(n_cms, np.int64), np.ones(n_cand, np.int64)]
+                        [np.zeros(CMS_DEPTH, np.int64), np.ones(n_cand, np.int64)]
                     ),
                     _I64,
                 ),
-                "j": pa.array(
-                    np.concatenate([js, np.full(n_cand, -1, np.int64)]), _I64
+                "slot": pa.array(
+                    np.concatenate(
+                        [np.arange(CMS_DEPTH, dtype=np.int64), uniq[loc]]
+                    ),
+                    _I64,
                 ),
-                "slot": pa.array(np.concatenate([bs, uniq[loc]]), _I64),
                 "text": pa.array(
-                    [""] * n_cms + [paras[i] for i in first_idx[loc]], pa.string()
+                    [""] * CMS_DEPTH + [paras[i] for i in first_idx[loc]],
+                    pa.string(),
                 ),
-                "cnt": pa.array(np.concatenate([cs, cnt[loc]]), _I64),
+                "regs": pa.array(
+                    list(dense) + [None] * n_cand, pa.list_(pa.int64())
+                ),
             }
         )
 
-    merged = (
-        ray.data.read_parquet(files, columns=["html"], override_num_blocks=_cpus())
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["kind", "j", "slot", "text"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .take_all()
-    )
+    n_blocks = _cpus()
+    partials = ray.data.read_parquet(
+        files, columns=["html"], override_num_blocks=n_blocks
+    ).map_batches(partial, batch_format="pyarrow")
 
     cms = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
     cand_text: dict[int, str] = {}
-    n_total = 0
-    for r in merged:
-        if r["kind"] == 0:
-            cms[r["j"], r["slot"]] += r["cnt"]
-            if r["j"] == 0:
-                n_total += r["cnt"]
-        else:
-            cand_text[r["slot"]] = r["text"]
+    est_by_h: dict[int, int] = {}
+    # static WORST-CASE collect size, known before any execution:
+    # ≤ 1/φ local-heavy rows + depth sketch rows per block
+    worst_case = n_blocks * (HH_PHI_DEN // HH_PHI_NUM + CMS_DEPTH)
+    if worst_case <= collect_bound:
+        # bounded even in the worst case: ONE job, no exchange at all —
+        # collect the per-block partial rows, merge + prune driver-side
+        cand_rows: list = []
+        for r in partials.take_all():
+            if r["kind"] == 0:
+                cms[r["slot"]] += np.asarray(r["regs"], dtype=np.int64)
+            else:
+                cand_text.setdefault(r["slot"], r["text"])
+        n_total = int(cms[0].sum())  # every occurrence hits row 0 once
+        if cand_text:
+            slots = np.array(sorted(cand_text), dtype=np.int64)
+            ests = cms_estimate(cms, slots)
+            keep = ests * HH_PHI_DEN >= n_total * HH_PHI_NUM
+            est_by_h = dict(
+                zip(slots[keep].tolist(), ests[keep].astype(int).tolist())
+            )
+            cand_text = {h: cand_text[h] for h in est_by_h}
+    else:
+        # corpus-scale: the sketch merges via a tree-reducing aggregate
+        # (driver receives ONE (depth, width) array); candidates prune
+        # DISTRIBUTED against the broadcast sketch, and only est ≥ φ·N
+        # survivors (answer-sized by the CMS error bound) are collected
+        from ray.data.aggregate import AggregateFn
 
-    cand = np.array(sorted(cand_text), dtype=np.int64)
-    est = cms_estimate(cms, cand)
-    keep = est * HH_PHI_DEN >= n_total * HH_PHI_NUM
-    cand, est = cand[keep], est[keep]
-    est_by_h = dict(zip(cand.tolist(), est.tolist()))
-    ref = ray.put(cand)  # already sorted
+        mat = partials.materialize()
+
+        def _acc_block(acc: np.ndarray, blk: pa.Table) -> np.ndarray:
+            blk = blk.filter(pc.equal(blk.column("kind"), 0))
+            if blk.num_rows:
+                rows = np.stack(
+                    [np.asarray(r, dtype=np.int64) for r in blk.column("regs").to_pylist()]
+                )
+                acc = acc.copy()
+                np.add.at(acc, np.asarray(blk.column("slot"), dtype=np.int64), rows)
+            return acc
+
+        agg = AggregateFn(
+            init=lambda *_: np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64),
+            accumulate_block=_acc_block,
+            merge=lambda a, b: a + b,
+            name="cms",
+        )
+        cms = mat.aggregate(agg)["cms"]
+        n_total = int(cms[0].sum())
+        cms_ref = ray.put(cms)
+
+        def prune(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.equal(batch.column("kind"), 1))
+            h = np.asarray(batch.column("slot"), dtype=np.int64)
+            est = cms_estimate(ray.get(cms_ref), h)
+            keep = est * HH_PHI_DEN >= n_total * HH_PHI_NUM
+            return pa.table(
+                {
+                    "slot": pa.array(h[keep], _I64),
+                    "text": pc.take(
+                        batch.column("text"), pa.array(np.nonzero(keep)[0])
+                    ),
+                    "est": pa.array(est[keep], _I64),
+                }
+            )
+
+        # groupby dedupes survivors so the collect is answer-sized even
+        # when a heavy hitter is locally heavy in every block
+        for r in (
+            mat.map_batches(prune, batch_format="pyarrow")
+            .groupby("slot")
+            .map_groups(lambda g: g.head(1), batch_format="pandas")
+            .take_all()
+        ):
+            cand_text[r["slot"]] = r["text"]
+            est_by_h[r["slot"]] = int(r["est"])
+    ref = ray.put(np.array(sorted(cand_text), dtype=np.int64))
 
     def verify(batch: pa.Table) -> pa.Table:
         sel = ray.get(ref)
