@@ -239,6 +239,22 @@ def html_to_paragraphs(raw: str) -> list[str]:
     return [p for p in paras if p]
 
 
+def html_paragraphs_flat(htmls) -> tuple[list[str], list[int]]:
+    """Flatten :func:`html_to_paragraphs` over a batch of html values
+    (bytes decode utf8/replace — the one decoding rule every
+    paragraph-level operator shares): returns ``(paragraphs,
+    offsets)`` with ``offsets[i]:offsets[i+1]`` spanning document i's
+    paragraphs."""
+    paras: list[str] = []
+    offsets = [0]
+    for h in htmls:
+        if isinstance(h, bytes):
+            h = h.decode("utf8", "replace")
+        paras.extend(html_to_paragraphs(h))
+        offsets.append(len(paras))
+    return paras, offsets
+
+
 def resolve_lang(lang: str, is_reliable: bool, hint_lang: str) -> str:
     """The reference's language-resolution rule, applied at every
     model-dispatch site (doc.py:146,242,533,587,615,801)."""

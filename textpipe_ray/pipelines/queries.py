@@ -1783,7 +1783,7 @@ def q_paragraph_filter(sf_dir: str):
     per-row python (inherent to parsing), but every rule runs as one
     Arrow kernel over the batch's flattened paragraph list, and
     reassembly is one ragged join per page."""
-    from textpipe_ray.functions.clean import html_to_paragraphs
+    from textpipe_ray.functions.clean import html_paragraphs_flat
 
     import glob as _glob
 
@@ -1794,12 +1794,7 @@ def q_paragraph_filter(sf_dir: str):
 
     def filt(batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
-        htmls = batch.column("html").to_pylist()
-        paras: list[str] = []
-        offsets = [0]
-        for h in htmls:
-            paras.extend(html_to_paragraphs(h.decode("utf8", "replace")))
-            offsets.append(len(paras))
+        paras, offsets = html_paragraphs_flat(batch.column("html").to_pylist())
         arr = pa.array(paras, pa.string())
         nw = pc.count_substring_regex(arr, r"\S+")
         ok = pc.and_(
@@ -2694,7 +2689,7 @@ def q_boilerplate_dedup(sf_dir: str):
        vectorized ``np.isin`` against the sorted array, reassemble
        per page.  Entirely row-local.
     """
-    from textpipe_ray.functions.clean import html_to_paragraphs
+    from textpipe_ray.functions.clean import html_paragraphs_flat
 
     import glob as _glob
 
@@ -2702,11 +2697,7 @@ def q_boilerplate_dedup(sf_dir: str):
     files = sorted(_glob.glob(f"{pages}/pages-*.parquet"))
 
     def _para_hashes(htmls: list) -> tuple[np.ndarray, np.ndarray, list[int], list[str]]:
-        paras: list[str] = []
-        offsets = [0]
-        for h in htmls:
-            paras.extend(html_to_paragraphs(h.decode("utf8", "replace")))
-            offsets.append(len(paras))
+        paras, offsets = html_paragraphs_flat(htmls)
         hashes = np.array(
             [
                 int.from_bytes(
@@ -4936,19 +4927,15 @@ class ParaPplStage:
         self.model = PerplexityModel.load()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from textpipe_ray.functions.clean import html_to_paragraphs
+        from textpipe_ray.functions.clean import html_paragraphs_flat
 
         urls = batch.column("url").to_pylist()
-        htmls = batch.column("html").to_pylist()
         langs = batch.column("lang").to_pylist()
-        paras: list[str] = []
-        plangs: list[str] = []
-        offsets = [0]
-        for h, lg in zip(htmls, langs):
-            ps = html_to_paragraphs(h.decode("utf8", "replace"))
-            paras.extend(ps)
-            plangs.extend([lg or "en"] * len(ps))
-            offsets.append(len(paras))
+        paras, offsets = html_paragraphs_flat(batch.column("html").to_pylist())
+        counts = np.diff(np.asarray(offsets, dtype=np.int64))
+        plangs = [
+            lg or "en" for lg, n in zip(langs, counts) for _ in range(int(n))
+        ]
         if paras:
             centi = np.floor(self.model.perplexity_many(paras, plangs) * 100).astype(
                 np.int64
@@ -5361,9 +5348,10 @@ def q_heavy_hitters(sf_dir: str):
     in :func:`q_quantile_sketch`, CMS frequencies here): every
     paragraph whose corpus-wide occurrence count is ≥ φ·N (φ =
     ``HH_PHI_NUM/HH_PHI_DEN``) over the pages table, with both its
-    EXACT count and its CMS estimate.  This is the scale path for the
-    count pass of :func:`q_boilerplate_dedup` when the distinct-
-    paragraph table itself is too large to exchange: the CMS pass
+    EXACT count and its CMS estimate.  This is the scale shape for
+    frequency analyses like :func:`q_boilerplate_dedup`'s count pass
+    when the distinct-paragraph table itself is too large to exchange
+    (conceptually — the two keep separate hash keys): the CMS pass
     moves only constant-size sketch rows no matter how many distinct
     paragraphs exist.
 
@@ -5382,18 +5370,21 @@ def q_heavy_hitters(sf_dir: str):
        cnt_b < φ·n_b in every block then Σcnt_b < φ·N), so no true
        heavy hitter can be missed regardless of block layout.  The
        candidate union (up to 1/φ DISTINCT items per block) can grow
-       with the corpus, so past ``collect_bound`` worst-case rows
-       (a STATIC bound known before execution) the sketch merges via
-       a tree-reducing ``Dataset.aggregate`` and candidates prune
+       with the corpus, so the partial rows MATERIALIZE (tiny: depth
+       list rows + ≤1/φ candidates per block) and their measured
+       count picks the collect strategy — Ray's dynamic block
+       splitting makes the invocation count corpus-dependent, so no
+       static bound exists.  Past ``collect_bound`` rows the sketch
+       merges via a tree-reducing ``Dataset.aggregate`` and candidates prune
        DISTRIBUTED against the broadcast sketch — only candidates
        whose upper-bound estimate is ≥ φ·N ever reach the driver: by
        the CMS guarantee (error ≤ εN with ε = e/width at probability
        1-e^-depth per item; ε = e/8192 ≪ φ here) that is ~1/(φ-ε)
        items in expectation, answer-sized and independent of block
-       count.  Below the bound one direct ``take_all`` of the partial
-       rows skips the extra jobs (the ``near_dup_minhash`` auto-select
-       idiom); both paths are asserted identical in
-       tests/test_heavy_hitters.py.
+       count.  Below the bound one direct ``take_all`` of the
+       materialized rows skips the extra jobs (the
+       ``near_dup_minhash`` auto-select idiom); both paths are
+       asserted identical in tests/test_heavy_hitters.py.
     2. verify pass: exact counts of the surviving candidates only —
        broadcast sorted candidate hashes, vectorized ``np.isin`` per
        batch, one groupby whose exchange carries ≤ |candidates| rows
@@ -5408,14 +5399,14 @@ def q_heavy_hitters(sf_dir: str):
 
 
 def _heavy_hitters(sf_dir: str, collect_bound: int = 4_000_000):
-    from textpipe_ray.functions.clean import html_to_paragraphs
+    from textpipe_ray.functions.clean import html_paragraphs_flat
     from textpipe_ray.functions.cms import (
         CMS_DEPTH,
         CMS_WIDTH,
         cms_dense,
         cms_estimate,
     )
-    from textpipe_ray.functions.strhash import hash64_mixed
+    from textpipe_ray.functions.strhash import hash64_mixed_chunked
 
     import glob as _glob
 
@@ -5423,15 +5414,14 @@ def _heavy_hitters(sf_dir: str, collect_bound: int = 4_000_000):
     files = sorted(_glob.glob(f"{pages}/pages-*.parquet"))
 
     def _paras(htmls: list) -> tuple[list[str], np.ndarray]:
-        paras: list[str] = []
-        for h in htmls:
-            paras.extend(html_to_paragraphs(h.decode("utf8", "replace")))
+        paras, _ = html_paragraphs_flat(htmls)
         if not paras:
             return paras, np.zeros(0, dtype=np.int64)
-        # vectorized 63-bit positive keys (short strings — hash64's
-        # memory amplification note doesn't apply to paragraphs)
+        # vectorized 63-bit positive keys; chunked variant bounds
+        # hash64's ~32 B/input-byte temporaries, which scale with the
+        # TOTAL column bytes of a corpus-scale paragraph batch
         hashes = (
-            hash64_mixed(pa.array(paras, pa.string())) >> np.uint64(1)
+            hash64_mixed_chunked(pa.array(paras, pa.string())) >> np.uint64(1)
         ).astype(np.int64)
         return paras, hashes
 
@@ -5481,20 +5471,22 @@ def _heavy_hitters(sf_dir: str, collect_bound: int = 4_000_000):
         )
 
     n_blocks = _cpus()
-    partials = ray.data.read_parquet(
-        files, columns=["html"], override_num_blocks=n_blocks
-    ).map_batches(partial, batch_format="pyarrow")
+    # materialized so the TRUE row count (Ray's dynamic block splitting
+    # makes the number of partial() invocations scale with corpus size,
+    # so no static bound exists) decides the collect strategy, and both
+    # downstream consumers read the same blocks without re-parsing
+    partials = (
+        ray.data.read_parquet(files, columns=["html"], override_num_blocks=n_blocks)
+        .map_batches(partial, batch_format="pyarrow")
+        .materialize()
+    )
 
     cms = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
     cand_text: dict[int, str] = {}
     est_by_h: dict[int, int] = {}
-    # static WORST-CASE collect size, known before any execution:
-    # ≤ 1/φ local-heavy rows + depth sketch rows per block
-    worst_case = n_blocks * (HH_PHI_DEN // HH_PHI_NUM + CMS_DEPTH)
-    if worst_case <= collect_bound:
-        # bounded even in the worst case: ONE job, no exchange at all —
-        # collect the per-block partial rows, merge + prune driver-side
-        cand_rows: list = []
+    if partials.count() <= collect_bound:
+        # small partial table: one direct collect, merge + prune
+        # driver-side — no exchange at all
         for r in partials.take_all():
             if r["kind"] == 0:
                 cms[r["slot"]] += np.asarray(r["regs"], dtype=np.int64)
@@ -5516,7 +5508,7 @@ def _heavy_hitters(sf_dir: str, collect_bound: int = 4_000_000):
         # survivors (answer-sized by the CMS error bound) are collected
         from ray.data.aggregate import AggregateFn
 
-        mat = partials.materialize()
+        mat = partials
 
         def _acc_block(acc: np.ndarray, blk: pa.Table) -> np.ndarray:
             blk = blk.filter(pc.equal(blk.column("kind"), 0))
