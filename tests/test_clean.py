@@ -242,6 +242,18 @@ def test_html_to_paragraphs():
     assert html_to_paragraphs("") == []
 
 
+def test_html_paragraphs_flat():
+    from textpipe_ray.functions.clean import html_paragraphs_flat, html_to_paragraphs
+
+    docs = ["<p>a b.</p><p>c d!</p>", b"<div>bytes doc</div>", "", b"\xff<p>x</p>"]
+    paras, offsets = html_paragraphs_flat(docs)
+    # offsets[i]:offsets[i+1] spans doc i, matching per-doc extraction
+    assert offsets[0] == 0 and offsets[-1] == len(paras)
+    for i, d in enumerate(docs):
+        raw = d.decode("utf8", "replace") if isinstance(d, bytes) else d
+        assert paras[offsets[i] : offsets[i + 1]] == html_to_paragraphs(raw)
+
+
 def test_paragraph_rules_consistent_with_query_constants():
     import re
 
