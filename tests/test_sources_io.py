@@ -75,6 +75,32 @@ def test_warc_roundtrip_and_flagship(ray_session, tmp_path):
     assert len(out) == 50 and {"clean", "keep"}.issubset(out.columns)
 
 
+def test_wet_roundtrip_and_record_type_isolation(ray_session, tmp_path):
+    """Pages text → WET (conversion records) → read_wet → identical
+    text; a mixed WARC+WET stream routes records by type (read_wet
+    ignores response records and read_warc ignores conversions)."""
+    from textpipe_ray.sources.pages import generate_pages
+    from textpipe_ray.sources.warc import read_warc, read_wet, write_warc, write_wet
+
+    t = generate_pages(40, seed=13).select(["url", "warc_ts", "html", "text"])
+    write_wet(t, tmp_path / "a.wet")
+    write_wet(t, tmp_path / "b.wet.gz", compress=True)
+
+    got = read_wet(str(tmp_path / "a.wet")).to_pandas().sort_values("url").reset_index(drop=True)
+    want = t.to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["text"]) == list(want["text"])
+    assert [x.isoformat() for x in got["warc_ts"]] == [x.isoformat() for x in want["warc_ts"]]
+    assert len(read_wet(str(tmp_path / "b.wet.gz")).to_pandas()) == 40
+
+    # mixed stream: concatenate a WARC and a WET file into one blob
+    write_warc(t.select(["url", "warc_ts", "html"]), tmp_path / "c.warc")
+    mixed = (tmp_path / "c.warc").read_bytes() + (tmp_path / "a.wet").read_bytes()
+    (tmp_path / "mixed.warc").write_bytes(mixed)
+    assert read_wet(str(tmp_path / "mixed.warc")).count() == 40
+    assert read_warc(str(tmp_path / "mixed.warc")).count() == 40
+
+
 def test_pages_jsonl_roundtrip_non_utc_tz(ray_session, tmp_path):
     """warc_ts must survive the JSONL roundtrip regardless of host
     timezone (naive-datetime .timestamp() regression)."""

@@ -1,11 +1,13 @@
 """Minimal WARC source: Common Crawl's native wire format → the
 north-rule pages schema ``(url, warc_ts, html, text?, lang?)``.
 
-Parses WARC/1.0 ``response`` records (the subset Common Crawl WET/WARC
-dumps use): each record is a header block terminated by CRLFCRLF, a
-payload of exactly ``Content-Length`` bytes, then CRLFCRLF.  HTTP
-response payloads have their own header block stripped to reach the
-body.  ``.gz`` members are supported via whole-file gunzip (Common
+Parses WARC/1.0 records: each record is a header block terminated by
+CRLFCRLF, a payload of exactly ``Content-Length`` bytes, then
+CRLFCRLF.  Two record types matter to a text pipeline and both are
+supported: ``response`` (raw WARC dumps — HTTP payloads have their own
+header block stripped to reach the html body) and ``conversion`` (WET
+extracted-text dumps — the payload IS the plain text, no HTTP
+headers).  ``.gz`` members are supported via whole-file gunzip (Common
 Crawl files are per-record gzip members, which ``gzip`` handles as a
 concatenated stream).
 
@@ -36,8 +38,10 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return out
 
 
-def parse_warc_bytes(data: bytes) -> list[dict]:
-    """→ one dict per WARC *response* record: url, warc_ts (µs), html."""
+def parse_warc_bytes(data: bytes, record_type: str = "response") -> list[dict]:
+    """→ one dict per WARC record of ``record_type``: url, warc_ts
+    (µs), payload (html bytes for ``response``, utf-8 text bytes for
+    ``conversion``/WET)."""
     if data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)
     rows: list[dict] = []
@@ -56,18 +60,20 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
         length = int(headers.get("content-length", "0"))
         body = data[hdr_end + 4 : hdr_end + 4 + length]
         pos = hdr_end + 4 + length
-        if headers.get("warc-type") != "response":
+        if headers.get("warc-type") != record_type:
             continue
-        # HTTP response payload: strip the status/header block
-        http_end = body.find(_CRLF2)
-        html = body[http_end + 4 :] if http_end >= 0 else body
+        if record_type == "response":
+            # HTTP response payload: strip the status/header block
+            http_end = body.find(_CRLF2)
+            body = body[http_end + 4 :] if http_end >= 0 else body
+        # conversion (WET) payloads carry the extracted text directly
         ts = headers.get("warc-date", "1970-01-01T00:00:00Z")
         dt = datetime.fromisoformat(ts.replace("Z", "+00:00")).astimezone(timezone.utc)
         rows.append(
             {
                 "url": headers.get("warc-target-uri", ""),
                 "warc_ts": int(dt.timestamp() * 1_000_000),
-                "html": html,
+                "html": body,
             }
         )
     return rows
@@ -75,21 +81,35 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
 
 def read_warc(paths) -> "ray.data.Dataset":
     """WARC file(s) → Dataset with the pages schema (url, warc_ts, html)."""
+    return _read_records(paths, "response", "html", pa.binary())
+
+
+def read_wet(paths) -> "ray.data.Dataset":
+    """WET file(s) (Common Crawl extracted text; WARC ``conversion``
+    records) → Dataset (url, warc_ts, text).  The text column feeds the
+    post-extraction pipeline stages directly — langid, perplexity,
+    quality rules, dedup — skipping the html extract stage."""
+    return _read_records(paths, "conversion", "text", pa.string())
+
+
+def _read_records(paths, record_type: str, col: str, col_type) -> "ray.data.Dataset":
     files = [str(p) for p in (paths if isinstance(paths, (list, tuple)) else [paths])]
     raw = ray.data.read_binary_files(files)
 
     def parse(batch: pa.Table) -> pa.Table:
-        urls, tss, htmls = [], [], []
+        urls, tss, bodies = [], [], []
         for data in batch.column("bytes").to_pylist():
-            for row in parse_warc_bytes(data):
+            for row in parse_warc_bytes(data, record_type):
                 urls.append(row["url"])
                 tss.append(row["warc_ts"])
-                htmls.append(row["html"])
+                bodies.append(row["html"])
+        if col_type == pa.string():
+            bodies = [b.decode("utf8", "replace") for b in bodies]
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
                 "warc_ts": pa.array(tss, pa.timestamp("us")),
-                "html": pa.array(htmls, pa.binary()),
+                col: pa.array(bodies, col_type),
             }
         )
 
@@ -115,6 +135,32 @@ def write_warc(table: pa.Table, out_path, compress: bool = False) -> None:
             "Content-Type: application/http; msgtype=response\r\n"
         ).encode("latin-1")
         chunks.append(hdr + b"\r\n" + http + b"\r\n\r\n")
+    blob = b"".join(chunks)
+    if compress:
+        blob = gzip.compress(blob)
+    with open(out_path, "wb") as f:
+        f.write(blob)
+
+
+def write_wet(table: pa.Table, out_path, compress: bool = False) -> None:
+    """(url, warc_ts, text) Arrow table → a WET file (WARC/1.0
+    ``conversion`` records; test fixture writer, the inverse of
+    :func:`read_wet`)."""
+    chunks: list[bytes] = []
+    for i in range(len(table)):
+        url = table.column("url")[i].as_py()
+        ts = table.column("warc_ts")[i].as_py()
+        body = (table.column("text")[i].as_py() or "").encode("utf8")
+        iso = ts.replace(tzinfo=timezone.utc).isoformat().replace("+00:00", "Z")
+        hdr = (
+            "WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {iso}\r\n"
+            f"Content-Length: {len(body)}\r\n"
+            "Content-Type: text/plain\r\n"
+        ).encode("latin-1")
+        chunks.append(hdr + b"\r\n" + body + b"\r\n\r\n")
     blob = b"".join(chunks)
     if compress:
         blob = gzip.compress(blob)
