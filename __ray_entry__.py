@@ -42,6 +42,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- changed or new this round ---
         "q_pages_flagship": Q.q_pages_flagship,
+        "q_dup_clusters": Q.q_dup_clusters,
+        "q_bm25": Q.q_bm25,
         "q_heavy_hitters": Q.q_heavy_hitters,
         "q_quantile_sketch": Q.q_quantile_sketch,
         "q_snapshot_loop": Q.q_snapshot_loop,

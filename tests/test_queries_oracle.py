@@ -32,7 +32,7 @@ def oracle_names():
     "q_span_dedup", "q_pii_stats", "q_trigram_lm", "q_collocations",
     "q_quality_percentile", "q_budget_mix", "q_normalized_dedup", "q_funnel",
     "q_gopher_rules", "q_repetition_rules", "q_filter_pr_curve",
-    "q_quantile_sketch",
+    "q_quantile_sketch", "q_dup_clusters", "q_bm25",
     # golden-parquet oracles (scripts/make_goldens.py)
     "q_langid", "q_perplexity", "q_minhash", "q_simhash", "q_simhash_neardup",
     "q_ann_ivf", "q_embedding_neardup", "q_pages_flagship", "q_pages_neardup",
@@ -352,3 +352,78 @@ def test_quantile_sketch_exact_small_bounded_large(ray_session):
         true_rank = (e["values"] <= est).mean()
         assert abs(true_rank - 0.5) <= tol, (lang, est, true_rank, tol)
     assert sampled > 0, "sf0.1 should have at least one sampled language"
+
+
+def test_dup_clusters_matches_driver_union_find(ray_session):
+    """The q_dup_clusters driver row (distributed min-label CC) must
+    agree with the in-process union-find over the SAME pair list — an
+    independent third implementation beyond the recursive-CTE oracle."""
+    from textpipe_ray.pipelines.queries import q_dup_clusters
+    from textpipe_ray.stages.dedup import pair_clusters, shingle_jaccard_pairs
+    import ray as _ray
+
+    ds = _ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    pairs = shingle_jaccard_pairs(ds, k=3, threshold=0.8).to_pandas()
+    want = pair_clusters(pairs)  # {doc_id: root} via union-find
+    got = q_dup_clusters(SF).to_pandas()
+    assert len(got) == len(want) > 0
+    for doc_id, root in zip(got["doc_id"], got["root"]):
+        assert want[int(doc_id)] == int(root)
+    # roots really are component minima
+    assert (got.groupby("root")["doc_id"].min().index.to_numpy()
+            == got.groupby("root")["doc_id"].min().to_numpy()).all()
+
+
+def test_bm25_matches_independent_python(ray_session):
+    """q_bm25 vs a from-scratch pure-Python BM25 over the same parquet
+    (different tokenizer call pattern, different accumulation order up
+    to the documented left-fold) — guards against the Ray plan and the
+    generated SQL sharing a bug."""
+    import math
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from textpipe_ray.pipelines.queries import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        BM25_TOPK,
+        TFIDF_TOKEN_RE,
+        q_bm25,
+    )
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    tok = re.compile(TFIDF_TOKEN_RE)
+    docs = {
+        int(d): Counter(tok.findall((x or "").lower()))
+        for d, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    }
+    dls = {d: sum(c.values()) for d, c in docs.items()}
+    n = len(docs)
+    avgdl = float(sum(dls.values())) / float(n)
+    df = {w: sum(1 for c in docs.values() if c[w] > 0) for w in BM25_TERMS}
+    idf = {
+        w: math.log(1.0 + ((float(n) - float(df[w])) + 0.5) / (float(df[w]) + 0.5))
+        for w in BM25_TERMS
+    }
+
+    def score(d):
+        s = None
+        for w in BM25_TERMS:
+            tf = float(docs[d][w])
+            tj = idf[w] * (
+                (tf * (BM25_K1 + 1.0))
+                / (tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dls[d] / avgdl)))
+            )
+            s = tj if s is None else s + tj
+        return math.floor(s * 1000000.0)
+
+    want = sorted(((-score(d), d) for d in docs))[:BM25_TOPK]
+    got = q_bm25(SF).to_pandas().sort_values(
+        ["bm25_micro", "doc_id"], ascending=[False, True]
+    )
+    assert len(got) == len(want)
+    for (neg_micro, doc_id), (_, row) in zip(want, got.iterrows()):
+        assert int(row["doc_id"]) == doc_id and int(row["bm25_micro"]) == -neg_micro

@@ -866,6 +866,86 @@ SELECT doc_id, top2_milli, top3_milli, top4_milli, dup2_milli,
        ELSE '' END AS drop_reason
 FROM r ORDER BY doc_id"""
 
+    # connected components over the SAME pair graph as q_ngram_jaccard:
+    # recursive-CTE transitive closure (exact but quadratic-ish in
+    # component size — a small-scale oracle only; the Ray plan is the
+    # iterative min-label propagation in stages/dedup)
+    pairs_sql = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i.i, i.i + 2), ' ') AS shingle
+  FROM toks CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+  ) i
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n AS DOUBLE) / CAST(sa.sz + sb.sz - n AS DOUBLE) >= 0.8"""
+    out["q_dup_clusters"] = f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r
+)
+SELECT node AS doc_id, least(node, min(r)) AS root FROM reach GROUP BY node"""
+
+    # BM25 top-k retrieval: generated from the SAME constants as
+    # queries.q_bm25 (terms, k1, b, K) with the float expression tree
+    # mirrored exactly — left-fold term sum, same parenthesization, same
+    # floor(score*1e6) quantization before the (micro DESC, doc_id) rank
+    from textpipe_ray.pipelines.queries import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        BM25_TOPK,
+    )
+
+    tf_cols = ",\n  ".join(
+        f"len(list_filter(ws, w -> w = '{t}')) AS tf{j}"
+        for j, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END) AS df{j}"
+        for j in range(len(BM25_TERMS))
+    )
+    k1p1, omb = repr(BM25_K1 + 1.0), repr(1.0 - BM25_B)
+    term_exprs = []
+    for j in range(len(BM25_TERMS)):
+        idf = (
+            f"ln(1.0 + ((CAST(n AS DOUBLE) - CAST(df{j} AS DOUBLE)) + 0.5)"
+            f" / (CAST(df{j} AS DOUBLE) + 0.5))"
+        )
+        term_exprs.append(
+            f"{idf} * ((CAST(tf{j} AS DOUBLE) * {k1p1}) / (CAST(tf{j} AS DOUBLE)"
+            f" + {BM25_K1!r} * ({omb} + {BM25_B!r} * (CAST(dl AS DOUBLE) / avgdl))))"
+        )
+    score = term_exprs[0]
+    for e in term_exprs[1:]:
+        score = f"({score} + {e})"
+    out["q_bm25"] = f"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws FROM documents),
+f AS (SELECT doc_id, len(ws) AS dl,
+  {tf_cols}
+  FROM toks),
+st AS (SELECT count(*) AS n,
+       CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+       {df_cols} FROM f),
+sc AS (SELECT doc_id, {score} AS score FROM f, st)
+SELECT doc_id, CAST(floor(score * 1000000.0) AS BIGINT) AS bm25_micro
+FROM sc QUALIFY row_number() OVER (ORDER BY bm25_micro DESC, doc_id) <= {BM25_TOPK}"""
+
     return out
 
 

@@ -5994,3 +5994,151 @@ def q_ann_ivf_layout(sf_dir: str, layout_path: str | None = None):
         if layout_path is None:
             _sh.rmtree(path, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster assignment (distributed connected components) and
+# BM25 keyword retrieval — round-4 additions.
+# ---------------------------------------------------------------------------
+
+
+def q_dup_clusters(sf_dir: str):
+    """Near-dup CLUSTER ASSIGNMENT: distributed connected components
+    over the exact word-3-gram Jaccard pair graph of
+    ``q_ngram_jaccard`` — the step between pair-finding and
+    keeper-selection in every fuzzy-dedup recipe (MinHash/SimHash/
+    suffix pipelines all end with "group the pairs, keep one per
+    component").  ``q_pages_dedup`` exercises the DRIVER union-find
+    finisher; this row value-checks the DISTRIBUTED path
+    (:func:`textpipe_ray.stages.dedup.pair_clusters_distributed`):
+    iterative min-label propagation — per round one ``Dataset.join``
+    of the labels onto the symmetric edge list plus a per-node
+    groupby-min, converging on an 8-byte driver scalar when
+    ``sum(label)`` stops falling.  Rounds = component diameter
+    (near-dup clusters are star-like, 2-4); nothing about the graph
+    ever sits on the driver, so this is the plan that survives a
+    mostly-duplicated corpus whose PAIR LIST outgrows one process.
+
+    The DuckDB oracle is a recursive-CTE transitive closure — exact
+    but quadratic-in-component-size, i.e. usable as a small-scale
+    oracle and nothing else; the two plans agreeing on every (doc_id,
+    root) row is the check.  Output: one row per document appearing in
+    ≥1 pair; ``root`` = the component's minimum doc_id."""
+    from textpipe_ray.stages.dedup import (
+        pair_clusters_distributed,
+        shingle_jaccard_pairs,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = shingle_jaccard_pairs(ds, k=3, threshold=0.8)
+    return pair_clusters_distributed(pairs)
+
+
+# BM25 retrieval constants: Robertson k1/b defaults; the query terms are
+# fixed high-signal words of the synthetic vocabulary (the oracle SQL is
+# generated from this same tuple, so both engines score the same query).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("data", "merge", "window", "stream", "vector", "customer")
+BM25_TOPK = 100
+
+
+def q_bm25(sf_dir: str):
+    """BM25 keyword retrieval (Robertson/Sparck-Jones; the lexical
+    companion of the embedding ANN queries): score every document
+    against a fixed multi-term query, return the global top-k.
+
+    Scale shape — text is read once and never shuffled:
+      1. ONE tokenize pass materializes the per-doc feature table
+         ``(doc_id, dl, tf_0..tf_T)`` — 8 ints/doc, text projected
+         away (the same materialize-the-small-derivative idiom as
+         q_tfidf_topk's tf table).
+      2. Corpus stats (N, Σdl, per-term df) are ONE constant-size
+         partial row per block, summed driver-side — no shuffle.
+      3. Scoring is a row-local pass over the feature table with the
+         T-entry idf table captured in the closure; each block emits
+         only its partial top-k (≤ K rows), and a single-block merge
+         finishes — the exchange is ≤ K·blocks 16-byte rows, never
+         O(N).
+    Scores are quantized ``floor(score·1e6)`` on BOTH engines before
+    ranking (same ulp argument as q_tfidf_topk) and ties break on
+    doc_id, so the top-k SET is deterministic and the value hash
+    exact.  Float expressions mirror the oracle SQL shape exactly
+    (left-fold term sum, same parenthesization)."""
+    import re as _re
+
+    tok_re = _re.compile(TFIDF_TOKEN_RE)
+    terms = np.array(BM25_TERMS)
+    T = len(terms)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def feat_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(batch.column("doc_id"), _I64), dtype=np.int64)
+        texts = batch.column("text").to_pylist()
+        D = len(ids)
+        dl = np.zeros(D, dtype=np.int64)
+        tf = np.zeros((D, T), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = tok_re.findall((t or "").lower())
+            dl[i] = len(toks)
+            if toks:
+                uniq, cnt = np.unique(toks, return_counts=True)
+                pos = np.searchsorted(uniq, terms)
+                ok = (pos < len(uniq)) & (uniq[np.minimum(pos, len(uniq) - 1)] == terms)
+                tf[i, ok] = cnt[pos[ok]]
+        cols = {"doc_id": pa.array(ids, _I64), "dl": pa.array(dl, _I64)}
+        for j in range(T):
+            cols[f"tf{j}"] = pa.array(tf[:, j], _I64)
+        return pa.table(cols)
+
+    feats = ds.map_batches(feat_rows, batch_format="pyarrow").materialize()
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            "n": pa.array([len(batch)], _I64),
+            "sdl": pa.array([int(np.sum(np.asarray(batch.column("dl"), dtype=np.int64)))], _I64),
+        }
+        for j in range(T):
+            cols[f"df{j}"] = pa.array(
+                [int(np.count_nonzero(np.asarray(batch.column(f"tf{j}"), dtype=np.int64)))],
+                _I64,
+            )
+        return pa.table(cols)
+
+    parts = feats.map_batches(stat_partial, batch_format="pyarrow").take_all()
+    n_docs = sum(p["n"] for p in parts)
+    sum_dl = sum(p["sdl"] for p in parts)
+    df = np.array([sum(p[f"df{j}"] for p in parts) for j in range(T)], dtype=np.float64)
+    # identical expression shapes to the generated oracle SQL
+    avgdl = float(sum_dl) / float(n_docs)
+    idf = np.log(1.0 + ((float(n_docs) - df) + 0.5) / (df + 0.5))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        dl = np.asarray(batch.column("dl"), dtype=np.int64).astype(np.float64)
+        norm = BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dl / avgdl))
+        score = None
+        for j in range(T):
+            tfj = np.asarray(batch.column(f"tf{j}"), dtype=np.int64).astype(np.float64)
+            tj = idf[j] * ((tfj * (BM25_K1 + 1.0)) / (tfj + norm))
+            score = tj if score is None else score + tj
+        micro = np.floor(score * 1000000.0).astype(np.int64) if len(ids) else np.zeros(0, np.int64)
+        order = np.lexsort((ids, -micro))[:BM25_TOPK]
+        return pa.table(
+            {"doc_id": pa.array(ids[order], _I64), "bm25_micro": pa.array(micro[order], _I64)}
+        )
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        micro = np.asarray(batch.column("bm25_micro"), dtype=np.int64)
+        order = np.lexsort((ids, -micro))[:BM25_TOPK]
+        return pa.table(
+            {"doc_id": pa.array(ids[order], _I64), "bm25_micro": pa.array(micro[order], _I64)}
+        )
+
+    return (
+        feats.map_batches(partial_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_topk, batch_format="pyarrow")
+    )

@@ -983,7 +983,10 @@ def pair_clusters_distributed(
         .materialize()
     )
     if labels.count() == 0:
-        return labels
+        # keep the output schema identical to the non-empty path
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "root": pa.array([], pa.int64())})
+        )
 
     prev_sum = labels.sum("label")
     for _ in range(max_rounds):
