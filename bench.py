@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "q_ann_ivf_layout",
     "q_quantile_sketch",
     "q_heavy_hitters",
+    "q_dup_clusters",
+    "q_bm25",
 ]
 
 
