@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "q_quantile_sketch",
     "q_heavy_hitters",
     "q_dup_clusters",
+    "q_ann_ivf_append",
     "q_bm25",
 ]
 

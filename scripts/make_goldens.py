@@ -64,6 +64,7 @@ GOLDEN_QUERIES = [
     "q_snapshot_loop",
     "q_ann_ivf_layout",
     "q_heavy_hitters",
+    "q_ann_ivf_append",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

@@ -205,3 +205,76 @@ def test_ivf_recall_on_label_sorted_input(ray_session):
         got = set(out[out["query_id"] == qid]["neighbor_id"])
         recalls.append(len(truth & got) / 10)
     assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_ivf_layout_append_compact_lifecycle(emb_ds, tmp_path):
+    """Lifecycle invariants of the persisted IVF layout:
+    (1) base(EVEN) + append(ODD) answers bit-equal a JOINT layout built
+        in one write with the same base centroids — appends add
+        postings, never shift cell boundaries;
+    (2) the append is invisible until its atomic meta commit (data
+        written first, meta bump last);
+    (3) compaction rewrites everything into one generation, retires
+        old dirs, and answers stay bit-identical."""
+    import glob
+    import json
+    import os
+
+    import ray.data
+
+    from textpipe_ray.stages.ann import (
+        ann_ivf_topk_layout,
+        append_ivf_layout,
+        compact_ivf_layout,
+        write_ivf_layout,
+    )
+
+    ds, vecs = emb_ds
+    qids = np.arange(3, dtype=np.int64)
+    qmat = vecs[:3]
+
+    import pyarrow as pa
+
+    def half(parity):
+        def f(b):
+            v = b.column("vec_id").to_numpy()
+            return b.filter(pa.array(v % 2 == parity))
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    lay = str(tmp_path / "lifecycle")
+    cents = write_ivf_layout(half(0), lay, num_centroids=16, sample_size=2048, seed=13)
+
+    # (2) data-before-commit: snapshot assigned + written under gen-1,
+    # but until the meta bump the reader must see the base only
+    before, _, _ = ann_ivf_topk_layout(lay, qids, qmat, k=10, nprobe=4)
+    before = before.to_pandas()
+    assert set(before["neighbor_id"]) <= set(range(0, 400, 2))
+
+    append_ivf_layout(lay, half(1))
+    meta = json.load(open(f"{lay}/_meta.json"))
+    assert meta["gens"] == [1] and meta["base"] is True
+
+    got, _, _ = ann_ivf_topk_layout(lay, qids, qmat, k=10, nprobe=4)
+    got = got.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    # (1) joint layout with the SAME centroids
+    joint = str(tmp_path / "joint")
+    write_ivf_layout(ds, joint, centroids=cents)
+    want, _, _ = ann_ivf_topk_layout(joint, qids, qmat, k=10, nprobe=4)
+    want = want.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    cols = ["query_id", "neighbor_id", "rank", "cos_q"]
+    assert got[cols].equals(want[cols])
+
+    # (3) compaction: same answers, old dirs retired, one generation
+    compact_ivf_layout(lay)
+    meta = json.load(open(f"{lay}/_meta.json"))
+    assert meta["base"] is False and len(meta["gens"]) == 1
+    assert not glob.glob(f"{lay}/cell=*") and not os.path.isdir(f"{lay}/gen-1")
+    after, _, _ = ann_ivf_topk_layout(lay, qids, qmat, k=10, nprobe=4)
+    after = after.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert after[cols].equals(want[cols])
+
+    # further appends still work after compaction
+    append_ivf_layout(lay, half(1))
+    meta = json.load(open(f"{lay}/_meta.json"))
+    assert len(meta["gens"]) == 2

@@ -42,7 +42,7 @@ def oracle_names():
     "q_dsir", "q_embedding_pca", "q_video_dedup", "q_audio_dedup",
     "q_para_ppl", "q_incremental_dedup", "q_distinct_sketch", "q_doc_vectors", "q_bloom_dedup", "q_bpe_train", "q_semdedup",
     "q_classifier_train", "q_substring_dedup", "q_snapshot_loop",
-    "q_ann_ivf_layout", "q_heavy_hitters",
+    "q_ann_ivf_layout", "q_heavy_hitters", "q_ann_ivf_append",
 ])
 def test_query_matches_oracle(ray_session, name):
     from textpipe_ray.pipelines.compare import compare, run_oracle

@@ -6142,3 +6142,59 @@ def q_bm25(sf_dir: str):
         .repartition(1)
         .map_batches(final_topk, batch_format="pyarrow")
     )
+
+
+def q_ann_ivf_append(sf_dir: str, layout_path: str | None = None):
+    """IVF layout LIFECYCLE as a driver row (the ANN analog of
+    q_snapshot_loop's minhash-index loop): build the partitioned layout
+    from the EVEN-vec_id half of the embedding table (centroids fit on
+    that base), ``append_ivf_layout`` the odd half as a committed
+    generation — new vectors assigned to the EXISTING centroids, data
+    written before the atomic ``_meta.json`` bump — then run the same
+    probed top-k as q_ann_ivf_layout over base + generation.  The
+    result must (and does — tests/test_ann.py) bit-equal a joint
+    single-write layout built with the same base centroids: appending
+    never shifts cell boundaries, it only adds postings.
+    ``layout_path`` must be shared storage on a cluster; omitted →
+    temp dir, removed after materialize."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    import pyarrow.parquet as pq
+
+    from textpipe_ray.stages.ann import (
+        ann_ivf_topk_layout,
+        append_ivf_layout,
+        write_ivf_layout,
+    )
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), ANN_NUM_QUERIES))
+    qids = np.asarray(qt.column("vec_id"), dtype=np.int64)
+    qmat = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def even(batch: pa.Table) -> pa.Table:
+        v = np.asarray(pc.cast(batch.column("vec_id"), _I64), dtype=np.int64)
+        return batch.filter(pa.array(v % 2 == 0))
+
+    def odd(batch: pa.Table) -> pa.Table:
+        v = np.asarray(pc.cast(batch.column("vec_id"), _I64), dtype=np.int64)
+        return batch.filter(pa.array(v % 2 == 1))
+
+    base = ds.map_batches(even, batch_format="pyarrow")
+    snap = ds.map_batches(odd, batch_format="pyarrow")
+
+    path = layout_path or _tf.mkdtemp(prefix="textpipe_ray_ivf_append_")
+    try:
+        write_ivf_layout(base, path, num_centroids=32, sample_size=2048, seed=13)
+        append_ivf_layout(path, snap)
+        res, _cells_read, _cells_total = ann_ivf_topk_layout(
+            path, qids, qmat, k=ANN_K, nprobe=8
+        )
+        out = res.materialize()
+    finally:
+        if layout_path is None:
+            _sh.rmtree(path, ignore_errors=True)
+    return out

@@ -267,6 +267,7 @@ def write_ivf_layout(
     seed: int = 13,
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Persist the embedding table PARTITIONED BY IVF CELL — the layout
     that turns nprobe into file-level read pruning: centroids fit on
@@ -276,13 +277,139 @@ def write_ivf_layout(
     data (``centroids.npy``).  ``path`` must be shared storage on a
     multi-node cluster (same contract as the minhash index).  Returns
     the centroid matrix."""
-    sample = _uniform_sample(ds, sample_size, id_col, embedding_col)
-    cents = _kmeans(sample, num_centroids, kmeans_iters, seed)
+    if centroids is None:
+        sample = _uniform_sample(ds, sample_size, id_col, embedding_col)
+        cents = _kmeans(sample, num_centroids, kmeans_iters, seed)
+    else:
+        cents = np.asarray(centroids, dtype=np.float64)
     assign_cells(ds, ray.put(cents), id_col, embedding_col).write_parquet(
         path, partition_cols=["cell"]
     )
     np.save(f"{path}/centroids.npy", cents)
     return cents
+
+
+IVF_LAYOUT_FORMAT = "textpipe_ray-ivf-layout-v1"
+
+
+def _ivf_meta(path: str) -> dict:
+    """Committed-generation manifest; a missing meta file means a plain
+    :func:`write_ivf_layout` base with no appends (back-compat)."""
+    import json
+    import os
+
+    p = f"{path}/_meta.json"
+    if not os.path.exists(p):
+        return {"format": IVF_LAYOUT_FORMAT, "gens": [], "base": True}
+    with open(p, "r", encoding="utf8") as f:
+        meta = json.load(f)
+    if meta.get("format") != IVF_LAYOUT_FORMAT:
+        raise ValueError(f"not a {IVF_LAYOUT_FORMAT} layout: {path}")
+    return meta
+
+
+def _write_ivf_meta(path: str, meta: dict) -> None:
+    """Atomic commit marker (temp + rename, same contract as the
+    minhash index): data files are written FIRST, the meta bump is
+    LAST, so a crashed append/compact is invisible to readers and a
+    retry simply overwrites the orphan directory."""
+    import json
+    import os
+
+    tmp = f"{path}/_meta.json.tmp"
+    with open(tmp, "w", encoding="utf8") as f:
+        json.dump(meta, f)
+    os.replace(tmp, f"{path}/_meta.json")
+
+
+def _ivf_sources(path: str, meta: dict) -> list[str]:
+    """Root directories holding committed cell partitions."""
+    roots = [path] if meta.get("base", True) else []
+    roots.extend(f"{path}/gen-{g}" for g in meta.get("gens", []))
+    return roots
+
+
+def append_ivf_layout(
+    path: str,
+    ds: "ray.data.Dataset",
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> int:
+    """Grow a persisted IVF layout with a new embedding snapshot — the
+    ANN side of the index LIFECYCLE the minhash dedup index already
+    has (write → append generations → compact): new vectors are
+    assigned to the EXISTING centroids (read from the layout, never
+    recomputed — appends must not shift cell boundaries under
+    already-written data) and land in a fresh ``gen-N`` directory,
+    committed by an atomic ``_meta.json`` bump written LAST.  Queries
+    over the layout see base + every committed generation.  ``path``
+    must be shared storage on a multi-node cluster.  Returns the new
+    generation id."""
+    meta = _ivf_meta(path)
+    cents = np.load(f"{path}/centroids.npy")
+    gen = max(meta["gens"], default=0) + 1
+    assign_cells(ds, ray.put(cents), id_col, embedding_col).write_parquet(
+        f"{path}/gen-{gen}", partition_cols=["cell"]
+    )
+    meta["gens"] = meta["gens"] + [gen]
+    _write_ivf_meta(path, meta)
+    return gen
+
+
+def compact_ivf_layout(path: str) -> None:
+    """Merge base + every committed generation into ONE fresh
+    generation and retire the old directories: restores O(cells) read
+    fan-in after many snapshot appends.  The rewrite is a streaming
+    cell-partitioned copy (rows already carry their cell in the dir
+    name — no re-assignment, no centroid math); the atomic meta swap
+    commits it, so readers see either the old generation set or the
+    compacted one, never a mix."""
+    import glob as _glob
+    import shutil as _sh
+
+    import pyarrow.compute as _pc
+    import ray.data as _rd
+
+    meta = _ivf_meta(path)
+    old_roots = _ivf_sources(path, meta)
+    files: list[str] = []
+    for root in old_roots:
+        files.extend(sorted(_glob.glob(f"{root}/cell=*/*.parquet")))
+    if not meta.get("gens"):
+        return  # base only — nothing to compact
+    gen = max(meta["gens"]) + 1
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        cell = _pc.cast(
+            _pc.struct_field(
+                _pc.extract_regex(batch.column("path"), r"cell=(?P<cell>\d+)/"),
+                "cell",
+            ),
+            pa.int64(),
+        )
+        return batch.drop_columns(["path"]).append_column("cell", cell)
+
+    # read only the PHYSICAL file columns (hive inference would add the
+    # dir-derived cell column and collide with the stamped one)
+    import pyarrow.parquet as _pq
+
+    phys_cols = [
+        n for n in _pq.ParquetFile(files[0]).schema_arrow.names if n != "cell"
+    ]
+    _rd.read_parquet(files, columns=phys_cols, include_paths=True).map_batches(
+        stamp, batch_format="pyarrow"
+    ).write_parquet(f"{path}/gen-{gen}", partition_cols=["cell"])
+    _write_ivf_meta(
+        path, {"format": IVF_LAYOUT_FORMAT, "gens": [gen], "base": False}
+    )
+    # retirement after the commit point: a crash here only leaks dirs
+    # (readers already ignore them)
+    for root in old_roots:
+        if root == path:
+            for d in _glob.glob(f"{path}/cell=*"):
+                _sh.rmtree(d, ignore_errors=True)
+        else:
+            _sh.rmtree(root, ignore_errors=True)
 
 
 def ann_ivf_topk_layout(
@@ -310,8 +437,16 @@ def ann_ivf_topk_layout(
     qd = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)  # (Q, C)
     probe = np.argsort(qd, axis=1)[:, :nprobe]  # (Q, nprobe)
     probed_cells = sorted({int(c) for row in probe for c in row})
+    # committed sources only: the base dir (unless retired by a
+    # compaction) plus every generation the meta marks committed — an
+    # in-flight append's files are invisible until its meta bump
+    src_roots = _ivf_sources(path, _ivf_meta(path))
     all_cells = sorted(
-        int(p.rsplit("cell=", 1)[1]) for p in _glob.glob(f"{path}/cell=*")
+        {
+            int(p.rsplit("cell=", 1)[1])
+            for root in src_roots
+            for p in _glob.glob(f"{root}/cell=*")
+        }
     )
     probe_sets = [set(int(c) for c in row) for row in probe]
     ref = ray.put((qids, qmat, qnorm, probe_sets))
@@ -331,7 +466,8 @@ def ann_ivf_topk_layout(
     cells_read = [c for c in probed_cells if c in existing]
     files = []
     for c in cells_read:
-        files.extend(sorted(_glob.glob(f"{path}/cell={c}/*.parquet")))
+        for root in src_roots:
+            files.extend(sorted(_glob.glob(f"{root}/cell={c}/*.parquet")))
     if not files:
         # every probed centroid owns zero vectors (k-means empty cells
         # get no hive dir) — the correct answer is an empty result, not

@@ -938,9 +938,6 @@ def pair_clusters_distributed(
     8-byte convergence scalar per round."""
     from ray.data.aggregate import Min as _Min
 
-    if num_partitions is None:
-        num_partitions = _join_partitions()
-
     def sym(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch.column("id_a"), dtype=np.int64)
         b = np.asarray(batch.column("id_b"), dtype=np.int64)
@@ -956,9 +953,21 @@ def pair_clusters_distributed(
     # schema resolution) — applied to every dataset that feeds a join
     edges = (
         pairs.map_batches(sym, batch_format="pyarrow")
-        .repartition(num_partitions)
+        .repartition(num_partitions or _join_partitions())
         .materialize()
     )
+    if num_partitions is None:
+        # size the per-round exchanges to the MEASURED graph, not the
+        # CPU count: each propagation round pays per-partition task
+        # overhead (join + groupby + union), which dominates wall time
+        # when the pair graph is small (a 500-edge graph on 64
+        # partitions spends ~100% of each round on scheduling).  ~100k
+        # edges per partition keeps partitions meaty; the cap keeps
+        # giant graphs within the join-partition budget.
+        num_partitions = int(
+            min(_join_partitions(), max(2, edges.count() // 100_000 + 1))
+        )
+        edges = edges.repartition(num_partitions).materialize()
 
     # initial label = min(node, min neighbor) — folds round one in
     labels = (
