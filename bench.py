@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "q_dup_clusters",
     "q_ann_ivf_append",
     "q_bm25",
+    "q_epoch_mix",
 ]
 
 

@@ -32,7 +32,7 @@ def oracle_names():
     "q_span_dedup", "q_pii_stats", "q_trigram_lm", "q_collocations",
     "q_quality_percentile", "q_budget_mix", "q_normalized_dedup", "q_funnel",
     "q_gopher_rules", "q_repetition_rules", "q_filter_pr_curve",
-    "q_quantile_sketch", "q_dup_clusters", "q_bm25",
+    "q_quantile_sketch", "q_dup_clusters", "q_bm25", "q_epoch_mix",
     # golden-parquet oracles (scripts/make_goldens.py)
     "q_langid", "q_perplexity", "q_minhash", "q_simhash", "q_simhash_neardup",
     "q_ann_ivf", "q_embedding_neardup", "q_pages_flagship", "q_pages_neardup",
@@ -427,3 +427,29 @@ def test_bm25_matches_independent_python(ray_session):
     assert len(got) == len(want)
     for (neg_micro, doc_id), (_, row) in zip(want, got.iterrows()):
         assert int(row["doc_id"]) == doc_id and int(row["bm25_micro"]) == -neg_micro
+
+
+def test_epoch_mix_semantics(ray_session):
+    """Factors, epoch ranges and shard spreading of the repeat
+    upsampler, checked independently of the SQL oracle."""
+    import duckdb
+
+    from textpipe_ray.pipelines.queries import (
+        EPOCH_MIX_MAX_FACTOR,
+        EPOCH_MIX_TARGET,
+        q_epoch_mix,
+    )
+
+    df = q_epoch_mix(SF).to_pandas()
+    n = duckdb.sql(
+        f"select source, count(*) n from read_parquet('{SF}/documents.parquet') group by 1"
+    ).fetchdf().set_index("source")["n"]
+    for source, g in df.groupby("source"):
+        f = min(max(EPOCH_MIX_TARGET // int(n[source]), 1), EPOCH_MIX_MAX_FACTOR)
+        assert len(g) == f * int(n[source])
+        per_doc = g.groupby("doc_id")["epoch"]
+        assert (per_doc.min() == 0).all() and (per_doc.max() == f - 1).all()
+    # replicas of one doc spread across shards (the reason epoch is in
+    # the shard key)
+    multi = df.groupby("doc_id")["shard"].nunique()
+    assert (multi > 1).any()

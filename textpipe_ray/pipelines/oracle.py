@@ -946,6 +946,26 @@ sc AS (SELECT doc_id, {score} AS score FROM f, st)
 SELECT doc_id, CAST(floor(score * 1000000.0) AS BIGINT) AS bm25_micro
 FROM sc QUALIFY row_number() OVER (ORDER BY bm25_micro DESC, doc_id) <= {BM25_TOPK}"""
 
+    # repeat-upsampling: same factor clamp, same md5-prefix shard math
+    from textpipe_ray.pipelines.queries import (
+        EPOCH_MIX_MAX_FACTOR,
+        EPOCH_MIX_SHARDS,
+        EPOCH_MIX_TARGET,
+    )
+
+    out["q_epoch_mix"] = f"""
+WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+f AS (SELECT source,
+        least(greatest({EPOCH_MIX_TARGET} // n, 1), {EPOCH_MIX_MAX_FACTOR}) AS factor
+      FROM n),
+r AS (SELECT d.doc_id, d.source,
+        unnest(generate_series(0, f.factor - 1)) AS epoch
+      FROM documents d JOIN f USING (source))
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(epoch AS BIGINT) AS epoch,
+  CAST(('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)), 1, 8)) AS BIGINT)
+    % {EPOCH_MIX_SHARDS} AS shard
+FROM r"""
+
     return out
 
 

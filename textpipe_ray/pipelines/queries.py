@@ -4033,13 +4033,16 @@ def q_video_dedup(sf_dir: str):
     rows = {"0.001": 200, "0.01": 500, "0.1": 2000}
     m = _re.search(r"sf([0-9.]+)", sf_dir)
     n = rows.get(m.group(1) if m else "0.001", 200)
-    media = ray.data.from_arrow(generate_media(n, dup_frac=0.3)).repartition(8)
+    media = ray.data.from_arrow(generate_media(n, dup_frac=0.3)).repartition(16)
 
+    # decode dominates this query (UDF ~5.5 ms/clip): size the pool to
+    # the session, not a constant — (1,4) left 3/4 of the measured UDF
+    # seconds queued behind 4 actors (4.7 s; (2,12) -> ~2.5 s at 32 cpus)
     frames = media.map_batches(
         VideoFrameHashStage,
         batch_format="pyarrow",
         batch_size=16,
-        concurrency=(1, 4),
+        concurrency=(2, max(4, min(12, _cpus() // 3))),
         fn_constructor_kwargs={"num_frames": VIDEO_FRAMES},
     )
 
@@ -6198,3 +6201,73 @@ def q_ann_ivf_append(sf_dir: str, layout_path: str | None = None):
         if layout_path is None:
             _sh.rmtree(path, ignore_errors=True)
     return out
+
+
+# Repeat-upsampling mixing constants: a source with fewer than TARGET
+# docs is repeated ceil-ish (TARGET // n, capped) times — the Llama /
+# DoReMi "epochs per source" knob, completing the mixing family's
+# UPsample direction (budget/domain/temperature only ever drop).
+EPOCH_MIX_TARGET = 300
+EPOCH_MIX_MAX_FACTOR = 8
+EPOCH_MIX_SHARDS = 64
+
+
+def q_epoch_mix(sf_dir: str):
+    """Per-source repeat upsampling: every document of source ``s`` is
+    emitted ``factor_s = clamp(TARGET // n_s, 1, MAX)`` times, each
+    replica tagged with its ``epoch`` index and a deterministic
+    ``shard = md5('epoch:'||doc_id||':'||epoch) % NSHARDS`` so replicas
+    of one document SPREAD across training shards instead of sitting
+    adjacent (the point of epoch-indexed sharding).
+
+    Scale shape: one tiny ``groupby(source).count`` broadcast via
+    ``ray.put`` (same plan as q_domain_mix — at millions of sources
+    this becomes a co-partitioned join), then a single row-local
+    ``np.repeat`` explode per batch — no shuffle, output streams.  The
+    oracle rebuilds the factors and replicas with generate_series and
+    the identical md5-prefix shard math."""
+    from textpipe_ray.functions.strhash import md5_hex
+
+    rows = (
+        _read(sf_dir, "documents", ["source"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    src = np.asarray([r["source"] for r in rows], dtype=object)
+    n = np.asarray([r["n"] for r in rows], dtype=np.int64)
+    order = np.argsort(src)
+    src_sorted = src[order]
+    factor = np.clip(EPOCH_MIX_TARGET // n[order], 1, EPOCH_MIX_MAX_FACTOR)
+    ref = ray.put((src_sorted, factor))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        src_s, factors = ray.get(ref)
+        ids = np.asarray(pc.cast(batch.column("doc_id"), _I64), dtype=np.int64)
+        s = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        cnt = factors[np.searchsorted(src_s, s)]
+        total = int(cnt.sum())
+        rep = np.repeat(np.arange(len(ids), dtype=np.int64), cnt)
+        starts = np.zeros(len(ids), dtype=np.int64)
+        np.cumsum(cnt[:-1], out=starts[1:])
+        epoch = np.arange(total, dtype=np.int64) - starts[rep]
+        rid = ids[rep]
+        keys = pa.array(
+            [f"epoch:{d}:{e}" for d, e in zip(rid.tolist(), epoch.tolist())],
+            pa.string(),
+        )
+        shard = np.array(
+            [int(h[:8], 16) for h in md5_hex(keys)], dtype=np.int64
+        ) % EPOCH_MIX_SHARDS
+        return pa.table(
+            {
+                "doc_id": pa.array(rid, _I64),
+                "source": pa.array(s[rep].tolist(), pa.string()),
+                "epoch": pa.array(epoch, _I64),
+                "shard": pa.array(shard, _I64),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
