@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "q_ann_ivf_append",
     "q_bm25",
     "q_epoch_mix",
+    "q_bitext_mine",
 ]
 
 

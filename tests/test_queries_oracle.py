@@ -32,7 +32,7 @@ def oracle_names():
     "q_span_dedup", "q_pii_stats", "q_trigram_lm", "q_collocations",
     "q_quality_percentile", "q_budget_mix", "q_normalized_dedup", "q_funnel",
     "q_gopher_rules", "q_repetition_rules", "q_filter_pr_curve",
-    "q_quantile_sketch", "q_dup_clusters", "q_bm25", "q_epoch_mix",
+    "q_quantile_sketch", "q_dup_clusters", "q_bm25", "q_epoch_mix", "q_bitext_mine",
     # golden-parquet oracles (scripts/make_goldens.py)
     "q_langid", "q_perplexity", "q_minhash", "q_simhash", "q_simhash_neardup",
     "q_ann_ivf", "q_embedding_neardup", "q_pages_flagship", "q_pages_neardup",
@@ -453,3 +453,39 @@ def test_epoch_mix_semantics(ray_session):
     # the shard key)
     multi = df.groupby("doc_id")["shard"].nunique()
     assert (multi > 1).any()
+
+
+def test_bitext_mine_mutual_best_numpy(ray_session):
+    """q_bitext_mine vs an independent dense-numpy mutual-best (single
+    full matmul — a different compute path from both the sharded Ray
+    scan and the SQL cross join)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from textpipe_ray.pipelines.queries import BITEXT_MIN_COS_Q, q_bitext_mine
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    a, b = ids % 2 == 0, ids % 2 == 1
+    aid, bid = ids[a], ids[b]
+    am, bm = emb[a], emb[b]
+    an = np.sqrt((am * am).sum(1)); bn = np.sqrt((bm * bm).sum(1))
+    q = np.floor((am @ bm.T) / np.outer(an, bn) * 1e9).astype(np.int64)
+    # max-q min-id argbest per row/col
+    def argbest(qm, cand_ids, axis):
+        order = np.argsort(cand_ids)
+        qs = np.take(qm, order, axis=axis)
+        best = qs.argmax(axis=axis)  # first max = min id after sorting ids asc
+        return cand_ids[order[best]]
+    best_b = argbest(q, bid, 1)
+    best_a = argbest(q, aid, 0)
+    want = set()
+    bpos = {int(v): i for i, v in enumerate(bid)}
+    apos = {int(v): i for i, v in enumerate(aid)}
+    for i, sa in enumerate(aid):
+        tb = int(best_b[i])
+        if int(best_a[bpos[tb]]) == int(sa) and q[i, bpos[tb]] >= BITEXT_MIN_COS_Q:
+            want.add((int(sa), tb))
+    got = {(int(r.src_id), int(r.tgt_id)) for r in q_bitext_mine(SF).to_pandas().itertuples()}
+    assert got == want and len(want) > 0

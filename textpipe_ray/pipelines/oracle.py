@@ -966,6 +966,22 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(epoch AS BIGINT) AS epoch,
     % {EPOCH_MIX_SHARDS} AS shard
 FROM r"""
 
+    # bitext mining: mutual-best cosine with the q_ann_topk quantize +
+    # min-id tie-break contract; threshold applied on the quantized value
+    from textpipe_ray.pipelines.queries import BITEXT_MIN_COS_Q
+
+    out["q_bitext_mine"] = f"""
+WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings WHERE vec_id % 2 = 0),
+b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings WHERE vec_id % 2 = 1),
+s AS (SELECT a.vec_id sa, b.vec_id sb,
+       CAST(floor(list_cosine_similarity(a.e, b.e) * 1e9) AS BIGINT) q
+      FROM a CROSS JOIN b),
+ab AS (SELECT sa, sb, q, row_number() OVER (PARTITION BY sa ORDER BY q DESC, sb) r FROM s),
+ba AS (SELECT sa, sb, row_number() OVER (PARTITION BY sb ORDER BY q DESC, sa) r FROM s)
+SELECT ab.sa AS src_id, ab.sb AS tgt_id
+FROM ab JOIN ba USING (sa, sb)
+WHERE ab.r = 1 AND ba.r = 1 AND ab.q >= {BITEXT_MIN_COS_Q}"""
+
     return out
 
 

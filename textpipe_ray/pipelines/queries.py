@@ -6271,3 +6271,102 @@ def q_epoch_mix(sf_dir: str):
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+# Bitext-mining threshold: mutual-best pairs must clear this quantized
+# cosine (no pair sits within 58k quanta of the boundary at either test
+# scale, so engine-ulp flips cannot change the row set).
+BITEXT_MIN_COS_Q = 300_000_000
+
+
+def q_bitext_mine(sf_dir: str):
+    """Embedding-space cross-set alignment (the bitext-mining shape of
+    Artetxe & Schwenk / CCMatrix): split the embedding table into two
+    halves (even vec_id = source set, odd = target set) and keep the
+    MUTUAL-best cosine pairs above a threshold — each side's best must
+    pick the other.
+
+    Scale shape — exact sharded search, no giant broadcast:
+      * the INDEX side is its own materialized Arrow BLOCK REFS (one
+        object-store ref per block, fetched one at a time inside the
+        scoring task — per-task memory is one index block + one query
+        batch, the FAISS-sharded-exact plan; a single ray.put of the
+        whole matrix would not survive a billion-row side);
+      * the QUERY side streams through ``map_batches``, keeping a
+        running (best_q, best_id) per row across index blocks — the
+        output is ONE row per query node, so the exchange after the
+        scan is O(N) 24-byte rows regardless of the N×M score count;
+      * mutual agreement is an equality ``Dataset.join`` of the two
+        directions' best tables (each N rows, hash-partitioned).
+    Cosines are quantized ``floor(cos·1e9)`` with min-id tie-break on
+    BOTH engines (the q_ann_topk contract), and the same float
+    expression shape as stages/ann is reused so DuckDB's
+    ``list_cosine_similarity`` agrees under quantization."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def half(par: int):
+        def f(batch: pa.Table) -> pa.Table:
+            v = np.asarray(pc.cast(batch.column("vec_id"), _I64), dtype=np.int64)
+            return batch.filter(pa.array(v % 2 == par))
+
+        return ds.map_batches(f, batch_format="pyarrow").materialize()
+
+    a_ds, b_ds = half(0), half(1)
+
+    def best_of(query_ds, index_refs, out_q: str, out_n: str):
+        def scan(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(pc.cast(batch.column("vec_id"), _I64), dtype=np.int64)
+            if len(ids) == 0:
+                return pa.table(
+                    {out_q: pa.array([], _I64), out_n: pa.array([], _I64),
+                     "cos_q": pa.array([], _I64)}
+                )
+            qm = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            qn = np.sqrt((qm * qm).sum(axis=1))
+            best_q = np.full(len(ids), np.iinfo(np.int64).min, dtype=np.int64)
+            best_id = np.full(len(ids), np.iinfo(np.int64).max, dtype=np.int64)
+            for ref in index_refs:
+                blk = ray.get(ref)
+                if len(blk) == 0:
+                    continue
+                nids = np.asarray(pc.cast(blk.column("vec_id"), _I64), dtype=np.int64)
+                emb = np.array(blk.column("embedding").to_pylist(), dtype=np.float64)
+                norms = np.sqrt((emb * emb).sum(axis=1))
+                for j in range(len(ids)):  # rows per batch × one matvec each
+                    sims_j = (emb @ qm[j]) / (norms * qn[j])
+                    cq = np.floor(sims_j * 1e9).astype(np.int64)
+                    o = np.lexsort((nids, -cq))[0]  # max q, min id tie-break
+                    if cq[o] > best_q[j] or (cq[o] == best_q[j] and nids[o] < best_id[j]):
+                        best_q[j] = cq[o]
+                        best_id[j] = nids[o]
+            return pa.table(
+                {
+                    out_q: pa.array(ids, _I64),
+                    out_n: pa.array(best_id, _I64),
+                    "cos_q": pa.array(best_q, _I64),
+                }
+            )
+
+        return query_ds.map_batches(scan, batch_format="pyarrow")
+
+    ab = best_of(a_ds, b_ds.to_arrow_refs(), "src_id", "tgt_id")
+    ba = best_of(b_ds, a_ds.to_arrow_refs(), "tgt_id", "src_id").drop_columns(
+        ["cos_q"]
+    )
+
+    def thresh(batch: pa.Table) -> pa.Table:
+        q = np.asarray(batch.column("cos_q"), dtype=np.int64)
+        return batch.filter(pa.array(q >= BITEXT_MIN_COS_Q)).drop_columns(["cos_q"])
+
+    nparts = 4
+    joined = (
+        ab.map_batches(thresh, batch_format="pyarrow")
+        .repartition(nparts)
+        .join(
+            ba.repartition(nparts),
+            join_type="inner",
+            num_partitions=nparts,
+            on=("src_id", "tgt_id"),
+        )
+    )
+    return joined.select_columns(["src_id", "tgt_id"])
