@@ -278,3 +278,58 @@ def test_ivf_layout_append_compact_lifecycle(emb_ds, tmp_path):
     append_ivf_layout(lay, half(1))
     meta = json.load(open(f"{lay}/_meta.json"))
     assert len(meta["gens"]) == 2
+
+
+def test_ivf_append_retry_is_idempotent(emb_ds, tmp_path):
+    """A crashed append (gen dir written, meta never bumped) must be
+    invisible to readers, and the RETRY must replace the orphan rather
+    than append alongside it (no doubled postings)."""
+    import glob
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textpipe_ray.stages.ann import (
+        ann_ivf_topk_layout,
+        append_ivf_layout,
+        write_ivf_layout,
+    )
+
+    ds, vecs = emb_ds
+    qids = np.arange(3, dtype=np.int64)
+    qmat = vecs[:3]
+
+    def half(parity):
+        def f(b):
+            v = b.column("vec_id").to_numpy()
+            return b.filter(pa.array(v % 2 == parity))
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    lay = str(tmp_path / "retry")
+    write_ivf_layout(half(0), lay, num_centroids=16, sample_size=2048, seed=13)
+    baseline, _, _ = ann_ivf_topk_layout(lay, qids, qmat, k=10, nprobe=4)
+    baseline = baseline.to_pandas()
+
+    # simulate the crash: gen-1 data lands on disk, no meta bump
+    import shutil
+
+    tmp_lay = str(tmp_path / "donor")
+    write_ivf_layout(half(1), tmp_lay, num_centroids=16, sample_size=2048, seed=13)
+    shutil.copytree(
+        glob.glob(f"{tmp_lay}")[0], f"{lay}/gen-1",
+        ignore=shutil.ignore_patterns("centroids.npy"),
+    )
+    crashed, _, _ = ann_ivf_topk_layout(lay, qids, qmat, k=10, nprobe=4)
+    # (2) invisible: identical answer to the pre-crash layout
+    assert crashed.to_pandas().equals(baseline)
+
+    # retry the append: orphan replaced, not appended to
+    append_ivf_layout(lay, half(1))
+    total = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(f"{lay}/gen-1/cell=*/*.parquet")
+    )
+    assert total == 200  # exactly one copy of the odd half
+    meta = json.load(open(f"{lay}/_meta.json"))
+    assert meta["gens"] == [1]

@@ -345,9 +345,15 @@ def append_ivf_layout(
     over the layout see base + every committed generation.  ``path``
     must be shared storage on a multi-node cluster.  Returns the new
     generation id."""
+    import shutil as _sh
+
     meta = _ivf_meta(path)
     cents = np.load(f"{path}/centroids.npy")
     gen = max(meta["gens"], default=0) + 1
+    # a crashed earlier attempt may have left an UNCOMMITTED gen dir at
+    # this number; write_parquet appends files rather than replacing, so
+    # the stale dir must go first for retries to be idempotent
+    _sh.rmtree(f"{path}/gen-{gen}", ignore_errors=True)
     assign_cells(ds, ray.put(cents), id_col, embedding_col).write_parquet(
         f"{path}/gen-{gen}", partition_cols=["cell"]
     )
@@ -396,6 +402,9 @@ def compact_ivf_layout(path: str) -> None:
     phys_cols = [
         n for n in _pq.ParquetFile(files[0]).schema_arrow.names if n != "cell"
     ]
+    # same retry-idempotence rule as append: clear any uncommitted
+    # leftover at this generation number before writing into it
+    _sh.rmtree(f"{path}/gen-{gen}", ignore_errors=True)
     _rd.read_parquet(files, columns=phys_cols, include_paths=True).map_batches(
         stamp, batch_format="pyarrow"
     ).write_parquet(f"{path}/gen-{gen}", partition_cols=["cell"])
