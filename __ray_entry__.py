@@ -32,9 +32,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # FIRST ~50 entries each round.  ROTATION POLICY (round-3 advice):
     # the window swaps each round so every query's hard driver signal is
     # at most one round old — this round the front holds (a) everything
-    # whose code changed this round (ANN partial top-k, corpus-release
-    # hashing, sort-finisher drops, ops-registry fix, new q_doc_vectors)
-    # and (b) the 26 queries demoted in round 3 (last driver-checked in
+    # new or changed this round (q_dup_clusters, q_bm25,
+    # q_ann_ivf_append, q_epoch_mix, q_bitext_mine, ANN partial top-k,
+    # corpus-release hashing, sort-finisher drops, q_doc_vectors) and
+    # (b) the 26 queries demoted in round 3 (last driver-checked in
     # round 2).  The tail (>50) is exactly the set green in
     # CORRECTNESS_r03 with code untouched this round; all tail queries
     # stay value-checked every pytest run via the local oracle replica
