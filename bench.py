@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "q_bm25",
     "q_epoch_mix",
     "q_bitext_mine",
+    "q_keeper_selection",
 ]
 
 

@@ -901,6 +901,27 @@ reach(node, r) AS (
 )
 SELECT node AS doc_id, least(node, min(r)) AS root FROM reach GROUP BY node"""
 
+    # keeper selection over the SAME clusters: per-root argmax of the
+    # Gopher n_words feature (ties -> min doc_id), mirroring
+    # queries.q_keeper_selection's lexsort rule exactly
+    nw_keeper = count_expr("text", r"\S+")
+    out["q_keeper_selection"] = f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r
+),
+clusters AS (SELECT node AS doc_id, least(node, min(r)) AS root FROM reach GROUP BY node),
+nw AS (SELECT doc_id, {nw_keeper} AS n_words FROM documents),
+j AS (SELECT c.doc_id, c.root, nw.n_words FROM clusters c JOIN nw ON nw.doc_id = c.doc_id)
+SELECT doc_id, root, n_words,
+  first_value(doc_id) OVER w AS keeper_id,
+  doc_id = first_value(doc_id) OVER w AS is_keeper
+FROM j
+WINDOW w AS (PARTITION BY root ORDER BY n_words DESC, doc_id)"""
+
     # BM25 top-k retrieval: generated from the SAME constants as
     # queries.q_bm25 (terms, k1, b, K) with the float expression tree
     # mirrored exactly — left-fold term sum, same parenthesization, same

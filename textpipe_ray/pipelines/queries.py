@@ -6370,3 +6370,76 @@ def q_bitext_mine(sf_dir: str):
         )
     )
     return joined.select_columns(["src_id", "tgt_id"])
+
+
+# ---------------------------------------------------------------------------
+# Keeper selection: quality-aware canonical document per near-dup
+# cluster — the step AFTER cluster formation in every fuzzy-dedup
+# recipe (FineWeb/CCNet keep one representative per cluster; the
+# reference's find_minhash similarity (doc.py:465) only surfaces the
+# pair — choosing which side survives is the production decision).
+# ---------------------------------------------------------------------------
+
+
+def q_keeper_selection(sf_dir: str):
+    """Canonical-document selection per near-dup cluster: form the
+    exact word-3-gram Jaccard clusters of :func:`q_dup_clusters`, then
+    keep the HIGHEST-QUALITY member of each (quality = word count
+    ``\\S+``, the Gopher n_words feature; ties break to the smaller
+    doc_id).  Output: one row per clustered document — ``(doc_id,
+    root, n_words, keeper_id, is_keeper)``.
+
+    Scale shape:
+      1. pairs/clusters: the established shingle + min-label-
+         propagation plan (nothing driver-side).
+      2. the quality feature is a 16-byte/doc derivative computed in
+         its own pruned row-local pass — the TEXT never enters a
+         shuffle; the hash join ships only ``(doc_id, n_words)``
+         against the (pairs-only) cluster table.
+      3. per-cluster argmax via ``groupby('root').map_groups`` — a
+         near-dup cluster is snippet-sized (bounded by the dup
+         cardinality of one page), so the group is always tiny even
+         when there are billions of clusters.
+    """
+    from textpipe_ray.stages.dedup import (
+        _join_partitions,
+        pair_clusters_distributed,
+        shingle_jaccard_pairs,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = shingle_jaccard_pairs(ds, k=3, threshold=0.8)
+    clusters = pair_clusters_distributed(pairs)  # (doc_id, root)
+
+    def nwords(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text"), pa.string())
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), _I64),
+                "n_words": pc.cast(pc.count_substring_regex(text, r"\S+"), _I64),
+            }
+        )
+
+    feats = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        nwords, batch_format="pyarrow"
+    )
+    nparts = _join_partitions()
+    joined = clusters.repartition(nparts).join(
+        feats.repartition(nparts),
+        join_type="inner",
+        num_partitions=nparts,
+        on=("doc_id",),
+    )
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        nw = group["n_words"].to_numpy(dtype=np.int64)
+        ids = group["doc_id"].to_numpy(dtype=np.int64)
+        # argmax n_words, ties -> min doc_id (lexicographic on (-nw, id))
+        order = np.lexsort((ids, -nw))
+        keeper = ids[order[0]]
+        out = group[["doc_id", "root", "n_words"]].copy()
+        out["keeper_id"] = np.int64(keeper)
+        out["is_keeper"] = ids == keeper
+        return out
+
+    return joined.groupby("root").map_groups(pick, batch_format="pandas")
