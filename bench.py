@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "q_epoch_mix",
     "q_bitext_mine",
     "q_keeper_selection",
+    "q_link_graph",
 ]
 
 

@@ -65,6 +65,7 @@ GOLDEN_QUERIES = [
     "q_ann_ivf_layout",
     "q_heavy_hitters",
     "q_ann_ivf_append",
+    "q_link_graph",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

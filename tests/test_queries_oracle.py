@@ -43,7 +43,7 @@ def oracle_names():
     "q_dsir", "q_embedding_pca", "q_video_dedup", "q_audio_dedup",
     "q_para_ppl", "q_incremental_dedup", "q_distinct_sketch", "q_doc_vectors", "q_bloom_dedup", "q_bpe_train", "q_semdedup",
     "q_classifier_train", "q_substring_dedup", "q_snapshot_loop",
-    "q_ann_ivf_layout", "q_heavy_hitters", "q_ann_ivf_append",
+    "q_ann_ivf_layout", "q_heavy_hitters", "q_ann_ivf_append", "q_link_graph",
 ])
 def test_query_matches_oracle(ray_session, name):
     from textpipe_ray.pipelines.compare import compare, run_oracle
@@ -490,3 +490,56 @@ def test_bitext_mine_mutual_best_numpy(ray_session):
             want.add((int(sa), tb))
     got = {(int(r.src_id), int(r.tgt_id)) for r in q_bitext_mine(SF).to_pandas().itertuples()}
     assert got == want and len(want) > 0
+
+
+def test_keeper_selection_invariants(ray_session):
+    """Structural invariants against q_dup_clusters: same (doc_id, root)
+    cover, exactly one keeper per cluster, the keeper maximizes
+    (n_words, -doc_id), and every member points at the same keeper."""
+    from textpipe_ray.pipelines.queries import q_dup_clusters, q_keeper_selection
+
+    ks = q_keeper_selection(SF).to_pandas()
+    cl = q_dup_clusters(SF).to_pandas()
+    assert set(zip(ks.doc_id, ks.root)) == set(zip(cl.doc_id, cl.root))
+    for root, g in ks.groupby("root"):
+        assert g.is_keeper.sum() == 1
+        assert g.keeper_id.nunique() == 1
+        keeper = g[g.is_keeper].iloc[0]
+        best = g.sort_values(["n_words", "doc_id"], ascending=[False, True]).iloc[0]
+        assert keeper.doc_id == best.doc_id == g.keeper_id.iloc[0]
+
+
+def test_link_graph_independent_parity(ray_session):
+    """q_link_graph vs an independent split-based HTML link parser (no
+    regex) aggregated with plain dict counters — a different parse and
+    a different aggregation path from both the Ray plan and the golden
+    generator."""
+    import glob
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from textpipe_ray.pipelines.queries import pages_dir_for, q_link_graph
+
+    pages = pages_dir_for(SF)
+    per_target: dict[str, Counter] = defaultdict(Counter)
+    for f in sorted(glob.glob(f"{pages}/pages-*.parquet")):
+        t = pq.read_table(f, columns=["url", "html"])
+        for url, html in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
+            host = url.split("://", 1)[1].split("/", 1)[0]
+            for seg in html.decode("utf8").split('<a href="')[1:]:
+                href, rest = seg.split('"', 1)
+                anchor = rest.split(">", 1)[1].split("</a>", 1)[0]
+                if href.startswith("/"):
+                    per_target[f"https://{host}{href}"][anchor] += 1
+                elif href.startswith(("http://", "https://")):
+                    per_target[href][anchor] += 1
+    got = q_link_graph(SF).to_pandas().set_index("target").sort_index()
+    assert len(got) == len(per_target) > 0
+    for target, counts in per_target.items():
+        row = got.loc[target]
+        assert row.in_degree == sum(counts.values())
+        assert row.n_anchors == len(counts)
+        # max count, ties -> lexicographically smallest anchor
+        top = min((a for a, c in counts.items() if c == max(counts.values())))
+        assert row.top_anchor == top and row.top_anchor_n == counts[top]

@@ -6443,3 +6443,114 @@ def q_keeper_selection(sf_dir: str):
         return out
 
     return joined.groupby("root").map_groups(pick, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Hyperlink graph: anchor-text aggregation + in-degree per link target —
+# the classic web-corpus side product (anchor-text training corpora,
+# link-based quality priors).  New surface over the pages table.
+# ---------------------------------------------------------------------------
+
+LINK_RE = r'<a href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def q_link_graph(sf_dir: str):
+    """Anchor-text aggregation over the pages table's hyperlinks: parse
+    every ``<a href>`` out of the raw HTML, resolve relative hrefs
+    against the page's own host, and roll up per TARGET url —
+    ``in_degree`` (total in-links), ``n_anchors`` (distinct anchor
+    texts), and the most frequent anchor (``top_anchor`` /
+    ``top_anchor_n``; count ties break to the lexicographically
+    smallest text).  The anchor-text table per target is the classic
+    web-corpus side product (link-text training corpora, link-based
+    quality priors for crawl scheduling).
+
+    Scale shape — one HTML parse pass, one pre-aggregated exchange:
+      1. link extraction is row-local over the pruned ``(url, html)``
+         read; each batch immediately combines to one row per
+         ``(target, anchor)`` seen (np.unique on the pair), so HTML
+         never leaves the extraction task and the shuffle moves
+         O(distinct pairs × blocks) small rows, never O(links).
+      2. global ``groupby(target, anchor).sum`` merges the partials.
+      3. the per-target finisher (degree sum + argmax anchor) is a
+         ``map_groups`` over anchor-cardinality-sized groups — bounded
+         by a page vocabulary, never by corpus size.
+    """
+    import glob as _glob
+    import re as _re
+
+    pages = pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(
+        sorted(_glob.glob(f"{pages}/pages-*.parquet")), columns=["url", "html"]
+    )
+    link_re = _re.compile(LINK_RE, _re.S)
+    host_re = _re.compile(r"^[a-z]+://([^/]+)")
+
+    def extract(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        targets: list[str] = []
+        anchors: list[str] = []
+        for u, h in zip(urls, htmls):
+            m = host_re.match(u)
+            base = f"https://{m.group(1)}" if m else ""
+            text = (h or b"").decode("utf8", errors="replace")
+            for href, anchor in link_re.findall(text):
+                if href.startswith(("http://", "https://")):
+                    tgt = href
+                elif href.startswith("/"):
+                    tgt = base + href
+                else:  # relative-to-page path: out of scope, skip
+                    continue
+                targets.append(tgt)
+                anchors.append(anchor)
+        if not targets:
+            return pa.table(
+                {
+                    "target": pa.array([], pa.string()),
+                    "anchor": pa.array([], pa.string()),
+                    "cnt": pa.array([], _I64),
+                }
+            )
+        import pandas as pd
+
+        g = (
+            pd.DataFrame({"target": targets, "anchor": anchors})
+            .groupby(["target", "anchor"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {
+                "target": pa.array(g["target"], pa.string()),
+                "anchor": pa.array(g["anchor"], pa.string()),
+                "cnt": pa.array(g["cnt"].to_numpy(dtype=np.int64), _I64),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    pair_counts = (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby(["target", "anchor"])
+        .aggregate(_Sum("cnt", alias_name="n"))
+    )
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        import pandas as pd
+
+        n = group["n"].to_numpy(dtype=np.int64)
+        anchors = group["anchor"].to_numpy(dtype=object)
+        order = np.lexsort((anchors, -n))
+        top = order[0]
+        return pd.DataFrame(
+            {
+                "target": [group["target"].iloc[0]],
+                "in_degree": np.array([n.sum()], dtype=np.int64),
+                "n_anchors": np.array([len(n)], dtype=np.int64),
+                "top_anchor": [anchors[top]],
+                "top_anchor_n": np.array([n[top]], dtype=np.int64),
+            }
+        )
+
+    return pair_counts.groupby("target").map_groups(finish, batch_format="pandas")
