@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "q_bitext_mine",
     "q_keeper_selection",
     "q_link_graph",
+    "q_pagerank",
 ]
 
 

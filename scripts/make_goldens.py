@@ -66,6 +66,7 @@ GOLDEN_QUERIES = [
     "q_heavy_hitters",
     "q_ann_ivf_append",
     "q_link_graph",
+    "q_pagerank",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

@@ -44,6 +44,7 @@ def oracle_names():
     "q_para_ppl", "q_incremental_dedup", "q_distinct_sketch", "q_doc_vectors", "q_bloom_dedup", "q_bpe_train", "q_semdedup",
     "q_classifier_train", "q_substring_dedup", "q_snapshot_loop",
     "q_ann_ivf_layout", "q_heavy_hitters", "q_ann_ivf_append", "q_link_graph",
+    "q_pagerank",
 ])
 def test_query_matches_oracle(ray_session, name):
     from textpipe_ray.pipelines.compare import compare, run_oracle
@@ -543,3 +544,53 @@ def test_link_graph_independent_parity(ray_session):
         # max count, ties -> lexicographically smallest anchor
         top = min((a for a, c in counts.items() if c == max(counts.values())))
         assert row.top_anchor == top and row.top_anchor_n == counts[top]
+
+
+def test_pagerank_independent_parity(ray_session):
+    """q_pagerank vs a dict-based single-process power iteration that
+    follows the same integer contract — exact rank equality proves the
+    distributed join/groupby plan implements the arithmetic spec."""
+    import glob
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from textpipe_ray.pipelines.queries import (
+        PAGERANK_D_DEN,
+        PAGERANK_D_NUM,
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+        iter_page_links,
+        pages_dir_for,
+        q_pagerank,
+    )
+
+    pages = pages_dir_for(SF)
+    edges: set = set()
+    for f in sorted(glob.glob(f"{pages}/pages-*.parquet")):
+        t = pq.read_table(f, columns=["url", "html"])
+        for src, tgt, _a in iter_page_links(
+            t.column("url").to_pylist(), t.column("html").to_pylist()
+        ):
+            edges.add((src, tgt))
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    outdeg = defaultdict(int)
+    indeg = defaultdict(int)
+    for s, t in edges:
+        outdeg[s] += 1
+        indeg[t] += 1
+    n = len(nodes)
+    rank = {v: PAGERANK_SCALE // n for v in nodes}
+    teleport = PAGERANK_SCALE * (PAGERANK_D_DEN - PAGERANK_D_NUM) // (PAGERANK_D_DEN * n)
+    for _ in range(PAGERANK_ITERS):
+        dangling = sum(r * PAGERANK_D_NUM // PAGERANK_D_DEN for v, r in rank.items() if outdeg[v] == 0)
+        base = teleport + dangling // n
+        inflow = defaultdict(int)
+        for s, t in edges:
+            inflow[t] += rank[s] * PAGERANK_D_NUM // (PAGERANK_D_DEN * outdeg[s])
+        rank = {v: base + inflow[v] for v in nodes}
+    got = q_pagerank(SF).to_pandas()
+    assert len(got) == n
+    for r in got.itertuples():
+        assert rank[r.node] == r.rank_units, r.node
+        assert outdeg[r.node] == r.out_degree and indeg[r.node] == r.in_degree

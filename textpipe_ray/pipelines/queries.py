@@ -6454,6 +6454,26 @@ def q_keeper_selection(sf_dir: str):
 LINK_RE = r'<a href="([^"]*)"[^>]*>(.*?)</a>'
 
 
+def iter_page_links(urls, htmls):
+    """Yield ``(src_url, target_url, anchor_text)`` for every ``<a
+    href>`` in a batch of pages, resolving root-relative hrefs against
+    the page's own host; page-relative hrefs (no leading slash) are out
+    of scope and skipped."""
+    import re as _re
+
+    link_re = _re.compile(LINK_RE, _re.S)
+    host_re = _re.compile(r"^[a-z]+://([^/]+)")
+    for u, h in zip(urls, htmls):
+        m = host_re.match(u)
+        base = f"https://{m.group(1)}" if m else ""
+        text = (h or b"").decode("utf8", errors="replace")
+        for href, anchor in link_re.findall(text):
+            if href.startswith(("http://", "https://")):
+                yield u, href, anchor
+            elif href.startswith("/"):
+                yield u, base + href, anchor
+
+
 def q_link_graph(sf_dir: str):
     """Anchor-text aggregation over the pages table's hyperlinks: parse
     every ``<a href>`` out of the raw HTML, resolve relative hrefs
@@ -6477,33 +6497,20 @@ def q_link_graph(sf_dir: str):
          by a page vocabulary, never by corpus size.
     """
     import glob as _glob
-    import re as _re
 
     pages = pages_dir_for(sf_dir)
     ds = ray.data.read_parquet(
         sorted(_glob.glob(f"{pages}/pages-*.parquet")), columns=["url", "html"]
     )
-    link_re = _re.compile(LINK_RE, _re.S)
-    host_re = _re.compile(r"^[a-z]+://([^/]+)")
 
     def extract(batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        htmls = batch.column("html").to_pylist()
         targets: list[str] = []
         anchors: list[str] = []
-        for u, h in zip(urls, htmls):
-            m = host_re.match(u)
-            base = f"https://{m.group(1)}" if m else ""
-            text = (h or b"").decode("utf8", errors="replace")
-            for href, anchor in link_re.findall(text):
-                if href.startswith(("http://", "https://")):
-                    tgt = href
-                elif href.startswith("/"):
-                    tgt = base + href
-                else:  # relative-to-page path: out of scope, skip
-                    continue
-                targets.append(tgt)
-                anchors.append(anchor)
+        for _src, tgt, anchor in iter_page_links(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            targets.append(tgt)
+            anchors.append(anchor)
         if not targets:
             return pa.table(
                 {
@@ -6554,3 +6561,175 @@ def q_link_graph(sf_dir: str):
         )
 
     return pair_counts.groupby("target").map_groups(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the hyperlink graph — the second iterative distributed
+# algorithm family (next to q_dup_clusters' connected components):
+# power iteration as per-round join + groupby-sum, with an INTEGER
+# arithmetic contract so every rank is exactly reproducible under any
+# block layout / summation order.
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 3
+PAGERANK_SCALE = 10**12  # total rank mass in integer units
+PAGERANK_D_NUM, PAGERANK_D_DEN = 85, 100  # damping d = 0.85
+
+
+def q_pagerank(sf_dir: str):
+    """PageRank over the pages hyperlink graph (distinct ``(src,
+    target)`` edges from :func:`iter_page_links`), ``PAGERANK_ITERS``
+    power iterations at damping 0.85.  Output: one row per node —
+    ``(node, rank_units, out_degree, in_degree)`` with ranks in
+    integer units of 1/PAGERANK_SCALE.
+
+    Determinism contract — ALL integer arithmetic: ranks are int64
+    unit counts; a node's per-edge contribution is ``d_num * R //
+    (d_den * outdeg)`` (floor), the teleport share is ``SCALE *
+    (d_den - d_num) // (d_den * N)``, and the dangling mass ``Σ
+    d_num*R//d_den`` over sink nodes is redistributed ``D // N`` per
+    node.  Integer sums are order-independent, so the result is
+    bit-identical under any partitioning — the same idiom as the
+    repo's micro/milli-quantized aggregates (flooring leaks ≤1 unit
+    per division; the leak is identical on every engine that follows
+    the contract, see the dict-based parity test).
+
+    Scale shape: one HTML parse pass builds the edge list (per-batch
+    combine to distinct pairs), then each iteration is ONE hash join
+    of the (node, rank, outdeg) table onto the edge list plus a
+    groupby-sum of contributions and a left-join back onto the node
+    table — O(E) exchange per round, nothing driver-side except the
+    8-byte dangling-mass scalar.  Rounds are a fixed constant, not
+    data-dependent."""
+    import glob as _glob
+
+    from textpipe_ray.stages.dedup import _join_partitions
+
+    pages = pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(
+        sorted(_glob.glob(f"{pages}/pages-*.parquet")), columns=["url", "html"]
+    )
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        seen: set = set()
+        for src, tgt, _a in iter_page_links(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            seen.add((src, tgt))
+        srcs = [s for s, _ in seen]
+        tgts = [t for _, t in seen]
+        return pa.table(
+            {
+                "src": pa.array(srcs, pa.string()),
+                "dst": pa.array(tgts, pa.string()),
+            }
+        )
+
+    # distinct edges: per-batch set + one global groupby; per-round join
+    # partitions sized from the MEASURED edge count (~100k edges each,
+    # the q_dup_clusters lesson) so small graphs don't pay per-round
+    # scheduling overhead on dozens of near-empty partitions
+    edges = (
+        ds.map_batches(edge_partial, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_m"))
+        .select_columns(["src", "dst"])
+        .materialize()
+    )
+    nparts = int(max(1, min(_join_partitions(), edges.count() // 100_000 + 1)))
+    edges = edges.repartition(nparts).materialize()
+
+    # node table with degrees: sources carry out_degree, targets in_degree
+    outdeg = edges.groupby("src").aggregate(Count(alias_name="out_degree"))
+    indeg = edges.groupby("dst").aggregate(Count(alias_name="in_degree"))
+    nodes = (
+        edges.map_batches(lambda t: pa.table({"node": t.column("src")}), batch_format="pyarrow")
+        .union(edges.map_batches(lambda t: pa.table({"node": t.column("dst")}), batch_format="pyarrow"))
+        .groupby("node")
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["node"])
+        .repartition(nparts)
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.string()),
+                    "rank_units": pa.array([], _I64),
+                    "out_degree": pa.array([], _I64),
+                    "in_degree": pa.array([], _I64),
+                }
+            )
+        )
+
+    def fill0(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            c = pc.fill_null(pc.cast(t.column(col), _I64), 0)
+            return t.set_column(t.schema.get_field_index(col), col, c)
+
+        return f
+
+    # state table (node, rank, out_degree); left-join degrees onto nodes
+    state = (
+        nodes.join(outdeg, join_type="left_outer", num_partitions=nparts, on=("node",), right_on=("src",))
+        .map_batches(fill0("out_degree"), batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column(
+                "rank_units",
+                pa.array(
+                    np.full(t.num_rows, PAGERANK_SCALE // n_nodes, dtype=np.int64), _I64
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(nparts)
+        .materialize()
+    )
+
+    teleport = PAGERANK_SCALE * (PAGERANK_D_DEN - PAGERANK_D_NUM) // (PAGERANK_D_DEN * n_nodes)
+
+    for _ in range(PAGERANK_ITERS):
+        # dangling mass: damped rank of zero-outdegree nodes (driver scalar)
+        def damped_dangling(t: pa.Table) -> pa.Table:
+            r = np.asarray(t.column("rank_units"), dtype=np.int64)
+            od = np.asarray(t.column("out_degree"), dtype=np.int64)
+            dang = (r[od == 0] * PAGERANK_D_NUM // PAGERANK_D_DEN).sum()
+            return pa.table({"dang": pa.array([int(dang)], _I64)})
+
+        dangling = state.map_batches(damped_dangling, batch_format="pyarrow").sum("dang")
+        base = teleport + dangling // n_nodes
+
+        def contrib(t: pa.Table) -> pa.Table:
+            r = np.asarray(t.column("rank_units"), dtype=np.int64)
+            od = np.asarray(t.column("out_degree"), dtype=np.int64)
+            keep = od > 0
+            c = np.zeros(len(r), dtype=np.int64)
+            c[keep] = r[keep] * PAGERANK_D_NUM // (PAGERANK_D_DEN * od[keep])
+            return pa.table({"dst": t.column("dst"), "c": pa.array(c, _I64)})
+
+        inflow = (
+            edges.join(state, join_type="inner", num_partitions=nparts, on=("src",), right_on=("node",))
+            .map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="inflow"))
+        )
+
+        def new_rank(t: pa.Table) -> pa.Table:
+            infl = pc.fill_null(pc.cast(t.column("inflow"), _I64), 0)
+            r = pc.add(infl, pa.scalar(int(base), _I64))
+            keep = [c for c in t.column_names if c not in ("rank_units", "inflow")]
+            return t.select(keep).append_column("rank_units", pc.cast(r, _I64))
+
+        state = (
+            state.join(inflow, join_type="left_outer", num_partitions=nparts, on=("node",), right_on=("dst",))
+            .map_batches(new_rank, batch_format="pyarrow")
+            .repartition(nparts)
+            .materialize()
+        )
+
+    final = state.join(
+        indeg, join_type="left_outer", num_partitions=nparts, on=("node",), right_on=("dst",)
+    ).map_batches(fill0("in_degree"), batch_format="pyarrow")
+    return final.select_columns(["node", "rank_units", "out_degree", "in_degree"])
