@@ -6423,7 +6423,12 @@ def q_keeper_selection(sf_dir: str):
     feats = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         nwords, batch_format="pyarrow"
     )
-    nparts = _join_partitions()
+    # join partitions from the MEASURED cluster-table size (~100k rows
+    # each, the q_dup_clusters lesson): near-dup clusters cover a tiny
+    # fraction of the corpus, so CPU-count-many partitions would pay
+    # pure scheduling overhead per round
+    clusters = clusters.materialize()
+    nparts = int(max(1, min(_join_partitions(), clusters.count() // 100_000 + 1)))
     joined = clusters.repartition(nparts).join(
         feats.repartition(nparts),
         join_type="inner",
@@ -6639,15 +6644,28 @@ def q_pagerank(sf_dir: str):
     nparts = int(max(1, min(_join_partitions(), edges.count() // 100_000 + 1)))
     edges = edges.repartition(nparts).materialize()
 
-    # node table with degrees: sources carry out_degree, targets in_degree
-    outdeg = edges.groupby("src").aggregate(Count(alias_name="out_degree"))
-    indeg = edges.groupby("dst").aggregate(Count(alias_name="in_degree"))
+    # node set + both degrees in ONE groupby: every edge contributes a
+    # tagged row per endpoint ((src, out=1, in=0) and (dst, 0, 1)); the
+    # sum aggregate yields out_degree and in_degree together — no
+    # degree joins, no separate node-distinct pass
+    def endpoint_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ones = np.ones(n, dtype=np.int64)
+        zeros = np.zeros(n, dtype=np.int64)
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t.column("src").combine_chunks(), t.column("dst").combine_chunks()]
+                ),
+                "od": pa.array(np.concatenate([ones, zeros]), _I64),
+                "id_": pa.array(np.concatenate([zeros, ones]), _I64),
+            }
+        )
+
     nodes = (
-        edges.map_batches(lambda t: pa.table({"node": t.column("src")}), batch_format="pyarrow")
-        .union(edges.map_batches(lambda t: pa.table({"node": t.column("dst")}), batch_format="pyarrow"))
+        edges.map_batches(endpoint_rows, batch_format="pyarrow")
         .groupby("node")
-        .aggregate(Count(alias_name="_c"))
-        .select_columns(["node"])
+        .aggregate(Sum("od", alias_name="out_degree"), Sum("id_", alias_name="in_degree"))
         .repartition(nparts)
         .materialize()
     )
@@ -6664,29 +6682,14 @@ def q_pagerank(sf_dir: str):
             )
         )
 
-    def fill0(col: str):
-        def f(t: pa.Table) -> pa.Table:
-            c = pc.fill_null(pc.cast(t.column(col), _I64), 0)
-            return t.set_column(t.schema.get_field_index(col), col, c)
-
-        return f
-
-    # state table (node, rank, out_degree); left-join degrees onto nodes
-    state = (
-        nodes.join(outdeg, join_type="left_outer", num_partitions=nparts, on=("node",), right_on=("src",))
-        .map_batches(fill0("out_degree"), batch_format="pyarrow")
-        .map_batches(
-            lambda t: t.append_column(
-                "rank_units",
-                pa.array(
-                    np.full(t.num_rows, PAGERANK_SCALE // n_nodes, dtype=np.int64), _I64
-                ),
-            ),
-            batch_format="pyarrow",
-        )
-        .repartition(nparts)
-        .materialize()
-    )
+    # state table (node, rank, out_degree, in_degree) — one map over nodes
+    state = nodes.map_batches(
+        lambda t: t.append_column(
+            "rank_units",
+            pa.array(np.full(t.num_rows, PAGERANK_SCALE // n_nodes, dtype=np.int64), _I64),
+        ),
+        batch_format="pyarrow",
+    ).materialize()
 
     teleport = PAGERANK_SCALE * (PAGERANK_D_DEN - PAGERANK_D_NUM) // (PAGERANK_D_DEN * n_nodes)
 
@@ -6702,12 +6705,27 @@ def q_pagerank(sf_dir: str):
         base = teleport + dangling // n_nodes
 
         def contrib(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
             r = np.asarray(t.column("rank_units"), dtype=np.int64)
             od = np.asarray(t.column("out_degree"), dtype=np.int64)
             keep = od > 0
             c = np.zeros(len(r), dtype=np.int64)
             c[keep] = r[keep] * PAGERANK_D_NUM // (PAGERANK_D_DEN * od[keep])
-            return pa.table({"dst": t.column("dst"), "c": pa.array(c, _I64)})
+            # per-block combiner: collapse to one row per dst seen so the
+            # groupby exchange moves O(distinct dst x blocks), not O(E)
+            g = (
+                pd.DataFrame({"dst": t.column("dst").to_pandas(), "c": c})
+                .groupby("dst", sort=False)["c"]
+                .sum()
+                .reset_index()
+            )
+            return pa.table(
+                {
+                    "dst": pa.array(g["dst"], pa.string()),
+                    "c": pa.array(g["c"].to_numpy(dtype=np.int64), _I64),
+                }
+            )
 
         inflow = (
             edges.join(state, join_type="inner", num_partitions=nparts, on=("src",), right_on=("node",))
@@ -6725,11 +6743,7 @@ def q_pagerank(sf_dir: str):
         state = (
             state.join(inflow, join_type="left_outer", num_partitions=nparts, on=("node",), right_on=("dst",))
             .map_batches(new_rank, batch_format="pyarrow")
-            .repartition(nparts)
             .materialize()
         )
 
-    final = state.join(
-        indeg, join_type="left_outer", num_partitions=nparts, on=("node",), right_on=("dst",)
-    ).map_batches(fill0("in_degree"), batch_format="pyarrow")
-    return final.select_columns(["node", "rank_units", "out_degree", "in_degree"])
+    return state.select_columns(["node", "rank_units", "out_degree", "in_degree"])
