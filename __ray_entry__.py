@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_keeper_selection": Q.q_keeper_selection,
         "q_link_graph": Q.q_link_graph,
         "q_pagerank": Q.q_pagerank,
+        "q_profile": Q.q_profile,
+        "q_validate": Q.q_validate,
         "q_heavy_hitters": Q.q_heavy_hitters,
         "q_quantile_sketch": Q.q_quantile_sketch,
         "q_snapshot_loop": Q.q_snapshot_loop,

@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "q_keeper_selection",
     "q_link_graph",
     "q_pagerank",
+    "q_profile",
+    "q_validate",
 ]
 
 

@@ -33,7 +33,7 @@ def oracle_names():
     "q_quality_percentile", "q_budget_mix", "q_normalized_dedup", "q_funnel",
     "q_gopher_rules", "q_repetition_rules", "q_filter_pr_curve",
     "q_quantile_sketch", "q_dup_clusters", "q_bm25", "q_epoch_mix", "q_bitext_mine",
-    "q_keeper_selection",
+    "q_keeper_selection", "q_profile", "q_validate",
     # golden-parquet oracles (scripts/make_goldens.py)
     "q_langid", "q_perplexity", "q_minhash", "q_simhash", "q_simhash_neardup",
     "q_ann_ivf", "q_embedding_neardup", "q_pages_flagship", "q_pages_neardup",
@@ -594,3 +594,24 @@ def test_pagerank_independent_parity(ray_session):
     for r in got.itertuples():
         assert rank[r.node] == r.rank_units, r.node
         assert outdeg[r.node] == r.out_degree and indeg[r.node] == r.in_degree
+
+
+def test_validate_pk_rule_finds_planted_duplicates(ray_session):
+    """The uniqueness rule must report the REAL duplicate surplus of the
+    fixture's (l_orderkey, l_linenumber) key — a nonzero count, so the
+    violation path is exercised, not vacuously green."""
+    import duckdb
+
+    from textpipe_ray.pipelines.queries import q_validate
+
+    df = q_validate(SF).set_index("rule")
+    truth = duckdb.sql(
+        f"""SELECT CAST(COALESCE(sum(c - 1), 0) AS BIGINT), min(k1) FROM (
+              SELECT l_orderkey k1, l_linenumber k2, count(*) c
+              FROM '{SF}/lineitem.parquet' GROUP BY 1, 2) WHERE c > 1"""
+    ).fetchone()
+    row = df.loc["lineitem_pk_unique"]
+    assert row.n_violations == truth[0] > 0
+    assert row.sample_key == truth[1]
+    # row-local rules all checked the full table
+    assert (df.n_checked > 0).all()

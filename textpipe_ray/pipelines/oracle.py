@@ -904,6 +904,70 @@ SELECT node AS doc_id, least(node, min(r)) AS root FROM reach GROUP BY node"""
     # keeper selection over the SAME clusters: per-root argmax of the
     # Gopher n_words feature (ties -> min doc_id), mirroring
     # queries.q_keeper_selection's lexsort rule exactly
+    # data-quality family: column profile + constraint validation,
+    # generated from the SAME column/rule declarations as queries.py
+    from textpipe_ray.pipelines.queries import PROFILE_COLUMNS
+
+    prof_parts = []
+    for col, kind in PROFILE_COLUMNS:
+        if kind == "num":
+            prof_parts.append(f"""
+SELECT '{col}' AS col, count(*) AS n_rows, count(*) - count({col}) AS n_nulls,
+  CAST(-1 AS BIGINT) AS n_distinct,
+  COALESCE(CAST(CAST(min(floor({col} * 100)) AS BIGINT) AS VARCHAR), '') AS min_repr,
+  COALESCE(CAST(CAST(max(floor({col} * 100)) AS BIGINT) AS VARCHAR), '') AS max_repr
+FROM lineitem""")
+        elif kind == "ts":
+            prof_parts.append(f"""
+SELECT '{col}' AS col, count(*) AS n_rows, count(*) - count({col}) AS n_nulls,
+  CAST(-1 AS BIGINT) AS n_distinct,
+  COALESCE(CAST(min(epoch_us({col})) AS VARCHAR), '') AS min_repr,
+  COALESCE(CAST(max(epoch_us({col})) AS VARCHAR), '') AS max_repr
+FROM lineitem""")
+        else:
+            prof_parts.append(f"""
+SELECT '{col}' AS col, count(*) AS n_rows, count(*) - count({col}) AS n_nulls,
+  CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+  COALESCE(min({col}), '') AS min_repr, COALESCE(max({col}), '') AS max_repr
+FROM lineitem""")
+    out["q_profile"] = "\nUNION ALL\n".join(prof_parts)
+
+    def _rule(name: str, table: str, viol: str, key: str) -> str:
+        return f"""
+SELECT '{name}' AS rule, count(*) AS n_checked,
+  CAST(COALESCE(sum(CASE WHEN {viol} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations,
+  COALESCE(min(CASE WHEN {viol} THEN {key} END), -1) AS sample_key
+FROM {table}"""
+
+    out["q_validate"] = f"""
+WITH pk AS (
+  SELECT l_orderkey AS k1, l_linenumber AS k2, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+)
+{_rule("lineitem_quantity_range", "lineitem", "l_quantity < 1.0 OR l_quantity > 50.0", "l_orderkey")}
+UNION ALL
+{_rule("lineitem_discount_range", "lineitem", "l_discount < 0.0 OR l_discount > 0.1", "l_orderkey")}
+UNION ALL
+{_rule("orders_totalprice_positive", "orders", "NOT (o_totalprice > 0.0)", "o_orderkey")}
+UNION ALL
+{_rule("documents_nchars_consistent", "documents", "n_chars <> coalesce(length(text), -1)", "doc_id")}
+UNION ALL
+{_rule("documents_text_nonempty", "documents", "length(trim(coalesce(text, ''))) = 0", "doc_id")}
+UNION ALL
+SELECT 'lineitem_pk_unique' AS rule,
+  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_checked,
+  CAST(COALESCE((SELECT sum(c - 1) FROM pk WHERE c > 1), 0) AS BIGINT) AS n_violations,
+  COALESCE((SELECT min(k1) FROM pk WHERE c > 1), -1) AS sample_key
+UNION ALL
+SELECT 'lineitem_fk_orders' AS rule,
+  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_checked,
+  CAST((SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    AS n_violations,
+  COALESCE((SELECT min(l_orderkey) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)), -1)
+    AS sample_key"""
+
     nw_keeper = count_expr("text", r"\S+")
     out["q_keeper_selection"] = f"""
 WITH RECURSIVE pairs AS ({pairs_sql}),

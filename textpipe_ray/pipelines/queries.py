@@ -6747,3 +6747,325 @@ def q_pagerank(sf_dir: str):
         )
 
     return state.select_columns(["node", "rank_units", "out_degree", "in_degree"])
+
+
+# ---------------------------------------------------------------------------
+# Data-quality family (Deequ-style): single-pass column profiling and
+# declarative constraint validation with per-rule violation rollups —
+# the pipeline-health surface a 100 TB ingest runs before/after every
+# stage.  All rule/profile partials are constant-size per block, so the
+# only exchanges are the uniqueness-key combine and the referential
+# anti-join.
+# ---------------------------------------------------------------------------
+
+# (column, kind): num -> cents units via floor(x*100); ts -> epoch
+# micros; cat -> lexicographic min/max + EXACT distinct (declared
+# low-cardinality columns only — unbounded columns use the HLL path of
+# q_distinct_sketch and report n_distinct = -1 here)
+PROFILE_COLUMNS = (
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_tax", "num"),
+    ("l_shipdate", "ts"),
+    ("l_returnflag", "cat"),
+    ("l_linestatus", "cat"),
+)
+
+
+def q_profile(sf_dir: str):
+    """Single-pass column profile of ``lineitem``: one output row per
+    declared column — ``(col, n_rows, n_nulls, n_distinct, min_repr,
+    max_repr)``.  Numeric min/max are integer cents units
+    (``floor(x*100)`` per row, the repo's exact-money idiom) and
+    timestamps epoch-microseconds, both rendered as strings so one
+    schema covers every column kind; ``n_distinct`` is exact for the
+    declared-categorical columns (per-block value sets, bounded by the
+    category cardinality) and -1 for unbounded ones (their scale path
+    is the HLL sketch of ``q_distinct_sketch``).
+
+    Scale shape: ONE streaming pass; every block emits a constant-size
+    partial (7 rows, each with min/max/counts + a bounded category
+    set); partials merge driver-side — no shuffle at all, the same
+    constant-partial idiom as q_bm25's corpus stats."""
+    import pandas as pd
+
+    cols = [c for c, _ in PROFILE_COLUMNS]
+    ds = _read(sf_dir, "lineitem", cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        for col, kind in PROFILE_COLUMNS:
+            a = batch.column(col)
+            n = len(a)
+            nulls = a.null_count
+            if kind == "num":
+                units = pc.floor(pc.multiply(pc.cast(a, pa.float64()), 100.0))
+                mm = pc.min_max(units)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                lo = -(2**62) if lo is None else int(lo)
+                hi = -(2**62) if hi is None else int(hi)
+                distinct: list[str] = []
+            elif kind == "ts":
+                units = pc.cast(a, pa.int64())
+                mm = pc.min_max(units)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                lo = -(2**62) if lo is None else int(lo)
+                hi = -(2**62) if hi is None else int(hi)
+                distinct = []
+            else:  # cat
+                vals = pc.drop_null(a).unique().to_pylist()
+                lo = hi = 0
+                distinct = sorted(str(v) for v in vals)
+            rows.append((col, n, nulls, lo, hi, distinct))
+        return pa.table(
+            {
+                "col": pa.array([r[0] for r in rows], pa.string()),
+                "n": pa.array([r[1] for r in rows], _I64),
+                "nulls": pa.array([r[2] for r in rows], _I64),
+                "lo": pa.array([r[3] for r in rows], _I64),
+                "hi": pa.array([r[4] for r in rows], _I64),
+                "distinct": pa.array([r[5] for r in rows], pa.list_(pa.string())),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    kinds = dict(PROFILE_COLUMNS)
+    agg: dict[str, list] = {}
+    for r in parts:
+        col = r["col"]
+        cur = agg.setdefault(col, [0, 0, None, None, set()])
+        cur[0] += int(r["n"])
+        cur[1] += int(r["nulls"])
+        if int(r["n"]) > int(r["nulls"]):  # block had non-null values
+            cur[2] = int(r["lo"]) if cur[2] is None else min(cur[2], int(r["lo"]))
+            cur[3] = int(r["hi"]) if cur[3] is None else max(cur[3], int(r["hi"]))
+        cur[4].update(r["distinct"] or [])
+    out = []
+    for col, kind in PROFILE_COLUMNS:
+        n, nulls, lo, hi, dset = agg.get(col, [0, 0, None, None, set()])
+        if kind == "cat":
+            mn = min(dset) if dset else ""
+            mx = max(dset) if dset else ""
+            nd = len(dset)
+        else:
+            mn = "" if lo is None else str(lo)
+            mx = "" if hi is None else str(hi)
+            nd = -1
+        out.append((col, n, nulls, nd, mn, mx))
+    return pd.DataFrame(
+        out, columns=["col", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr"]
+    )
+
+
+def q_validate(sf_dir: str):
+    """Declarative constraint validation (the Deequ/great-expectations
+    surface): seven rules over ``lineitem`` / ``orders`` /
+    ``documents``, one output row per rule — ``(rule, n_checked,
+    n_violations, sample_key)`` with ``sample_key`` the smallest
+    violating key (-1 when clean).  Covers the three check shapes a
+    production suite needs:
+
+      * row-local predicates (range / positivity / consistency /
+        non-emptiness): constant-size per-block partials (count,
+        violation count, min violating key), merged driver-side — no
+        shuffle;
+      * uniqueness (``(l_orderkey, l_linenumber)`` primary key):
+        per-block key-count combiner, ONE groupby exchange, surplus
+        ``Σ(c-1)`` per duplicated group;
+      * referential integrity (every ``l_orderkey`` resolves in
+        orders): per-block key distinct + hash anti-join against the
+        orders key column."""
+    import pandas as pd
+
+    rules_out: dict[str, tuple[int, int, int]] = {}
+
+    # ---- row-local predicate rules: one pass per source table ----
+    def li_partial(batch: pa.Table) -> pa.Table:
+        key = np.asarray(pc.cast(batch.column("l_orderkey"), _I64), dtype=np.int64)
+        q = np.asarray(pc.cast(batch.column("l_quantity"), pa.float64()), dtype=np.float64)
+        d = np.asarray(pc.cast(batch.column("l_discount"), pa.float64()), dtype=np.float64)
+        bad_q = (q < 1.0) | (q > 50.0)
+        bad_d = (d < 0.0) | (d > 0.1)
+        return pa.table(
+            {
+                "rule": pa.array(["lineitem_quantity_range", "lineitem_discount_range"], pa.string()),
+                "n": pa.array([len(key)] * 2, _I64),
+                "viol": pa.array([int(bad_q.sum()), int(bad_d.sum())], _I64),
+                "mk": pa.array(
+                    [
+                        int(key[bad_q].min()) if bad_q.any() else -1,
+                        int(key[bad_d].min()) if bad_d.any() else -1,
+                    ],
+                    _I64,
+                ),
+            }
+        )
+
+    def ord_partial(batch: pa.Table) -> pa.Table:
+        key = np.asarray(pc.cast(batch.column("o_orderkey"), _I64), dtype=np.int64)
+        p = np.asarray(pc.cast(batch.column("o_totalprice"), pa.float64()), dtype=np.float64)
+        bad = ~(p > 0.0)
+        return pa.table(
+            {
+                "rule": pa.array(["orders_totalprice_positive"], pa.string()),
+                "n": pa.array([len(key)], _I64),
+                "viol": pa.array([int(bad.sum())], _I64),
+                "mk": pa.array([int(key[bad].min()) if bad.any() else -1], _I64),
+            }
+        )
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        key = np.asarray(pc.cast(batch.column("doc_id"), _I64), dtype=np.int64)
+        text = pc.cast(batch.column("text"), pa.string())
+        nch = np.asarray(pc.cast(batch.column("n_chars"), _I64), dtype=np.int64)
+        ln = np.asarray(
+            pc.fill_null(pc.utf8_length(text), -1), dtype=np.int64
+        )
+        bad_c = nch != ln
+        trimmed = pc.utf8_trim_whitespace(pc.fill_null(text, ""))
+        bad_e = np.asarray(pc.equal(pc.utf8_length(trimmed), 0), dtype=bool)
+        return pa.table(
+            {
+                "rule": pa.array(
+                    ["documents_nchars_consistent", "documents_text_nonempty"], pa.string()
+                ),
+                "n": pa.array([len(key)] * 2, _I64),
+                "viol": pa.array([int(bad_c.sum()), int(bad_e.sum())], _I64),
+                "mk": pa.array(
+                    [
+                        int(key[bad_c].min()) if bad_c.any() else -1,
+                        int(key[bad_e].min()) if bad_e.any() else -1,
+                    ],
+                    _I64,
+                ),
+            }
+        )
+
+    def merge_partials(parts) -> None:
+        by_rule: dict[str, list[int]] = {}
+        for r in parts:
+            cur = by_rule.setdefault(r["rule"], [0, 0, -1])
+            cur[0] += int(r["n"])
+            cur[1] += int(r["viol"])
+            mk = int(r["mk"])
+            if mk >= 0:
+                cur[2] = mk if cur[2] < 0 else min(cur[2], mk)
+        for rule, (n, v, mk) in by_rule.items():
+            rules_out[rule] = (n, v, mk)
+
+    merge_partials(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_discount"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .take_all()
+    )
+    merge_partials(
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .map_batches(ord_partial, batch_format="pyarrow")
+        .take_all()
+    )
+    merge_partials(
+        _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+        .map_batches(doc_partial, batch_format="pyarrow")
+        .take_all()
+    )
+
+    # ---- uniqueness rule: per-block combiner + one groupby exchange ----
+    def pk_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "k1": np.asarray(pc.cast(batch.column("l_orderkey"), _I64), dtype=np.int64),
+                "k2": np.asarray(pc.cast(batch.column("l_linenumber"), _I64), dtype=np.int64),
+            }
+        )
+        g = df.groupby(["k1", "k2"], sort=False).size().reset_index(name="c")
+        return pa.table(
+            {
+                "k1": pa.array(g["k1"].to_numpy(dtype=np.int64), _I64),
+                "k2": pa.array(g["k2"].to_numpy(dtype=np.int64), _I64),
+                "c": pa.array(g["c"].to_numpy(dtype=np.int64), _I64),
+            }
+        )
+
+    def pk_surplus(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch.column("c"), dtype=np.int64)
+        k1 = np.asarray(batch.column("k1"), dtype=np.int64)
+        dup = c > 1
+        return pa.table(
+            {
+                "n": pa.array([int(c.sum())], _I64),
+                "viol": pa.array([int((c[dup] - 1).sum())], _I64),
+                "mk": pa.array([int(k1[dup].min()) if dup.any() else -1], _I64),
+            }
+        )
+
+    pk_parts = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+        .map_batches(pk_partial, batch_format="pyarrow")
+        .groupby(["k1", "k2"])
+        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(pk_surplus, batch_format="pyarrow")
+        .take_all()
+    )
+    n = sum(int(r["n"]) for r in pk_parts)
+    v = sum(int(r["viol"]) for r in pk_parts)
+    mks = [int(r["mk"]) for r in pk_parts if int(r["mk"]) >= 0]
+    rules_out["lineitem_pk_unique"] = (n, v, min(mks) if mks else -1)
+
+    # ---- referential rule: distinct fk keys, hash anti-join ----
+    def fk_partial(batch: pa.Table) -> pa.Table:
+        cnt = np.asarray(pc.cast(batch.column("l_orderkey"), _I64), dtype=np.int64)
+        # carry per-block row multiplicity so orphan ROW counts are exact
+        import pandas as pd
+
+        g = pd.Series(cnt).value_counts()
+        return pa.table(
+            {
+                "fk": pa.array(g.index.to_numpy(dtype=np.int64), _I64),
+                "m": pa.array(g.to_numpy(dtype=np.int64), _I64),
+            }
+        )
+
+    fk = (
+        _read(sf_dir, "lineitem", ["l_orderkey"])
+        .map_batches(fk_partial, batch_format="pyarrow")
+        .groupby("fk")
+        .aggregate(Sum("m", alias_name="m"))
+    )
+    ok = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t.column("o_orderkey"), "_hit": pa.array(np.ones(t.num_rows, dtype=np.int64), _I64)}
+        ),
+        batch_format="pyarrow",
+    )
+    from textpipe_ray.stages.dedup import _join_partitions
+
+    nparts = max(2, min(8, _join_partitions()))
+    j = fk.join(ok, join_type="left_outer", num_partitions=nparts, on=("fk",), right_on=("o_orderkey",))
+
+    def orphan_partial(batch: pa.Table) -> pa.Table:
+        hit = np.asarray(pc.fill_null(pc.cast(batch.column("_hit"), _I64), 0), dtype=np.int64)
+        fkk = np.asarray(batch.column("fk"), dtype=np.int64)
+        m = np.asarray(batch.column("m"), dtype=np.int64)
+        orphan = hit == 0
+        return pa.table(
+            {
+                "n": pa.array([int(m.sum())], _I64),
+                "viol": pa.array([int(m[orphan].sum())], _I64),
+                "mk": pa.array([int(fkk[orphan].min()) if orphan.any() else -1], _I64),
+            }
+        )
+
+    fk_parts = j.map_batches(orphan_partial, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in fk_parts)
+    v = sum(int(r["viol"]) for r in fk_parts)
+    mks = [int(r["mk"]) for r in fk_parts if int(r["mk"]) >= 0]
+    rules_out["lineitem_fk_orders"] = (n, v, min(mks) if mks else -1)
+
+    rows = [
+        (rule, *rules_out[rule])
+        for rule in sorted(rules_out)
+    ]
+    return pd.DataFrame(rows, columns=["rule", "n_checked", "n_violations", "sample_key"])
