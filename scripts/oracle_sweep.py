@@ -3,7 +3,7 @@ oracle_sql() pair with the driver's own compare (rows + schema +
 order-insensitive value hash) at a given scale, and write the result
 artifact.
 
-    python scripts/oracle_sweep.py [sf_dir] [out_json]
+    python scripts/oracle_sweep.py [sf_dir] [out_json] [--sql-only]
 
 Defaults: sf_dir=/root/testdata/sf0.01 (the driver's check scale),
 out_json=bench_out/oracle_sweep_sf001_r4.json.
@@ -21,9 +21,10 @@ sys.path.insert(0, str(REPO))
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     out = Path(
-        sys.argv[2] if len(sys.argv) > 2 else REPO / "bench_out" / "oracle_sweep_sf001_r4.json"
+        args[1] if len(args) > 1 else REPO / "bench_out" / "oracle_sweep_sf001_r4.json"
     )
 
     import ray

@@ -6423,12 +6423,15 @@ def q_keeper_selection(sf_dir: str):
     feats = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         nwords, batch_format="pyarrow"
     )
-    # join partitions from the MEASURED cluster-table size (~100k rows
-    # each, the q_dup_clusters lesson): near-dup clusters cover a tiny
-    # fraction of the corpus, so CPU-count-many partitions would pay
-    # pure scheduling overhead per round
+    # join partitions from the MEASURED size of the LARGER side: the
+    # probe side (feats) is corpus-sized (16 bytes/doc for every doc),
+    # so sizing by the tiny cluster table alone would funnel the whole
+    # corpus through one hash-join task; ~1M probe rows per partition
     clusters = clusters.materialize()
-    nparts = int(max(1, min(_join_partitions(), clusters.count() // 100_000 + 1)))
+    # corpus row count comes from parquet metadata (no feature pass)
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+    big_side = max(clusters.count(), n_docs)
+    nparts = int(max(1, min(_join_partitions(), big_side // 1_000_000 + 1)))
     joined = clusters.repartition(nparts).join(
         feats.repartition(nparts),
         join_type="inner",
@@ -6467,16 +6470,18 @@ def iter_page_links(urls, htmls):
     import re as _re
 
     link_re = _re.compile(LINK_RE, _re.S)
-    host_re = _re.compile(r"^[a-z]+://([^/]+)")
+    base_re = _re.compile(r"^([a-z]+://[^/]+)")
     for u, h in zip(urls, htmls):
-        m = host_re.match(u)
-        base = f"https://{m.group(1)}" if m else ""
+        m = base_re.match(u)
         text = (h or b"").decode("utf8", errors="replace")
         for href, anchor in link_re.findall(text):
             if href.startswith(("http://", "https://")):
                 yield u, href, anchor
-            elif href.startswith("/"):
-                yield u, base + href, anchor
+            elif href.startswith("/") and m:
+                # root-relative: resolve against the page's own
+                # scheme+host; pages with an unparseable url get no
+                # relative resolution rather than a bogus bare-path node
+                yield u, m.group(1) + href, anchor
 
 
 def q_link_graph(sf_dir: str):
@@ -6540,12 +6545,10 @@ def q_link_graph(sf_dir: str):
             }
         )
 
-    from ray.data.aggregate import Sum as _Sum
-
     pair_counts = (
         ds.map_batches(extract, batch_format="pyarrow")
         .groupby(["target", "anchor"])
-        .aggregate(_Sum("cnt", alias_name="n"))
+        .aggregate(Sum("cnt", alias_name="n"))
     )
 
     def finish(group: pd.DataFrame) -> pd.DataFrame:
@@ -6802,16 +6805,15 @@ def q_profile(sf_dir: str):
             if kind == "num":
                 units = pc.floor(pc.multiply(pc.cast(a, pa.float64()), 100.0))
                 mm = pc.min_max(units)
-                lo, hi = mm["min"].as_py(), mm["max"].as_py()
-                lo = -(2**62) if lo is None else int(lo)
-                hi = -(2**62) if hi is None else int(hi)
+                # all-null block -> 0 placeholders; the driver merge
+                # skips blocks with n == nulls, so they are never read
+                lo = int(mm["min"].as_py() or 0)
+                hi = int(mm["max"].as_py() or 0)
                 distinct: list[str] = []
             elif kind == "ts":
-                units = pc.cast(a, pa.int64())
-                mm = pc.min_max(units)
-                lo, hi = mm["min"].as_py(), mm["max"].as_py()
-                lo = -(2**62) if lo is None else int(lo)
-                hi = -(2**62) if hi is None else int(hi)
+                mm = pc.min_max(pc.cast(a, pa.int64()))
+                lo = int(mm["min"].as_py() or 0)
+                hi = int(mm["max"].as_py() or 0)
                 distinct = []
             else:  # cat
                 vals = pc.drop_null(a).unique().to_pylist()
@@ -6905,7 +6907,10 @@ def q_validate(sf_dir: str):
     def ord_partial(batch: pa.Table) -> pa.Table:
         key = np.asarray(pc.cast(batch.column("o_orderkey"), _I64), dtype=np.int64)
         p = np.asarray(pc.cast(batch.column("o_totalprice"), pa.float64()), dtype=np.float64)
-        bad = ~(p > 0.0)
+        # p <= 0 (not ~(p > 0)): NULL prices become NaN, and NaN <= 0
+        # is False — matching the oracle's CASE WHEN NOT(p > 0), where
+        # NULL falls through to ELSE 0
+        bad = p <= 0.0
         return pa.table(
             {
                 "rule": pa.array(["orders_totalprice_positive"], pa.string()),
@@ -6923,7 +6928,10 @@ def q_validate(sf_dir: str):
             pc.fill_null(pc.utf8_length(text), -1), dtype=np.int64
         )
         bad_c = nch != ln
-        trimmed = pc.utf8_trim_whitespace(pc.fill_null(text, ""))
+        # pc.utf8_trim(t, " ") NOT utf8_trim_whitespace: DuckDB trim()
+        # strips only ' ' while Arrow's whitespace trim also strips
+        # \t/\n/unicode spaces (same trap documented at the scrub rule)
+        trimmed = pc.utf8_trim(pc.fill_null(text, ""), " ")
         bad_e = np.asarray(pc.equal(pc.utf8_length(trimmed), 0), dtype=bool)
         return pa.table(
             {
