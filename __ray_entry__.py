@@ -33,8 +33,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the window swaps each round so every query's hard driver signal is
     # at most one round old — this round the front holds (a) everything
     # new or changed this round (q_dup_clusters, q_bm25,
-    # q_ann_ivf_append, q_epoch_mix, q_bitext_mine, ANN partial top-k,
-    # corpus-release hashing, sort-finisher drops, q_doc_vectors) and
+    # q_ann_ivf_append, q_epoch_mix, q_bitext_mine, q_keeper_selection,
+    # q_link_graph, q_pagerank, q_profile, q_validate, ANN partial
+    # top-k, corpus-release hashing, sort-finisher drops,
+    # q_doc_vectors) and
     # (b) the 26 queries demoted in round 3 (last driver-checked in
     # round 2).  The tail (>50) is exactly the set green in
     # CORRECTNESS_r03 with code untouched this round; all tail queries
