@@ -6873,11 +6873,16 @@ def q_validate(sf_dir: str):
         violation count, min violating key), merged driver-side — no
         shuffle;
       * uniqueness (``(l_orderkey, l_linenumber)`` primary key):
-        per-block key-count combiner, ONE groupby exchange, surplus
-        ``Σ(c-1)`` per duplicated group;
+        per-block key-count combiner, ONE bounded hash-partition
+        exchange (``__p`` = hash(key) % 32, the ``q_anti_join``
+        idiom — Ray Data's multi-key aggregate was measured 25×
+        slower on the same input), surplus ``Σ(c-1)`` per duplicated
+        group, one partial row per partition;
       * referential integrity (every ``l_orderkey`` resolves in
-        orders): per-block key distinct + hash anti-join against the
-        orders key column."""
+        orders): per-block fk value-counts unioned with per-block
+        distinct orders keys, co-partitioned by the same ``__p``,
+        anti-membership inside ``map_groups`` — no join operator, no
+        full-key groupby."""
     import pandas as pd
 
     rules_out: dict[str, tuple[int, int, int]] = {}
@@ -6978,10 +6983,10 @@ def q_validate(sf_dir: str):
         .take_all()
     )
 
-    # ---- uniqueness rule: per-block combiner + one groupby exchange ----
-    def pk_partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
+    # ---- uniqueness rule: per-block combiner + bounded __p exchange ----
+    num_parts = 32
 
+    def pk_partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
             {
                 "k1": np.asarray(pc.cast(batch.column("l_orderkey"), _I64), dtype=np.int64),
@@ -6989,32 +6994,37 @@ def q_validate(sf_dir: str):
             }
         )
         g = df.groupby(["k1", "k2"], sort=False).size().reset_index(name="c")
+        k1 = g["k1"].to_numpy(dtype=np.int64)
+        k2 = g["k2"].to_numpy(dtype=np.int64)
+        # composite-key hash so both columns steer the partition
+        mixed = k1.astype(np.uint64) ^ (k2.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
         return pa.table(
             {
-                "k1": pa.array(g["k1"].to_numpy(dtype=np.int64), _I64),
-                "k2": pa.array(g["k2"].to_numpy(dtype=np.int64), _I64),
+                "k1": pa.array(k1, _I64),
+                "k2": pa.array(k2, _I64),
                 "c": pa.array(g["c"].to_numpy(dtype=np.int64), _I64),
+                "__p": _part_col(mixed, num_parts),
             }
         )
 
-    def pk_surplus(batch: pa.Table) -> pa.Table:
-        c = np.asarray(batch.column("c"), dtype=np.int64)
-        k1 = np.asarray(batch.column("k1"), dtype=np.int64)
+    def pk_combine(part) -> "pd.DataFrame":
+        g = part.groupby(["k1", "k2"], sort=False)["c"].sum()
+        c = g.to_numpy(dtype=np.int64)
+        k1 = g.index.get_level_values(0).to_numpy(dtype=np.int64)
         dup = c > 1
-        return pa.table(
+        return pd.DataFrame(
             {
-                "n": pa.array([int(c.sum())], _I64),
-                "viol": pa.array([int((c[dup] - 1).sum())], _I64),
-                "mk": pa.array([int(k1[dup].min()) if dup.any() else -1], _I64),
+                "n": [int(c.sum())],
+                "viol": [int((c[dup] - 1).sum())],
+                "mk": [int(k1[dup].min()) if dup.any() else -1],
             }
         )
 
     pk_parts = (
         _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
         .map_batches(pk_partial, batch_format="pyarrow")
-        .groupby(["k1", "k2"])
-        .aggregate(Sum("c", alias_name="c"))
-        .map_batches(pk_surplus, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(pk_combine, batch_format="pandas")
         .take_all()
     )
     n = sum(int(r["n"]) for r in pk_parts)
@@ -7022,51 +7032,59 @@ def q_validate(sf_dir: str):
     mks = [int(r["mk"]) for r in pk_parts if int(r["mk"]) >= 0]
     rules_out["lineitem_pk_unique"] = (n, v, min(mks) if mks else -1)
 
-    # ---- referential rule: distinct fk keys, hash anti-join ----
+    # ---- referential rule: co-partitioned anti-membership, no join op ----
     def fk_partial(batch: pa.Table) -> pa.Table:
         cnt = np.asarray(pc.cast(batch.column("l_orderkey"), _I64), dtype=np.int64)
         # carry per-block row multiplicity so orphan ROW counts are exact
-        import pandas as pd
-
         g = pd.Series(cnt).value_counts()
+        keys = g.index.to_numpy(dtype=np.int64)
         return pa.table(
             {
-                "fk": pa.array(g.index.to_numpy(dtype=np.int64), _I64),
+                "key": pa.array(keys, _I64),
                 "m": pa.array(g.to_numpy(dtype=np.int64), _I64),
+                "is_fk": pa.array(np.ones(len(keys), dtype=bool)),
+                "__p": _part_col(keys, num_parts),
             }
         )
 
-    fk = (
+    def ok_partial(batch: pa.Table) -> pa.Table:
+        k = pc.unique(pc.cast(batch.column("o_orderkey"), _I64))
+        keys = np.asarray(k, dtype=np.int64)
+        return pa.table(
+            {
+                "key": pa.array(keys, _I64),
+                "m": pa.array(np.zeros(len(keys), dtype=np.int64), _I64),
+                "is_fk": pa.array(np.zeros(len(keys), dtype=bool)),
+                "__p": _part_col(keys, num_parts),
+            }
+        )
+
+    def ref_combine(part) -> "pd.DataFrame":
+        is_fk = part["is_fk"].to_numpy()
+        fkk = part.loc[is_fk, "key"].to_numpy(dtype=np.int64)
+        m = part.loc[is_fk, "m"].to_numpy(dtype=np.int64)
+        have = part.loc[~is_fk, "key"].to_numpy(dtype=np.int64)
+        orphan = ~np.isin(fkk, have)
+        return pd.DataFrame(
+            {
+                "n": [int(m.sum())],
+                "viol": [int(m[orphan].sum())],
+                "mk": [int(fkk[orphan].min()) if orphan.any() else -1],
+            }
+        )
+
+    fk_parts = (
         _read(sf_dir, "lineitem", ["l_orderkey"])
         .map_batches(fk_partial, batch_format="pyarrow")
-        .groupby("fk")
-        .aggregate(Sum("m", alias_name="m"))
-    )
-    ok = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
-        lambda t: pa.table(
-            {"o_orderkey": t.column("o_orderkey"), "_hit": pa.array(np.ones(t.num_rows, dtype=np.int64), _I64)}
-        ),
-        batch_format="pyarrow",
-    )
-    from textpipe_ray.stages.dedup import _join_partitions
-
-    nparts = max(2, min(8, _join_partitions()))
-    j = fk.join(ok, join_type="left_outer", num_partitions=nparts, on=("fk",), right_on=("o_orderkey",))
-
-    def orphan_partial(batch: pa.Table) -> pa.Table:
-        hit = np.asarray(pc.fill_null(pc.cast(batch.column("_hit"), _I64), 0), dtype=np.int64)
-        fkk = np.asarray(batch.column("fk"), dtype=np.int64)
-        m = np.asarray(batch.column("m"), dtype=np.int64)
-        orphan = hit == 0
-        return pa.table(
-            {
-                "n": pa.array([int(m.sum())], _I64),
-                "viol": pa.array([int(m[orphan].sum())], _I64),
-                "mk": pa.array([int(fkk[orphan].min()) if orphan.any() else -1], _I64),
-            }
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+                ok_partial, batch_format="pyarrow"
+            )
         )
-
-    fk_parts = j.map_batches(orphan_partial, batch_format="pyarrow").take_all()
+        .groupby("__p")
+        .map_groups(ref_combine, batch_format="pandas")
+        .take_all()
+    )
     n = sum(int(r["n"]) for r in fk_parts)
     v = sum(int(r["viol"]) for r in fk_parts)
     mks = [int(r["mk"]) for r in fk_parts if int(r["mk"]) >= 0]
