@@ -6602,21 +6602,43 @@ def q_pagerank(sf_dir: str):
     per division; the leak is identical on every engine that follows
     the contract, see the dict-based parity test).
 
-    Scale shape: one HTML parse pass builds the edge list (per-batch
-    combine to distinct pairs), then each iteration is ONE hash join
-    of the (node, rank, outdeg) table onto the edge list plus a
-    groupby-sum of contributions and a left-join back onto the node
-    table — O(E) exchange per round, nothing driver-side except the
-    8-byte dangling-mass scalar.  Rounds are a fixed constant, not
-    data-dependent."""
+    Scale shape: one HTML parse pass builds the edge list, distincted
+    inside a hash(src) partition exchange (same-pair rows co-locate, so
+    per-partition ``drop_duplicates`` is exact) — the edge table comes
+    out ALREADY partitioned by src-hash and is reused every round.
+    Each power iteration is exactly TWO bounded ``__p`` exchanges and
+    ZERO joins / driver syncs: (A) edges ∪ state grouped by src-hash —
+    a vectorized in-partition merge computes per-edge contributions,
+    combined per dst; the partition's dangling partial is replicated to
+    every target partition as P tiny rows, and state rows ride the same
+    exchange re-keyed by node-hash; (B) grouped by dst/node-hash — every
+    partition reconstructs the identical global dangling scalar from
+    the P² partials, sums inflow per node, and rebuilds the state rows
+    in place.  O(E) rows exchanged per round (unavoidable without
+    pinned placement), but as flat int/string columns through two Sort
+    ops instead of three hash-join/aggregate barriers plus a
+    whole-table dangling pass."""
     import glob as _glob
 
+    import pandas as pd
+
+    from textpipe_ray.functions.strhash import part_ids as _spart
     from textpipe_ray.stages.dedup import _join_partitions
 
     pages = pages_dir_for(sf_dir)
-    ds = ray.data.read_parquet(
-        sorted(_glob.glob(f"{pages}/pages-*.parquet")), columns=["url", "html"]
-    )
+    files = sorted(_glob.glob(f"{pages}/pages-*.parquet"))
+    ds = ray.data.read_parquet(files, columns=["url", "html"])
+    # partitions sized from row-count metadata (edges ~5x pages): small
+    # graphs must not pay per-round scheduling on dozens of near-empty
+    # partitions (the q_dup_clusters lesson)
+    import pyarrow.parquet as _pq
+
+    n_pages = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+    # per-exchange parallelism = number of __p groups: floor at CPU
+    # count (tiny graphs must still use the box), cap by edge volume
+    # (~5 edges/page, ~25k edge rows per partition keeps groups fat)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nparts = int(max(min(cpus, 16), min(_join_partitions(), n_pages // 5_000 + 1)))
 
     def edge_partial(batch: pa.Table) -> pa.Table:
         seen: set = set()
@@ -6624,51 +6646,65 @@ def q_pagerank(sf_dir: str):
             batch.column("url").to_pylist(), batch.column("html").to_pylist()
         ):
             seen.add((src, tgt))
-        srcs = [s for s, _ in seen]
-        tgts = [t for _, t in seen]
+        srcs = pa.array([s for s, _ in seen], pa.string())
+        tgts = pa.array([t for _, t in seen], pa.string())
         return pa.table(
             {
-                "src": pa.array(srcs, pa.string()),
-                "dst": pa.array(tgts, pa.string()),
+                "src": srcs,
+                "dst": tgts,
+                "__p": pa.array(_spart(srcs, nparts), pa.int32()),
             }
         )
 
-    # distinct edges: per-batch set + one global groupby; per-round join
-    # partitions sized from the MEASURED edge count (~100k edges each,
-    # the q_dup_clusters lesson) so small graphs don't pay per-round
-    # scheduling overhead on dozens of near-empty partitions
+    def edge_distinct(part: "pd.DataFrame") -> "pd.DataFrame":
+        return part.drop_duplicates(["src", "dst"], ignore_index=True)
+
     edges = (
         ds.map_batches(edge_partial, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .aggregate(Count(alias_name="_m"))
-        .select_columns(["src", "dst"])
+        .groupby("__p")
+        .map_groups(edge_distinct, batch_format="pandas")
+        .repartition(nparts)
         .materialize()
     )
-    nparts = int(max(1, min(_join_partitions(), edges.count() // 100_000 + 1)))
-    edges = edges.repartition(nparts).materialize()
 
-    # node set + both degrees in ONE groupby: every edge contributes a
-    # tagged row per endpoint ((src, out=1, in=0) and (dst, 0, 1)); the
-    # sum aggregate yields out_degree and in_degree together — no
-    # degree joins, no separate node-distinct pass
+    # node set + both degrees in ONE __p exchange: every edge emits a
+    # tagged row per endpoint ((src, out=1, in=0) and (dst, 0, 1)),
+    # keyed by node-hash; the in-partition pandas sum yields both
+    # degrees together — no degree joins, no separate distinct pass
     def endpoint_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows
         ones = np.ones(n, dtype=np.int64)
         zeros = np.zeros(n, dtype=np.int64)
+        node = pa.concat_arrays(
+            [t.column("src").combine_chunks(), t.column("dst").combine_chunks()]
+        )
         return pa.table(
             {
-                "node": pa.concat_arrays(
-                    [t.column("src").combine_chunks(), t.column("dst").combine_chunks()]
-                ),
+                "node": node,
                 "od": pa.array(np.concatenate([ones, zeros]), _I64),
                 "id_": pa.array(np.concatenate([zeros, ones]), _I64),
+                "__p": pa.array(_spart(node, nparts), pa.int32()),
             }
         )
 
+    def degree_combine(part: "pd.DataFrame") -> "pd.DataFrame":
+        g = part.groupby("node", sort=False)[["od", "id_"]].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "node": g["node"],
+                "out_degree": g["od"].astype("int64"),
+                "in_degree": g["id_"].astype("int64"),
+                "__p": np.full(len(g), part["__p"].iat[0], dtype=np.int32),
+            }
+        )
+
+    # block count == nparts from here on: every downstream Sort sizes
+    # its shuffle fan-out from input blocks, and 64+ near-empty blocks
+    # were measured to cost 5.5s PER EXCHANGE in scheduling alone
     nodes = (
         edges.map_batches(endpoint_rows, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Sum("od", alias_name="out_degree"), Sum("id_", alias_name="in_degree"))
+        .groupby("__p")
+        .map_groups(degree_combine, batch_format="pandas")
         .repartition(nparts)
         .materialize()
     )
@@ -6685,68 +6721,147 @@ def q_pagerank(sf_dir: str):
             )
         )
 
-    # state table (node, rank, out_degree, in_degree) — one map over nodes
+    # unified exchange schema: edges carry (src, dst); state rows carry
+    # (node, rank_units, out_degree, in_degree); stage-B rows carry
+    # (key, c, od, id_, kind).  One wide schema per stage keeps every
+    # iteration a plain union -> groupby("__p") -> map_groups chain.
     state = nodes.map_batches(
         lambda t: t.append_column(
             "rank_units",
             pa.array(np.full(t.num_rows, PAGERANK_SCALE // n_nodes, dtype=np.int64), _I64),
         ),
         batch_format="pyarrow",
-    ).materialize()
+    )
 
     teleport = PAGERANK_SCALE * (PAGERANK_D_DEN - PAGERANK_D_NUM) // (PAGERANK_D_DEN * n_nodes)
 
-    for _ in range(PAGERANK_ITERS):
-        # dangling mass: damped rank of zero-outdegree nodes (driver scalar)
-        def damped_dangling(t: pa.Table) -> pa.Table:
-            r = np.asarray(t.column("rank_units"), dtype=np.int64)
-            od = np.asarray(t.column("out_degree"), dtype=np.int64)
-            dang = (r[od == 0] * PAGERANK_D_NUM // PAGERANK_D_DEN).sum()
-            return pa.table({"dang": pa.array([int(dang)], _I64)})
-
-        dangling = state.map_batches(damped_dangling, batch_format="pyarrow").sum("dang")
-        base = teleport + dangling // n_nodes
-
-        def contrib(t: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            r = np.asarray(t.column("rank_units"), dtype=np.int64)
-            od = np.asarray(t.column("out_degree"), dtype=np.int64)
-            keep = od > 0
-            c = np.zeros(len(r), dtype=np.int64)
-            c[keep] = r[keep] * PAGERANK_D_NUM // (PAGERANK_D_DEN * od[keep])
-            # per-block combiner: collapse to one row per dst seen so the
-            # groupby exchange moves O(distinct dst x blocks), not O(E)
-            g = (
-                pd.DataFrame({"dst": t.column("dst").to_pandas(), "c": c})
-                .groupby("dst", sort=False)["c"]
-                .sum()
-                .reset_index()
-            )
-            return pa.table(
-                {
-                    "dst": pa.array(g["dst"], pa.string()),
-                    "c": pa.array(g["c"].to_numpy(dtype=np.int64), _I64),
-                }
-            )
-
-        inflow = (
-            edges.join(state, join_type="inner", num_partitions=nparts, on=("src",), right_on=("node",))
-            .map_batches(contrib, batch_format="pyarrow")
-            .groupby("dst")
-            .aggregate(Sum("c", alias_name="inflow"))
+    def widen_edges(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "node": pa.nulls(n, pa.string()),
+                "rank_units": pa.nulls(n, _I64),
+                "out_degree": pa.nulls(n, _I64),
+                "in_degree": pa.nulls(n, _I64),
+                "__p": t.column("__p"),
+            }
         )
 
-        def new_rank(t: pa.Table) -> pa.Table:
-            infl = pc.fill_null(pc.cast(t.column("inflow"), _I64), 0)
-            r = pc.add(infl, pa.scalar(int(base), _I64))
-            keep = [c for c in t.column_names if c not in ("rank_units", "inflow")]
-            return t.select(keep).append_column("rank_units", pc.cast(r, _I64))
+    def widen_state(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "src": pa.nulls(n, pa.string()),
+                "dst": pa.nulls(n, pa.string()),
+                "node": t.column("node"),
+                "rank_units": pc.cast(t.column("rank_units"), _I64),
+                "out_degree": pc.cast(t.column("out_degree"), _I64),
+                "in_degree": pc.cast(t.column("in_degree"), _I64),
+                "__p": pc.cast(t.column("__p"), pa.int32()),
+            }
+        )
 
+    wide_edges = edges.map_batches(widen_edges, batch_format="pyarrow").materialize()
+
+    def stage_a(part: "pd.DataFrame") -> "pd.DataFrame":
+        st = part[part["node"].notna()]
+        e = part[part["node"].isna()]
+        r = st["rank_units"].to_numpy(dtype=np.int64)
+        od = st["out_degree"].to_numpy(dtype=np.int64)
+        # per-edge contribution via in-partition merge (src co-located
+        # with its state row by construction of __p)
+        m = e[["src", "dst"]].merge(
+            pd.DataFrame({"src": st["node"].to_numpy(), "r": r, "odeg": od}),
+            on="src",
+            how="inner",
+        )
+        c = (
+            m["r"].to_numpy(dtype=np.int64)
+            * PAGERANK_D_NUM
+            // (PAGERANK_D_DEN * m["odeg"].to_numpy(dtype=np.int64))
+        )
+        g = (
+            pd.DataFrame({"key": m["dst"].to_numpy(), "c": c})
+            .groupby("key", sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        dang = int((r[od == 0] * PAGERANK_D_NUM // PAGERANK_D_DEN).sum())
+        key = pd.concat(
+            [g["key"], pd.Series([""] * nparts), st["node"]], ignore_index=True
+        )
+        cc = np.concatenate(
+            [
+                g["c"].to_numpy(dtype=np.int64),
+                np.full(nparts, dang, dtype=np.int64),
+                np.zeros(len(st), dtype=np.int64),
+            ]
+        )
+        odo = np.concatenate(
+            [
+                np.zeros(len(g) + nparts, dtype=np.int64),
+                st["out_degree"].to_numpy(dtype=np.int64),
+            ]
+        )
+        ido = np.concatenate(
+            [
+                np.zeros(len(g) + nparts, dtype=np.int64),
+                st["in_degree"].to_numpy(dtype=np.int64),
+            ]
+        )
+        kind = np.concatenate(
+            [
+                np.zeros(len(g), dtype=np.int8),
+                np.ones(nparts, dtype=np.int8),
+                np.full(len(st), 2, dtype=np.int8),
+            ]
+        )
+        p2 = np.concatenate(
+            [
+                _spart(pa.array(g["key"], pa.string()), nparts),
+                np.arange(nparts, dtype=np.int32),
+                _spart(pa.array(st["node"], pa.string()), nparts),
+            ]
+        )
+        return pd.DataFrame(
+            {"key": key, "c": cc, "od": odo, "id_": ido, "kind": kind, "__p": p2}
+        )
+
+    def stage_b(part: "pd.DataFrame") -> "pd.DataFrame":
+        kind = part["kind"].to_numpy()
+        # every partition sees ALL P dangling partials -> identical
+        # global scalar, no driver round-trip
+        dang_total = int(part.loc[kind == 1, "c"].sum())
+        base = teleport + dang_total // n_nodes
+        infl = part[kind == 0].groupby("key", sort=False)["c"].sum()
+        st = part[kind == 2]
+        rank = st["key"].map(infl).fillna(0).astype("int64") + base
+        n = len(st)
+        # Arrow output so the next union's block type matches wide_edges
+        return pa.table(
+            {
+                "src": pa.nulls(n, pa.string()),
+                "dst": pa.nulls(n, pa.string()),
+                "node": pa.array(st["key"].to_numpy(), pa.string()),
+                "rank_units": pa.array(rank.to_numpy(dtype=np.int64), _I64),
+                "out_degree": pa.array(st["od"].to_numpy(dtype=np.int64), _I64),
+                "in_degree": pa.array(st["id_"].to_numpy(dtype=np.int64), _I64),
+                "__p": pa.array(
+                    np.full(n, part["__p"].iat[0], dtype=np.int32), pa.int32()
+                ),
+            }
+        )
+
+    state = state.map_batches(widen_state, batch_format="pyarrow")
+    for _ in range(PAGERANK_ITERS):
         state = (
-            state.join(inflow, join_type="left_outer", num_partitions=nparts, on=("node",), right_on=("dst",))
-            .map_batches(new_rank, batch_format="pyarrow")
-            .materialize()
+            wide_edges.union(state)
+            .groupby("__p")
+            .map_groups(stage_a, batch_format="pandas")
+            .groupby("__p")
+            .map_groups(stage_b, batch_format="pandas")
         )
 
     return state.select_columns(["node", "rank_units", "out_degree", "in_degree"])
