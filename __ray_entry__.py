@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pagerank": Q.q_pagerank,
         "q_profile": Q.q_profile,
         "q_validate": Q.q_validate,
+        "q_rollup": Q.q_rollup,
+        "q_pivot": Q.q_pivot,
         "q_heavy_hitters": Q.q_heavy_hitters,
         "q_quantile_sketch": Q.q_quantile_sketch,
         "q_snapshot_loop": Q.q_snapshot_loop,

@@ -1067,6 +1067,35 @@ SELECT ab.sa AS src_id, ab.sb AS tgt_id
 FROM ab JOIN ba USING (sa, sb)
 WHERE ab.r = 1 AND ba.r = 1 AND ab.q >= {BITEXT_MIN_COS_Q}"""
 
+    # OLAP reshaping family: integer-unit measures so every sum is
+    # order-independent (queries.q_rollup / q_pivot)
+    from textpipe_ray.pipelines.queries import PIVOT_LANGS, ROLLUP_ALL
+
+    out["q_rollup"] = f"""
+WITH f AS (SELECT l_returnflag, l_linestatus,
+                  CAST(floor(l_quantity) AS BIGINT) AS qty,
+                  CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS pcents
+           FROM lineitem)
+SELECT coalesce(l_returnflag, '{ROLLUP_ALL}') AS rflag,
+       coalesce(l_linestatus, '{ROLLUP_ALL}') AS lstatus,
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST(sum(pcents) AS BIGINT) AS sum_price_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM f GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+
+    lang_cells = ",\n       ".join(
+        f"CAST(sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{lg}"
+        for lg in PIVOT_LANGS
+    )
+    declared = ", ".join(f"'{lg}'" for lg in PIVOT_LANGS)
+    out["q_pivot"] = f"""
+SELECT source,
+       {lang_cells},
+       CAST(sum(CASE WHEN lang NOT IN ({declared}) THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY source"""
+
     return out
 
 

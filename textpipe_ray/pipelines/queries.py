@@ -7210,3 +7210,162 @@ def q_validate(sf_dir: str):
         for rule in sorted(rules_out)
     ]
     return pd.DataFrame(rows, columns=["rule", "n_checked", "n_violations", "sample_key"])
+
+
+# ---------------------------------------------------------------------------
+# OLAP reshaping family: hierarchical rollup and long-to-wide pivot —
+# the reporting surface a corpus dashboard runs over release stats.
+# Both are pure combiner shapes: every grouping level / pivot cell is
+# reduced per block to a constant-size partial, so the single exchange
+# moves O(distinct keys x blocks) integer rows regardless of corpus
+# size.
+# ---------------------------------------------------------------------------
+
+ROLLUP_ALL = "ALL"  # sentinel for rolled-up key levels (no NULL keys in TPC-H)
+
+
+def q_rollup(sf_dir: str):
+    """Hierarchical ROLLUP over ``lineitem``: detail rows per
+    ``(l_returnflag, l_linestatus)``, subtotals per ``l_returnflag``,
+    and the grand total — all three levels from ONE read pass.
+    Measures are integer units (``floor(qty)``, price cents), matching
+    the repo's exact-money idiom, so sums are order-independent and
+    golden-stable.
+
+    Scale shape: the per-block combiner emits every grouping level
+    already reduced (≤ |flags|x|statuses| + |flags| + 1 rows per
+    block); the single ``__p`` exchange then merges constant-size
+    integer partials — the classic two-phase GROUPING SETS plan, never
+    a second read and never a row-level shuffle."""
+    import pandas as pd
+
+    num_parts = 8
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "rflag": batch.column("l_returnflag").to_pandas(),
+                "lstatus": batch.column("l_linestatus").to_pandas(),
+                "qty": np.floor(
+                    np.asarray(pc.cast(batch.column("l_quantity"), _F64), dtype=np.float64)
+                ).astype(np.int64),
+                "pcents": np.floor(
+                    np.asarray(
+                        pc.cast(batch.column("l_extendedprice"), _F64), dtype=np.float64
+                    )
+                    * 100.0
+                ).astype(np.int64),
+            }
+        )
+        lv0 = (
+            df.groupby(["rflag", "lstatus"], sort=False)
+            .agg(sum_qty=("qty", "sum"), sum_price_cents=("pcents", "sum"), n=("qty", "size"))
+            .reset_index()
+        )
+        lv1 = (
+            df.groupby("rflag", sort=False)
+            .agg(sum_qty=("qty", "sum"), sum_price_cents=("pcents", "sum"), n=("qty", "size"))
+            .reset_index()
+        )
+        lv1["lstatus"] = ROLLUP_ALL
+        lv2 = pd.DataFrame(
+            {
+                "rflag": [ROLLUP_ALL],
+                "lstatus": [ROLLUP_ALL],
+                "sum_qty": [int(df["qty"].sum())],
+                "sum_price_cents": [int(df["pcents"].sum())],
+                "n": [len(df)],
+            }
+        )
+        out = pd.concat([lv0, lv1, lv2], ignore_index=True)
+        fused = pa.array((out["rflag"] + "|" + out["lstatus"]).to_numpy(), pa.string())
+        return pa.table(
+            {
+                "rflag": pa.array(out["rflag"].to_numpy(), pa.string()),
+                "lstatus": pa.array(out["lstatus"].to_numpy(), pa.string()),
+                "sum_qty": pa.array(out["sum_qty"].to_numpy(dtype=np.int64), _I64),
+                "sum_price_cents": pa.array(
+                    out["sum_price_cents"].to_numpy(dtype=np.int64), _I64
+                ),
+                "n": pa.array(out["n"].to_numpy(dtype=np.int64), _I64),
+                "__p": pa.array(strhash_part_ids(fused, num_parts), pa.int32()),
+            }
+        )
+
+    def merge(part: "pd.DataFrame") -> "pd.DataFrame":
+        g = (
+            part.groupby(["rflag", "lstatus"], sort=False)[
+                ["sum_qty", "sum_price_cents", "n"]
+            ]
+            .sum()
+            .reset_index()
+        )
+        for c in ("sum_qty", "sum_price_cents", "n"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+PIVOT_LANGS = ("de", "en", "es", "fr", "zh")  # declared pivot columns; rest -> n_other
+
+
+def q_pivot(sf_dir: str):
+    """Long-to-wide pivot of ``documents``: one row per ``source`` with
+    per-language document counts as COLUMNS (``n_de`` … ``n_zh`` +
+    ``n_other`` for undeclared languages), total rows and total chars.
+    The pivot columns are a DECLARED closed set (``PIVOT_LANGS``) — the
+    schema is fixed up front, as a distributed pivot must be (a
+    data-dependent column set would need a driver round-trip before the
+    plan could even be built).
+
+    Scale shape: per-block pandas crosstab → one partial row per
+    (source x block), integer cells only; a single-key ``__p`` exchange
+    merges them.  Works unchanged when sources number millions (hosts):
+    the exchange is bounded by distinct sources x blocks, never rows."""
+    import pandas as pd
+
+    num_parts = 8
+    langs = list(PIVOT_LANGS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_pandas()
+        lang = batch.column("lang").to_pandas()
+        nch = np.asarray(pc.cast(batch.column("n_chars"), _I64), dtype=np.int64)
+        lane = pd.Categorical(
+            lang.where(lang.isin(langs), "other"), categories=langs + ["other"]
+        )
+        ct = pd.crosstab(src, lane, dropna=False)
+        df = pd.DataFrame({"source": ct.index.to_numpy()})
+        for lg in langs + ["other"]:
+            df[f"n_{lg}"] = ct[lg].to_numpy(dtype=np.int64) if lg in ct else 0
+        base = pd.DataFrame({"source": src, "nch": nch})
+        tot = base.groupby("source", sort=False)["nch"].agg(["size", "sum"])
+        df["n_rows"] = tot.loc[df["source"], "size"].to_numpy(dtype=np.int64)
+        df["sum_chars"] = tot.loc[df["source"], "sum"].to_numpy(dtype=np.int64)
+        cols = {"source": pa.array(df["source"].to_numpy(), pa.string())}
+        for c in df.columns[1:]:
+            cols[c] = pa.array(df[c].to_numpy(dtype=np.int64), _I64)
+        cols["__p"] = pa.array(
+            strhash_part_ids(cols["source"], num_parts), pa.int32()
+        )
+        return pa.table(cols)
+
+    def merge(part: "pd.DataFrame") -> "pd.DataFrame":
+        num = [c for c in part.columns if c not in ("source", "__p")]
+        g = part.groupby("source", sort=False)[num].sum().reset_index()
+        for c in num:
+            g[c] = g[c].astype("int64")
+        return g
+
+    return (
+        _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(merge, batch_format="pandas")
+    )
