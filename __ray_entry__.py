@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_validate": Q.q_validate,
         "q_rollup": Q.q_rollup,
         "q_pivot": Q.q_pivot,
+        "q_bm25_layout": Q.q_bm25_layout,
         "q_heavy_hitters": Q.q_heavy_hitters,
         "q_quantile_sketch": Q.q_quantile_sketch,
         "q_snapshot_loop": Q.q_snapshot_loop,

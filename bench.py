@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     "q_pagerank",
     "q_profile",
     "q_validate",
+    "q_rollup",
+    "q_pivot",
+    "q_bm25_layout",
 ]
 
 

@@ -1031,6 +1031,21 @@ sc AS (SELECT doc_id, {score} AS score FROM f, st)
 SELECT doc_id, CAST(floor(score * 1000000.0) AS BIGINT) AS bm25_micro
 FROM sc QUALIFY row_number() OVER (ORDER BY bm25_micro DESC, doc_id) <= {BM25_TOPK}"""
 
+    # pruned-read layout variant: identical scoring, restricted to docs
+    # matching >=1 query term (a zero-match doc has no posting row)
+    any_tf = " + ".join(f"tf{j}" for j in range(len(BM25_TERMS)))
+    out["q_bm25_layout"] = f"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS ws FROM documents),
+f AS (SELECT doc_id, len(ws) AS dl,
+  {tf_cols}
+  FROM toks),
+st AS (SELECT count(*) AS n,
+       CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+       {df_cols} FROM f),
+sc AS (SELECT doc_id, {score} AS score FROM f, st WHERE ({any_tf}) > 0)
+SELECT doc_id, CAST(floor(score * 1000000.0) AS BIGINT) AS bm25_micro
+FROM sc QUALIFY row_number() OVER (ORDER BY bm25_micro DESC, doc_id) <= {BM25_TOPK}"""
+
     # repeat-upsampling: same factor clamp, same md5-prefix shard math
     from textpipe_ray.pipelines.queries import (
         EPOCH_MIX_MAX_FACTOR,

@@ -7369,3 +7369,46 @@ def q_pivot(sf_dir: str):
         .groupby("__p")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def q_bm25_layout(sf_dir: str, layout_path: str | None = None):
+    """BM25 top-k over a PERSISTED inverted-index layout
+    (stages/postings.write_postings_layout → bm25_topk_layout): the
+    tokenized corpus is written once hive-partitioned by term-hash
+    bucket, and the query OPENS only the buckets its terms hash to —
+    file-level read pruning, the lexical analog of q_ann_ivf_layout's
+    partition-by-centroid story (a keyword query touches
+    |query terms| / num_buckets of the index bytes, while q_bm25
+    re-reads the whole feature table per query).  Same terms, constants
+    and quantization contract as q_bm25, and the float fold is
+    bit-equal (missing terms contribute exactly +0.0; tested), so the
+    result matches q_bm25 row-for-row at every scale where the top-k is
+    all positive-score docs.  Only ≥1-term-matching docs can appear —
+    the oracle applies the same restriction.  ``layout_path`` must be
+    shared storage on a cluster; omitted → temp dir, removed after
+    materialize."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from textpipe_ray.stages.postings import bm25_topk_layout, write_postings_layout
+
+    path = layout_path or _tf.mkdtemp(prefix="textpipe_ray_postings_")
+    try:
+        write_postings_layout(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            path,
+            token_pattern=TFIDF_TOKEN_RE,
+            num_buckets=16,
+        )
+        out = bm25_topk_layout(
+            path,
+            BM25_TERMS,
+            BM25_TOPK,
+            k1=BM25_K1,
+            b=BM25_B,
+            token_pattern=TFIDF_TOKEN_RE,
+        ).materialize()
+    finally:
+        if layout_path is None:
+            _sh.rmtree(path, ignore_errors=True)
+    return out
