@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "q_rollup",
     "q_pivot",
     "q_bm25_layout",
+    "q_bm25_append",
 ]
 
 

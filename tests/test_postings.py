@@ -108,3 +108,77 @@ def test_format_guard_refuses_foreign_meta(layout, tmp_path):
     (bad / "_meta.json").write_text(json.dumps({"format": "other-v9"}))
     with pytest.raises(ValueError, match="not a textpipe_ray-postings"):
         postings_meta(str(bad))
+
+
+def test_append_compact_lifecycle_matches_joint_write(ray_session, tmp_path):
+    """Base(even docs) + append(odd docs) must score bit-equal to a
+    joint single-write layout; compaction must preserve the result and
+    retire the old directories; an uncommitted gen dir is invisible."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from textpipe_ray.pipelines.queries import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        BM25_TOPK,
+        TFIDF_TOKEN_RE,
+        _read,
+    )
+    from textpipe_ray.stages.postings import (
+        append_postings_layout,
+        bm25_topk_layout,
+        compact_postings_layout,
+        postings_meta,
+        write_postings_layout,
+    )
+
+    ds = _read(SF, "documents", ["doc_id", "text"])
+
+    def half(parity):
+        def f(b: pa.Table) -> pa.Table:
+            d = np.asarray(pc.cast(b.column("doc_id"), pa.int64()), dtype=np.int64)
+            return b.filter(pa.array(d % 2 == parity))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    kw = dict(token_pattern=TFIDF_TOKEN_RE, num_buckets=16)
+    joint = str(tmp_path / "joint")
+    write_postings_layout(ds, joint, **kw)
+    want = bm25_topk_layout(joint, BM25_TERMS, BM25_TOPK, k1=BM25_K1, b=BM25_B).to_pandas()
+    want = want.sort_values(["bm25_micro", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+
+    grown = str(tmp_path / "grown")
+    write_postings_layout(half(0), grown, **kw)
+    gen = append_postings_layout(grown, half(1))
+    assert gen == 1
+    meta = postings_meta(grown)
+    assert meta["n_docs"] == postings_meta(joint)["n_docs"]
+    assert meta["sum_dl"] == postings_meta(joint)["sum_dl"]
+
+    def run(path):
+        got = bm25_topk_layout(path, BM25_TERMS, BM25_TOPK, k1=BM25_K1, b=BM25_B).to_pandas()
+        return got.sort_values(["bm25_micro", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+
+    got = run(grown)
+    assert np.array_equal(got["doc_id"].to_numpy(), want["doc_id"].to_numpy())
+    assert np.array_equal(got["bm25_micro"].to_numpy(), want["bm25_micro"].to_numpy())
+
+    # an uncommitted (crashed) generation directory must be invisible
+    import shutil
+
+    shutil.copytree(f"{grown}/gen-1", f"{grown}/gen-2")
+    got = run(grown)
+    assert np.array_equal(got["bm25_micro"].to_numpy(), want["bm25_micro"].to_numpy())
+
+    # compact: new gen = max(committed)+1 = 2 — the crashed gen-2 dir is
+    # cleared first (retry idempotence), result preserved, base bucket
+    # dirs + old gens retired
+    compact_postings_layout(grown)
+    meta = postings_meta(grown)
+    assert meta["gens"] == [2] and meta["base"] is False
+    got = run(grown)
+    assert np.array_equal(got["doc_id"].to_numpy(), want["doc_id"].to_numpy())
+    assert np.array_equal(got["bm25_micro"].to_numpy(), want["bm25_micro"].to_numpy())
+    assert not glob.glob(f"{grown}/bucket=*")
+    assert not glob.glob(f"{grown}/gen-1")

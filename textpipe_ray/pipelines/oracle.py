@@ -1046,6 +1046,10 @@ sc AS (SELECT doc_id, {score} AS score FROM f, st WHERE ({any_tf}) > 0)
 SELECT doc_id, CAST(floor(score * 1000000.0) AS BIGINT) AS bm25_micro
 FROM sc QUALIFY row_number() OVER (ORDER BY bm25_micro DESC, doc_id) <= {BM25_TOPK}"""
 
+    # lifecycle variant scores the SAME full corpus (base half + appended
+    # half), so the oracle is identical
+    out["q_bm25_append"] = out["q_bm25_layout"]
+
     # repeat-upsampling: same factor clamp, same md5-prefix shard math
     from textpipe_ray.pipelines.queries import (
         EPOCH_MIX_MAX_FACTOR,

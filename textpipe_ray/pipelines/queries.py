@@ -7412,3 +7412,49 @@ def q_bm25_layout(sf_dir: str, layout_path: str | None = None):
         if layout_path is None:
             _sh.rmtree(path, ignore_errors=True)
     return out
+
+
+def q_bm25_append(sf_dir: str, layout_path: str | None = None):
+    """Postings-layout LIFECYCLE as a driver row (the retrieval analog
+    of q_ann_ivf_append): build the inverted index from the EVEN-doc_id
+    half of ``documents``, ``append_postings_layout`` the odd half as a
+    committed generation (tokenized with the layout's OWN meta kernel,
+    stats accumulated, atomic bump last), then run the same pruned-read
+    BM25 over base + generation.  The result must (and does —
+    tests/test_postings.py) bit-equal a joint single-write layout:
+    appending never re-buckets existing terms, df is counted from the
+    pruned read so it can't go stale, and corpus stats add exactly.
+    ``layout_path`` must be shared storage on a cluster; omitted →
+    temp dir, removed after materialize."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from textpipe_ray.stages.postings import (
+        append_postings_layout,
+        bm25_topk_layout,
+        write_postings_layout,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def half(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            d = np.asarray(pc.cast(b.column("doc_id"), _I64), dtype=np.int64)
+            return b.filter(pa.array(d % 2 == parity))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    path = layout_path or _tf.mkdtemp(prefix="textpipe_ray_postings_app_")
+    try:
+        write_postings_layout(
+            half(0), path, token_pattern=TFIDF_TOKEN_RE, num_buckets=16
+        )
+        append_postings_layout(path, half(1))
+        out = bm25_topk_layout(
+            path, BM25_TERMS, BM25_TOPK, k1=BM25_K1, b=BM25_B,
+            token_pattern=TFIDF_TOKEN_RE,
+        ).materialize()
+    finally:
+        if layout_path is None:
+            _sh.rmtree(path, ignore_errors=True)
+    return out

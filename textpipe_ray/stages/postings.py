@@ -69,18 +69,28 @@ def term_buckets(terms, num_buckets: int) -> np.ndarray:
     )
 
 
-def write_postings_layout(
-    ds: "ray.data.Dataset",
-    path: str,
-    token_pattern: str,
-    num_buckets: int = 32,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> dict:
-    """Tokenize ``ds`` once and persist posting rows partitioned by
-    term-hash bucket; returns the committed meta dict.  Bucket
-    ``num_buckets`` (one past the last term bucket) holds the per-batch
-    corpus-stats rows."""
+def _postings_sources(path: str, meta: dict) -> list[str]:
+    """Root directories holding committed bucket partitions (base dir
+    unless retired by a compaction, plus every committed generation —
+    the IVF/minhash generational contract)."""
+    roots = [path] if meta.get("base", True) else []
+    roots.extend(f"{path}/gen-{g}" for g in meta.get("gens", []))
+    return roots
+
+
+def _write_postings_meta(path: str, meta: dict) -> None:
+    """Atomic commit marker: data files first, meta bump LAST, so a
+    crashed append/compact is invisible and retries are idempotent."""
+    tmp = f"{path}/_meta.json.tmp"
+    with open(tmp, "w", encoding="utf8") as f:
+        json.dump(meta, f)
+    os.replace(tmp, f"{path}/_meta.json")
+
+
+def _explode_fn(token_pattern: str, num_buckets: int, id_col: str, text_col: str):
+    """Tokenize-and-bucket batch fn shared by the base write and every
+    append (the same kernel MUST produce both, or generations would
+    disagree on bucketing)."""
     import re as _re
 
     stats_bucket = num_buckets
@@ -119,25 +129,138 @@ def write_postings_layout(
             }
         )
 
+    return explode
+
+
+def _fold_stats(root: str, num_buckets: int) -> tuple[int, int]:
+    """(n_docs, sum_dl) from a root's reserved stats bucket."""
+    stats = ray.data.read_parquet(
+        sorted(_glob.glob(f"{root}/bucket={num_buckets}/*.parquet")),
+        columns=["tf", "dl"],
+    ).take_all()
+    return (
+        int(sum(int(r["tf"]) for r in stats)),
+        int(sum(int(r["dl"]) for r in stats)),
+    )
+
+
+def write_postings_layout(
+    ds: "ray.data.Dataset",
+    path: str,
+    token_pattern: str,
+    num_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Tokenize ``ds`` once and persist posting rows partitioned by
+    term-hash bucket; returns the committed meta dict.  Bucket
+    ``num_buckets`` (one past the last term bucket) holds the per-batch
+    corpus-stats rows."""
+    explode = _explode_fn(token_pattern, num_buckets, id_col, text_col)
     ds.map_batches(explode, batch_format="pyarrow").write_parquet(
         path, partition_cols=["bucket"]
     )
-    stats = ray.data.read_parquet(
-        sorted(_glob.glob(f"{path}/bucket={stats_bucket}/*.parquet")),
-        columns=["tf", "dl"],
-    ).take_all()
+    n_docs, sum_dl = _fold_stats(path, num_buckets)
     meta = {
         "format": POSTINGS_FORMAT,
         "token_pattern": token_pattern,
         "num_buckets": num_buckets,
-        "n_docs": int(sum(int(r["tf"]) for r in stats)),
-        "sum_dl": int(sum(int(r["dl"]) for r in stats)),
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "base": True,
+        "gens": [],
     }
-    tmp = f"{path}/_meta.json.tmp"
-    with open(tmp, "w", encoding="utf8") as f:
-        json.dump(meta, f)
-    os.replace(tmp, f"{path}/_meta.json")
+    _write_postings_meta(path, meta)
     return meta
+
+
+def append_postings_layout(
+    path: str,
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Grow a persisted postings layout with a new document snapshot —
+    the retrieval side of the index LIFECYCLE the minhash and IVF
+    layouts already have (write → append generations → compact): the
+    snapshot is tokenized with the LAYOUT'S OWN tokenizer and bucket
+    count (read from meta, never re-specified — a drifting kernel would
+    split a term across buckets) into a fresh ``gen-N`` directory;
+    corpus stats accumulate into the meta, committed by the atomic bump
+    written LAST.  Queries see base + every committed generation, and
+    per-term df stays exact because it is counted from the pruned read,
+    never stored.  Returns the new generation id."""
+    import shutil as _sh
+
+    meta = postings_meta(path)
+    nb = int(meta["num_buckets"])
+    gen = max(meta["gens"], default=0) + 1
+    # a crashed earlier attempt may have left an UNCOMMITTED gen dir;
+    # write_parquet appends files, so clear it for idempotent retries
+    _sh.rmtree(f"{path}/gen-{gen}", ignore_errors=True)
+    explode = _explode_fn(meta["token_pattern"], nb, id_col, text_col)
+    ds.map_batches(explode, batch_format="pyarrow").write_parquet(
+        f"{path}/gen-{gen}", partition_cols=["bucket"]
+    )
+    n_docs, sum_dl = _fold_stats(f"{path}/gen-{gen}", nb)
+    meta["n_docs"] = int(meta["n_docs"]) + n_docs
+    meta["sum_dl"] = int(meta["sum_dl"]) + sum_dl
+    meta["gens"] = meta["gens"] + [gen]
+    _write_postings_meta(path, meta)
+    return gen
+
+
+def compact_postings_layout(path: str) -> None:
+    """Merge base + every committed generation into ONE fresh
+    generation and retire the old directories — restores O(buckets)
+    read fan-in after many snapshot appends.  A streaming
+    bucket-partitioned copy (rows already carry their bucket in the dir
+    name — no re-tokenization, no re-hashing); corpus stats are already
+    folded in the meta, so stats buckets are simply not copied.  The
+    atomic meta swap commits; readers see the old generation set or the
+    compacted one, never a mix."""
+    import shutil as _sh
+
+    import pyarrow.parquet as _pq
+
+    meta = postings_meta(path)
+    if not meta.get("gens"):
+        return  # base only — nothing to compact
+    nb = int(meta["num_buckets"])
+    old_roots = _postings_sources(path, meta)
+    files: list[str] = []
+    for root in old_roots:
+        for bkt in range(nb):  # skip the stats bucket: meta holds totals
+            files.extend(sorted(_glob.glob(f"{root}/bucket={bkt}/*.parquet")))
+    gen = max(meta["gens"]) + 1
+    _sh.rmtree(f"{path}/gen-{gen}", ignore_errors=True)
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        bucket = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(batch.column("path"), r"bucket=(?P<bucket>\d+)/"),
+                "bucket",
+            ),
+            _I64,
+        )
+        return batch.drop_columns(["path"]).append_column("bucket", bucket)
+
+    phys_cols = [
+        n for n in _pq.ParquetFile(files[0]).schema_arrow.names if n != "bucket"
+    ]
+    ray.data.read_parquet(files, columns=phys_cols, include_paths=True).map_batches(
+        stamp, batch_format="pyarrow"
+    ).write_parquet(f"{path}/gen-{gen}", partition_cols=["bucket"])
+    meta["gens"] = [gen]
+    meta["base"] = False
+    _write_postings_meta(path, meta)
+    # retirement after the commit point: a crash here only leaks dirs
+    for root in old_roots:
+        if root == path:
+            for d in _glob.glob(f"{path}/bucket=*"):
+                _sh.rmtree(d, ignore_errors=True)
+        else:
+            _sh.rmtree(root, ignore_errors=True)
 
 
 def postings_meta(path: str, token_pattern: str | None = None) -> dict:
@@ -182,9 +305,12 @@ def bm25_topk_layout(
     terms = list(terms)
     tb = term_buckets(terms, nb)
     need = sorted(set(int(x) for x in tb))
+    # committed sources only: base (unless retired by compaction) plus
+    # every generation in the meta — in-flight appends are invisible
     files: list[str] = []
-    for bkt in need:
-        files.extend(sorted(_glob.glob(f"{path}/bucket={bkt}/*.parquet")))
+    for root in _postings_sources(path, meta):
+        for bkt in need:
+            files.extend(sorted(_glob.glob(f"{root}/bucket={bkt}/*.parquet")))
     cand = (
         ray.data.read_parquet(files, columns=["term", "doc_id", "tf", "dl"])
         .map_batches(
