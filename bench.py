@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "q_pivot",
     "q_bm25_layout",
     "q_bm25_append",
+    "q_time_layout",
 ]
 
 

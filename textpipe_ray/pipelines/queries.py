@@ -7458,3 +7458,95 @@ def q_bm25_append(sf_dir: str, layout_path: str | None = None):
         if layout_path is None:
             _sh.rmtree(path, ignore_errors=True)
     return out
+
+
+TIME_LAYOUT_START, TIME_LAYOUT_END = "2024-01-10", "2024-01-17"  # [start, end)
+
+
+def q_time_layout(sf_dir: str, layout_path: str | None = None):
+    """Date-partitioned events layout + partition-pruned range scan —
+    the time-series counterpart of the hash-bucket pruning layouts
+    (postings / IVF): events are written ONCE hive-partitioned by
+    calendar day, and a day-aligned time-range query OPENS only the
+    partitions inside the range (7 of the 30 days here) — file-level
+    pruning on the axis warehouse scans actually filter by.  Output:
+    per ``event_type`` row count and exact integer cents of ``value``
+    over the range.
+
+    Scale shape: the layout write is one streaming stamp pass (the day
+    string derives row-locally from ``ts``); the query's per-block
+    combiner reduces to O(event_types) integer partials and one bounded
+    ``__p`` exchange merges them — nothing outside the pruned
+    partitions is read, decoded or shuffled.  ``layout_path`` must be
+    shared storage on a cluster; omitted → temp dir, removed after
+    materialize."""
+    import glob as _glob
+    import shutil as _sh
+    import tempfile as _tf
+    from datetime import date, timedelta
+
+    import pandas as pd
+
+    path = layout_path or _tf.mkdtemp(prefix="textpipe_ray_time_layout_")
+    try:
+        def stamp(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "day", pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+            )
+
+        _read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+            stamp, batch_format="pyarrow"
+        ).write_parquet(path, partition_cols=["day"])
+
+        d0 = date.fromisoformat(TIME_LAYOUT_START)
+        d1 = date.fromisoformat(TIME_LAYOUT_END)
+        days = [(d0 + timedelta(days=i)).isoformat() for i in range((d1 - d0).days)]
+        files: list[str] = []
+        for d in days:
+            files.extend(sorted(_glob.glob(f"{path}/day={d}/*.parquet")))
+
+        num_parts = 8
+
+        def partial(batch: pa.Table) -> pa.Table:
+            et = batch.column("event_type").to_pandas()
+            cents = np.floor(
+                np.asarray(pc.cast(batch.column("value"), _F64), dtype=np.float64)
+                * 100.0
+            ).astype(np.int64)
+            g = (
+                pd.DataFrame({"event_type": et, "c": cents})
+                .groupby("event_type", sort=False)["c"]
+                .agg(["size", "sum"])
+                .reset_index()
+            )
+            keys = pa.array(g["event_type"].to_numpy(), pa.string())
+            return pa.table(
+                {
+                    "event_type": keys,
+                    "n": pa.array(g["size"].to_numpy(dtype=np.int64), _I64),
+                    "sum_value_cents": pa.array(g["sum"].to_numpy(dtype=np.int64), _I64),
+                    "__p": pa.array(strhash_part_ids(keys, num_parts), pa.int32()),
+                }
+            )
+
+        def merge(part: "pd.DataFrame") -> "pd.DataFrame":
+            g = (
+                part.groupby("event_type", sort=False)[["n", "sum_value_cents"]]
+                .sum()
+                .reset_index()
+            )
+            g["n"] = g["n"].astype("int64")
+            g["sum_value_cents"] = g["sum_value_cents"].astype("int64")
+            return g
+
+        out = (
+            ray.data.read_parquet(files, columns=["event_type", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("__p")
+            .map_groups(merge, batch_format="pandas")
+            .materialize()
+        )
+    finally:
+        if layout_path is None:
+            _sh.rmtree(path, ignore_errors=True)
+    return out
