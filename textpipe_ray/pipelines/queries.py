@@ -6659,10 +6659,27 @@ def q_pagerank(sf_dir: str):
     def edge_distinct(part: "pd.DataFrame") -> "pd.DataFrame":
         return part.drop_duplicates(["src", "dst"], ignore_index=True)
 
-    edges = (
+    def widen_edges(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "node": pa.nulls(n, pa.string()),
+                "rank_units": pa.nulls(n, _I64),
+                "out_degree": pa.nulls(n, _I64),
+                "in_degree": pa.nulls(n, _I64),
+                "__p": t.column("__p"),
+            }
+        )
+
+    # ONE materialized O(E) table for the whole query, already in the
+    # iteration exchange schema — degrees and every round read it
+    wide_edges = (
         ds.map_batches(edge_partial, batch_format="pyarrow")
         .groupby("__p")
         .map_groups(edge_distinct, batch_format="pandas")
+        .map_batches(widen_edges, batch_format="pyarrow")
         .repartition(nparts)
         .materialize()
     )
@@ -6702,7 +6719,7 @@ def q_pagerank(sf_dir: str):
     # its shuffle fan-out from input blocks, and 64+ near-empty blocks
     # were measured to cost 5.5s PER EXCHANGE in scheduling alone
     nodes = (
-        edges.map_batches(endpoint_rows, batch_format="pyarrow")
+        wide_edges.map_batches(endpoint_rows, batch_format="pyarrow")
         .groupby("__p")
         .map_groups(degree_combine, batch_format="pandas")
         .repartition(nparts)
@@ -6735,20 +6752,6 @@ def q_pagerank(sf_dir: str):
 
     teleport = PAGERANK_SCALE * (PAGERANK_D_DEN - PAGERANK_D_NUM) // (PAGERANK_D_DEN * n_nodes)
 
-    def widen_edges(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table(
-            {
-                "src": t.column("src"),
-                "dst": t.column("dst"),
-                "node": pa.nulls(n, pa.string()),
-                "rank_units": pa.nulls(n, _I64),
-                "out_degree": pa.nulls(n, _I64),
-                "in_degree": pa.nulls(n, _I64),
-                "__p": t.column("__p"),
-            }
-        )
-
     def widen_state(t: pa.Table) -> pa.Table:
         n = t.num_rows
         return pa.table(
@@ -6762,8 +6765,6 @@ def q_pagerank(sf_dir: str):
                 "__p": pc.cast(t.column("__p"), pa.int32()),
             }
         )
-
-    wide_edges = edges.map_batches(widen_edges, batch_format="pyarrow").materialize()
 
     def stage_a(part: "pd.DataFrame") -> "pd.DataFrame":
         st = part[part["node"].notna()]
@@ -7327,7 +7328,13 @@ def q_pivot(sf_dir: str):
     Scale shape: per-block pandas crosstab → one partial row per
     (source x block), integer cells only; a single-key ``__p`` exchange
     merges them.  Works unchanged when sources number millions (hosts):
-    the exchange is bounded by distinct sources x blocks, never rows."""
+    the exchange is bounded by distinct sources x blocks, never rows.
+
+    Assumes non-null ``lang``/``source`` (the documents contract — same
+    assumption q_rollup states for its key columns): a NULL lang would
+    land in ``n_other`` here but in no declared cell under the oracle's
+    ``CASE WHEN lang NOT IN (...)`` (NULL → ELSE 0), and a NULL source
+    group would be dropped by the pandas crosstab but emitted by SQL."""
     import pandas as pd
 
     num_parts = 8
@@ -7504,6 +7511,17 @@ def q_time_layout(sf_dir: str, layout_path: str | None = None):
         files: list[str] = []
         for d in days:
             files.extend(sorted(_glob.glob(f"{path}/day={d}/*.parquet")))
+        if not files:
+            # no partition inside the range: the oracle's empty result
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "event_type": pa.array([], pa.string()),
+                        "n": pa.array([], _I64),
+                        "sum_value_cents": pa.array([], _I64),
+                    }
+                )
+            )
 
         num_parts = 8
 

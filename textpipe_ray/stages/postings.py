@@ -155,7 +155,18 @@ def write_postings_layout(
     """Tokenize ``ds`` once and persist posting rows partitioned by
     term-hash bucket; returns the committed meta dict.  Bucket
     ``num_buckets`` (one past the last term bucket) holds the per-batch
-    corpus-stats rows."""
+    corpus-stats rows.  Retry-idempotent like append/compact: a crashed
+    earlier build (bucket dirs without a committed meta) is cleared
+    first — write_parquet appends files, so stale partials would
+    otherwise double-count postings AND stats."""
+    import shutil as _sh
+
+    for d in _glob.glob(f"{path}/bucket=*") + _glob.glob(f"{path}/gen-*"):
+        _sh.rmtree(d, ignore_errors=True)
+    try:
+        os.remove(f"{path}/_meta.json")
+    except FileNotFoundError:
+        pass
     explode = _explode_fn(token_pattern, num_buckets, id_col, text_col)
     ds.map_batches(explode, batch_format="pyarrow").write_parquet(
         path, partition_cols=["bucket"]
@@ -311,6 +322,13 @@ def bm25_topk_layout(
     for root in _postings_sources(path, meta):
         for bkt in need:
             files.extend(sorted(_glob.glob(f"{root}/bucket={bkt}/*.parquet")))
+    if not files:
+        # none of the query terms' buckets exist (corpus contains no
+        # query term): the full-scan engine returns zero-score docs,
+        # this layout's contract is the ≥1-term restriction → empty
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], _I64), "bm25_micro": pa.array([], _I64)})
+        )
     cand = (
         ray.data.read_parquet(files, columns=["term", "doc_id", "tf", "dl"])
         .map_batches(
