@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "q_bm25_layout",
     "q_bm25_append",
     "q_time_layout",
+    "q_cdc_diff",
 ]
 
 

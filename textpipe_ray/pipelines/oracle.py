@@ -1061,6 +1061,23 @@ FROM events
 WHERE ts >= TIMESTAMP '{TIME_LAYOUT_START}' AND ts < TIMESTAMP '{TIME_LAYOUT_END}'
 GROUP BY event_type"""
 
+    # snapshot CDC: full outer join on doc_id, text inequality = changed
+    # (the engine compares 64-bit content hashes — exact at any test
+    # scale, collision-improbable at corpus scale and documented)
+    from textpipe_ray.pipelines.queries import CDC_CHANGE_MOD
+
+    out["q_cdc_diff"] = f"""
+WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 2),
+b AS (SELECT doc_id,
+        CASE WHEN doc_id % {CDC_CHANGE_MOD} = 0 THEN text || ' [rev2]' ELSE text END AS text
+      FROM documents WHERE doc_id % 3 != 0)
+SELECT CAST(coalesce(a.doc_id, b.doc_id) AS BIGINT) AS doc_id,
+  CASE WHEN b.doc_id IS NULL THEN 'removed'
+       WHEN a.doc_id IS NULL THEN 'added'
+       ELSE 'changed' END AS change
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR a.text <> b.text"""
+
     # repeat-upsampling: same factor clamp, same md5-prefix shard math
     from textpipe_ray.pipelines.queries import (
         EPOCH_MIX_MAX_FACTOR,

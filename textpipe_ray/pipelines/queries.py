@@ -7568,3 +7568,84 @@ def q_time_layout(sf_dir: str, layout_path: str | None = None):
         if layout_path is None:
             _sh.rmtree(path, ignore_errors=True)
     return out
+
+
+CDC_CHANGE_MOD = 7  # doc_id % 7 == 0 rows get modified text in snapshot B
+
+
+def q_cdc_diff(sf_dir: str):
+    """Snapshot change-data-capture: the added / removed / changed
+    delta between two crawl snapshots of ``documents`` — the diff a
+    daily ingest publishes so downstream stages reprocess only the
+    delta instead of the corpus.  Snapshot A = ``doc_id % 3 != 2``,
+    snapshot B = ``doc_id % 3 != 0`` with every ``doc_id % CDC_CHANGE_MOD
+    == 0`` row's text perturbed (deterministic suffix), so all three
+    change kinds occur at every scale: ``%3==0`` → removed, ``%3==2`` →
+    added, overlap rows with perturbed text → changed; unchanged rows
+    are NOT emitted (the delta must stay delta-sized).  Output: one row
+    per difference — ``(doc_id, change)``.
+
+    Scale shape: each side is read once and reduced ROW-LOCALLY to
+    ``(doc_id, content_hash)`` (16 bytes/doc — text never enters the
+    exchange); one bounded ``__p`` co-partition exchange compares both
+    sides' hash tables in-partition with vectorized isin/merge.  The
+    exchange is O(docs), the only floor possible for a full-corpus
+    diff; the output is O(delta)."""
+    import pandas as pd
+
+    from textpipe_ray.functions.strhash import hash64_mixed
+
+    num_parts = 16
+
+    def side(which: int):
+        def f(batch: pa.Table) -> pa.Table:
+            d = np.asarray(pc.cast(batch.column("doc_id"), _I64), dtype=np.int64)
+            keep = (d % 3 != 2) if which == 0 else (d % 3 != 0)
+            t = batch.filter(pa.array(keep))
+            d = np.asarray(t.column("doc_id"), dtype=np.int64)
+            text = pc.cast(t.column("text"), pa.string())
+            if which == 1:
+                changed = pa.array(d % CDC_CHANGE_MOD == 0)
+                text = pc.if_else(
+                    changed, pc.binary_join_element_wise(text, " [rev2]", ""), text
+                )
+            h = hash64_mixed(text).astype(np.int64)
+            return pa.table(
+                {
+                    "doc_id": pa.array(d, _I64),
+                    "h": pa.array(h, _I64),
+                    "is_b": pa.array(np.full(len(d), bool(which), dtype=bool)),
+                    "__p": _part_col(d, num_parts),
+                }
+            )
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            f, batch_format="pyarrow"
+        )
+
+    def diff(part: "pd.DataFrame") -> "pd.DataFrame":
+        a = part[~part["is_b"]]
+        b = part[part["is_b"]]
+        m = a[["doc_id", "h"]].merge(
+            b[["doc_id", "h"]], on="doc_id", how="outer", suffixes=("_a", "_b"),
+            indicator=True,
+        )
+        removed = m["_merge"] == "left_only"
+        added = m["_merge"] == "right_only"
+        changed = (m["_merge"] == "both") & (m["h_a"] != m["h_b"])
+        out = pd.DataFrame(
+            {
+                "doc_id": m["doc_id"].to_numpy(dtype=np.int64),
+                "change": np.select(
+                    [removed, added, changed], ["removed", "added", "changed"], ""
+                ),
+            }
+        )
+        return out[out["change"] != ""].reset_index(drop=True)
+
+    return (
+        side(0)
+        .union(side(1))
+        .groupby("__p")
+        .map_groups(diff, batch_format="pandas")
+    )
