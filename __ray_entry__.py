@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bm25_append": Q.q_bm25_append,
         "q_time_layout": Q.q_time_layout,
         "q_cdc_diff": Q.q_cdc_diff,
+        "q_compress_ratio": Q.q_compress_ratio,
         "q_heavy_hitters": Q.q_heavy_hitters,
         "q_quantile_sketch": Q.q_quantile_sketch,
         "q_snapshot_loop": Q.q_snapshot_loop,

@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "q_bm25_append",
     "q_time_layout",
     "q_cdc_diff",
+    "q_compress_ratio",
 ]
 
 

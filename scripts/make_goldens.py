@@ -67,6 +67,7 @@ GOLDEN_QUERIES = [
     "q_ann_ivf_append",
     "q_link_graph",
     "q_pagerank",
+    "q_compress_ratio",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

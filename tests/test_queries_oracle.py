@@ -45,7 +45,7 @@ def oracle_names():
     "q_para_ppl", "q_incremental_dedup", "q_distinct_sketch", "q_doc_vectors", "q_bloom_dedup", "q_bpe_train", "q_semdedup",
     "q_classifier_train", "q_substring_dedup", "q_snapshot_loop",
     "q_ann_ivf_layout", "q_heavy_hitters", "q_ann_ivf_append", "q_link_graph",
-    "q_pagerank",
+    "q_pagerank", "q_compress_ratio",
 ])
 def test_query_matches_oracle(ray_session, name):
     from textpipe_ray.pipelines.compare import compare, run_oracle
@@ -640,3 +640,32 @@ def test_time_layout_prunes_partitions(ray_session, tmp_path):
     assert len(days_on_disk) == 30
     assert len(in_range) == 7
     assert got["n"].sum() > 0
+
+
+def test_compress_ratio_band_and_extremes(ray_session):
+    """The entropy filter's keep flag must follow the declared milli
+    band exactly, normal prose must mostly pass, and the zlib kernel
+    must actually separate the extremes the filter exists to catch."""
+    import zlib
+
+    from textpipe_ray.pipelines.queries import (
+        COMPRESS_HIGH_MILLI,
+        COMPRESS_LEVEL,
+        COMPRESS_LOW_MILLI,
+        q_compress_ratio,
+    )
+
+    df = q_compress_ratio(SF).to_pandas()
+    assert len(df) == 500
+    assert (df["ratio_milli"] > 0).all()
+    band = (df["ratio_milli"] >= COMPRESS_LOW_MILLI) & (
+        df["ratio_milli"] <= COMPRESS_HIGH_MILLI
+    )
+    assert (df["keep"] == band).all()
+    assert df["keep"].mean() > 0.5  # synthetic prose is not junk
+    rep = b"spam " * 2000
+    assert 1000 * len(zlib.compress(rep, COMPRESS_LEVEL)) // len(rep) < COMPRESS_LOW_MILLI
+    import os
+
+    rnd = os.urandom(8192)
+    assert 1000 * len(zlib.compress(rnd, COMPRESS_LEVEL)) // len(rnd) > COMPRESS_HIGH_MILLI

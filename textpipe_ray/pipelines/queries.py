@@ -7649,3 +7649,52 @@ def q_cdc_diff(sf_dir: str):
         .groupby("__p")
         .map_groups(diff, batch_format="pandas")
     )
+
+
+COMPRESS_LEVEL = 6  # zlib level; output LENGTH is deterministic per zlib build
+COMPRESS_LOW_MILLI, COMPRESS_HIGH_MILLI = 200, 995  # keep band (repetitive / random)
+
+
+def q_compress_ratio(sf_dir: str):
+    """Compression-ratio (entropy) quality filter — the cheap
+    model-free signal production web pipelines run next to the Gopher
+    rules: highly compressible text is boilerplate/repetition, nearly
+    incompressible text is encoded junk or randomness.  Per document:
+    ``ratio_milli = floor(1000 * len(zlib(text)) / max(1, len(text)))``
+    over UTF-8 bytes, keep iff ``COMPRESS_LOW_MILLI <= ratio_milli <=
+    COMPRESS_HIGH_MILLI``, first-fail ``drop_reason`` like the other
+    rule families.
+
+    Determinism: only the compressed LENGTH is used, a pure function of
+    the input bytes for a fixed zlib version/level — golden-stable in
+    this environment (the same caveat every model-scored golden
+    carries).  Scale shape: strictly row-local (one C zlib call per
+    document — the same per-doc inherent cost as HTML parsing), no
+    exchange at all; the filter composes with the flagship chain as a
+    pure map."""
+    import zlib
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), _I64)
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        milli = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            raw = (t or "").encode("utf8")
+            milli[i] = (1000 * len(zlib.compress(raw, COMPRESS_LEVEL))) // max(1, len(raw))
+        too_rep = milli < COMPRESS_LOW_MILLI
+        too_rand = milli > COMPRESS_HIGH_MILLI
+        keep = ~(too_rep | too_rand)
+        reason = np.where(too_rep, "too_repetitive", np.where(too_rand, "too_random", ""))
+        return pa.table(
+            {
+                "doc_id": ids,
+                "ratio_milli": pa.array(milli, _I64),
+                "keep": pa.array(keep),
+                "drop_reason": pa.array(reason.tolist(), pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
