@@ -30,18 +30,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # Ordered by verification priority: the driver value-checks the
     # FIRST ~50 entries each round.  ROTATION POLICY (round-3 advice):
-    # the window swaps each round so every query's hard driver signal is
-    # at most one round old — this round the front holds (a) everything
-    # new or changed this round (q_dup_clusters, q_bm25,
-    # q_ann_ivf_append, q_epoch_mix, q_bitext_mine, q_keeper_selection,
-    # q_link_graph, q_pagerank, q_profile, q_validate, ANN partial
-    # top-k, corpus-release hashing, sort-finisher drops,
-    # q_doc_vectors) and
-    # (b) the 26 queries demoted in round 3 (last driver-checked in
-    # round 2).  The tail (>50) is exactly the set green in
-    # CORRECTNESS_r03 with code untouched this round; all tail queries
-    # stay value-checked every pytest run via the local oracle replica
-    # (tests/test_queries_oracle.py).
+    # never-driver-checked queries outrank everything, then queries
+    # whose code changed this round, then staleness.  With 105 queries
+    # and a ~50 window not every signal can be ≤1 round old; the front
+    # holds (a) all 29 queries NEW in round 4 (never driver-checked:
+    # q_dup_clusters … q_compress_ratio, the layout/lifecycle family,
+    # OLAP/CDC/entropy additions) and (b) the round-4-CHANGED older
+    # queries (ANN partial top-k, corpus-release hashing, sort-finisher
+    # drops, q_validate/q_pagerank redesigns).  The tail (>50) — the
+    # round-2-rotated join/window block and the r3-green untouched set
+    # — has committed driver rows from r2/r3 and is value-checked every
+    # pytest run via the local oracle replica
+    # (tests/test_queries_oracle.py::test_query_matches_oracle, which
+    # runs ALL 105 against the same compare).
     return {
         # --- changed or new this round ---
         "q_pages_flagship": Q.q_pages_flagship,
