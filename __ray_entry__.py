@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- changed or new this round ---
         "q_pages_flagship": Q.q_pages_flagship,
+        "q_skew_join": Q.q_skew_join,
         "q_dup_clusters": Q.q_dup_clusters,
         "q_bm25": Q.q_bm25,
         "q_ann_ivf_append": Q.q_ann_ivf_append,

@@ -251,6 +251,20 @@ SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
        CAST(floor(o.o_totalprice * 100.0) AS BIGINT) AS price_cents
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"""
 
+    # skew-salted join: the oracle runs the PLAIN join over the same
+    # deterministically planted hot key (queries.SKEW_MOD) — salting
+    # must be invisible in the result
+    from textpipe_ray.pipelines.queries import SKEW_MOD
+
+    out["q_skew_join"] = f"""
+SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(CASE WHEN o.o_orderkey % {SKEW_MOD} = 0 THEN 1 ELSE o.o_custkey END AS BIGINT)
+         AS skew_custkey,
+       c.c_mktsegment,
+       CAST(floor(o.o_totalprice * 100.0) AS BIGINT) AS price_cents
+FROM orders o JOIN customer c
+  ON c.c_custkey = (CASE WHEN o.o_orderkey % {SKEW_MOD} = 0 THEN 1 ELSE o.o_custkey END)"""
+
     # per-doc repetition signals (dup 3-gram / top-bigram fractions);
     # same token regex + shingle construction as queries.q_repetition
     out["q_repetition"] = """

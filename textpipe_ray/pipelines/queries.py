@@ -7698,3 +7698,142 @@ def q_compress_ratio(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+# --- q_skew_join: hot-key-salted big-⋈-big join -----------------------------
+# The north rule demands "partitioning / shuffle / skew handled
+# explicitly".  The flagship breaks host-domain skew by repartitioning
+# on url-hash BEFORE the actor-pool stages (flagship.py); this query is
+# the JOIN-side counterpart: the classic salted join for a fact table
+# whose join key has a hot value (one host/customer owning a double-
+# digit share of all rows).  The synthetic TPC-H-ish keys are uniform,
+# so the skew is PLANTED deterministically (and SQL-expressibly):
+# every 5th order is re-keyed to customer 1, giving it ~20% of the fact
+# side — the same shape a dominant host gives a per-host join at crawl
+# scale.
+SKEW_MOD = 5  # o_orderkey % SKEW_MOD == 0 → re-key to customer 1
+SKEW_SALTS = 8  # salt fan-out R for hot keys
+SKEW_HOT_FRAC_MILLI = 10  # a key is "hot" at ≥1% of fact rows
+
+
+def skew_salt_left(okey: np.ndarray, ckey: np.ndarray, hot: np.ndarray) -> np.ndarray:
+    """Salt bucket per fact row: rows on a hot key spread over
+    ``SKEW_SALTS`` buckets by a splitmix of their unique order key;
+    cold keys stay at salt 0 (single partition suffices)."""
+    mix = okey.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    mix ^= mix >> np.uint64(31)
+    salt = (mix % np.uint64(SKEW_SALTS)).astype(np.int64)
+    return np.where(np.isin(ckey, hot), salt, 0)
+
+
+def skew_replicate_right(n: int, ishot: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(row_index, salt) for the dimension side: hot keys are
+    replicated once per salt bucket (so every salted fact partition
+    finds its match); cold keys keep one copy at salt 0."""
+    reps = np.where(ishot, SKEW_SALTS, 1)
+    idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+    ends = np.cumsum(reps)
+    salt = np.arange(int(ends[-1]) if n else 0, dtype=np.int64) - np.repeat(ends - reps, reps)
+    return idx, salt
+
+
+def q_skew_join(sf_dir: str):
+    """Skew-aware distributed hash join (salted join).  A plain
+    ``Dataset.join`` hash-partitions both sides on the key, so a hot
+    key lands its entire ~20% of the fact table in ONE partition — the
+    straggler that stalls the stage at 100 TB.  Plan:
+
+    1. **Measure, don't guess**: a per-block ``np.unique`` combiner +
+       one small ``groupby(key).sum`` counts rows per key (exchange =
+       distinct keys × blocks, the standard pre-aggregated shape);
+       keys with ≥ ``SKEW_HOT_FRAC_MILLI``/1000 of the fact rows are
+       hot — the collect is bounded by 1000/SKEW_HOT_FRAC_MILLI rows
+       regardless of corpus size.
+    2. **Salt**: hot fact rows spread over ``SKEW_SALTS`` buckets by a
+       hash of their unique order key; the dimension side replicates
+       hot keys once per bucket (cold keys: one copy, salt 0).
+    3. Join on ``(key, salt)`` — the hot key's load now lands on R
+       partitions instead of one; replication cost is R × (#hot keys)
+       rows, not R × |dimension|.
+
+    Output is per-fact-row ``(o_orderkey, skew_custkey, c_mktsegment,
+    price_cents)``, value-checked against a TRUE DuckDB oracle that
+    runs the plain (unsalted) join — salting must be semantics-free."""
+    total = _read(sf_dir, "orders", ["o_orderkey"]).count()
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch.column("o_orderkey"), dtype=np.int64)
+        ck = np.asarray(batch.column("o_custkey"), dtype=np.int64)
+        sk = np.where(ok % SKEW_MOD == 0, 1, ck)
+        t = pa.table({"o_orderkey": pa.array(ok, _I64), "skew_custkey": pa.array(sk, _I64)})
+        if "o_totalprice" in batch.column_names:
+            t = t.append_column("o_totalprice", batch.column("o_totalprice"))
+        return t
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        sk = np.asarray(batch.column("skew_custkey"), dtype=np.int64)
+        u, c = np.unique(sk, return_counts=True)
+        return pa.table({"k": pa.array(u, _I64), "n": pa.array(c, _I64)})
+
+    threshold = max(1, (total * SKEW_HOT_FRAC_MILLI) // 1000)
+    hot_rows = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        .map_batches(keyed, batch_format="pyarrow")
+        .map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("n"), threshold)),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    hot = np.asarray(sorted(r["k"] for r in hot_rows), dtype=np.int64)
+
+    def salt_left(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch.column("o_orderkey"), dtype=np.int64)
+        sk = np.asarray(batch.column("skew_custkey"), dtype=np.int64)
+        return batch.append_column("salt", pa.array(skew_salt_left(ok, sk, hot), _I64))
+
+    left = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(keyed, batch_format="pyarrow")
+        .map_batches(salt_left, batch_format="pyarrow")
+    )
+
+    def salt_right(batch: pa.Table) -> pa.Table:
+        ck = np.asarray(batch.column("c_custkey"), dtype=np.int64)
+        idx, salt = skew_replicate_right(len(ck), np.isin(ck, hot))
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck[idx], _I64),
+                "c_mktsegment": batch.column("c_mktsegment").take(pa.array(idx)),
+                "salt": pa.array(salt, _I64),
+            }
+        )
+
+    right = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        salt_right, batch_format="pyarrow"
+    )
+
+    j = left.join(
+        right,
+        join_type="inner",
+        num_partitions=16,
+        on=("skew_custkey", "salt"),
+        right_on=("c_custkey", "salt"),
+    )
+
+    def post(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(batch.column("o_orderkey"), _I64),
+                "skew_custkey": pc.cast(batch.column("skew_custkey"), _I64),
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "price_cents": pc.cast(
+                    pc.floor(pc.multiply(batch.column("o_totalprice"), 100.0)), _I64
+                ),
+            }
+        )
+
+    return j.map_batches(post, batch_format="pyarrow")
