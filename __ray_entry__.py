@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- changed or new this round ---
         "q_pages_flagship": Q.q_pages_flagship,
         "q_skew_join": Q.q_skew_join,
+        "q_wet_export": Q.q_wet_export,
+        "q_lsh_recall": Q.q_lsh_recall,
         "q_dup_clusters": Q.q_dup_clusters,
         "q_bm25": Q.q_bm25,
         "q_ann_ivf_append": Q.q_ann_ivf_append,

@@ -68,6 +68,7 @@ GOLDEN_QUERIES = [
     "q_link_graph",
     "q_pagerank",
     "q_compress_ratio",
+    "q_lsh_recall",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

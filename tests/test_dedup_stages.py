@@ -797,3 +797,20 @@ def test_bloom_geometry_validated_everywhere(ray_session):
         bloom_scan(ray.data.from_arrow(t), merged, m_bits=M, k=4).take_all()
     with pytest.raises(ValueError, match="at least one"):
         merge_blooms()
+
+
+def test_lsh_recall_eval_row(ray_session):
+    """q_lsh_recall: every exact word-3-gram near-dup pair must be an
+    LSH candidate (recall ≥ the pipeline's 0.99 bar), and at the
+    production estimate threshold the reported pairs must be clean."""
+    from textpipe_ray.pipelines.queries import q_lsh_recall
+
+    t = q_lsh_recall("/root/testdata/sf0.001").to_pandas()
+    truth = t[t.in_truth]
+    assert len(truth) > 0  # non-vacuous
+    assert truth.in_cand.mean() >= 0.99
+    # truth rows carry a real exact value; reported-only candidates carry -1
+    assert (truth.exact_x1000 >= 800).all()
+    assert (t.loc[~t.in_truth, "exact_x1000"] == -1).all()
+    # pair canonical form
+    assert (t.id_a < t.id_b).all()

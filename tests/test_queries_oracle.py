@@ -35,7 +35,7 @@ def oracle_names():
     "q_quantile_sketch", "q_dup_clusters", "q_bm25", "q_epoch_mix", "q_bitext_mine",
     "q_keeper_selection", "q_profile", "q_validate", "q_rollup", "q_pivot",
     "q_bm25_layout", "q_bm25_append", "q_time_layout", "q_cdc_diff",
-    "q_skew_join",
+    "q_skew_join", "q_wet_export",
     # golden-parquet oracles (scripts/make_goldens.py)
     "q_langid", "q_perplexity", "q_minhash", "q_simhash", "q_simhash_neardup",
     "q_ann_ivf", "q_embedding_neardup", "q_pages_flagship", "q_pages_neardup",
@@ -46,7 +46,7 @@ def oracle_names():
     "q_para_ppl", "q_incremental_dedup", "q_distinct_sketch", "q_doc_vectors", "q_bloom_dedup", "q_bpe_train", "q_semdedup",
     "q_classifier_train", "q_substring_dedup", "q_snapshot_loop",
     "q_ann_ivf_layout", "q_heavy_hitters", "q_ann_ivf_append", "q_link_graph",
-    "q_pagerank", "q_compress_ratio",
+    "q_pagerank", "q_compress_ratio", "q_lsh_recall",
 ])
 def test_query_matches_oracle(ray_session, name):
     from textpipe_ray.pipelines.compare import compare, run_oracle

@@ -265,6 +265,14 @@ SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
 FROM orders o JOIN customer c
   ON c.c_custkey = (CASE WHEN o.o_orderkey % {SKEW_MOD} = 0 THEN 1 ELSE o.o_custkey END)"""
 
+    # WET export round-trip: the oracle summarizes the ORIGINAL parquet;
+    # equality proves the sharded WET write→parse cycle is lossless
+    out["q_wet_export"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       substr(md5(text), 1, 8) AS md5_8
+FROM documents"""
+
     # per-doc repetition signals (dup 3-gram / top-bigram fractions);
     # same token regex + shingle construction as queries.q_repetition
     out["q_repetition"] = """

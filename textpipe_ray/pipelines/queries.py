@@ -7837,3 +7837,190 @@ def q_skew_join(sf_dir: str):
         )
 
     return j.map_batches(post, batch_format="pyarrow")
+
+
+WET_EPOCH_US = 1577836800_000000  # 2020-01-01T00:00:00Z
+
+
+def q_wet_export(sf_dir: str, out_dir: str | None = None):
+    """Distributed WET export + read-back (sources/warc.py): the
+    documents table is written as sharded Common-Crawl WET files — one
+    gzipped ``conversion``-record file per input block, written inside
+    the map task so the export streams with the read, no collect — then
+    ``read_wet`` parses the shards back and a row-local pass summarizes
+    each document.  The TRUE DuckDB oracle computes the same summary
+    from the ORIGINAL parquet, so the check proves the WET round-trip
+    is lossless per document (url-embedded doc_id, exact char length,
+    md5 prefix of the text bytes).
+
+    Scale shape: export is embarrassingly parallel (shard name = the
+    block's min doc_id, unique because blocks partition the id space);
+    read-back is one ``read_binary_files`` + row-local parse; no
+    exchange anywhere.  ``out_dir`` must be shared storage on a
+    cluster; omitted → temp dir, removed after materialize."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from textpipe_ray.functions.strhash import md5_hex
+    from textpipe_ray.sources.warc import read_wet, write_wet
+
+    root = out_dir or _tf.mkdtemp(prefix="textpipe_ray_wet_")
+
+    def export(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        urls = pa.array([f"http://docs.example/{i}" for i in ids], pa.string())
+        ts = pa.array(WET_EPOCH_US + ids * 1_000_000, pa.timestamp("us"))
+        t = pa.table({"url": urls, "warc_ts": ts, "text": batch.column("text")})
+        name = f"wet-{ids.min():012d}.warc.wet.gz"
+        write_wet(t, _os.path.join(root, name), compress=True)
+        return pa.table({"file": pa.array([name]), "n_docs": pa.array([len(ids)], _I64)})
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        # fixed-length prefix "http://docs.example/" → slice off 20 chars
+        doc_id = pc.cast(pc.utf8_slice_codeunits(batch.column("url"), 20), _I64)
+        text = batch.column("text")
+        md5_8 = pc.utf8_slice_codeunits(
+            pa.array(md5_hex(text), pa.string()), 0, 8
+        )
+        return pa.table(
+            {
+                "doc_id": doc_id,
+                "n_chars": pc.cast(pc.utf8_length(text), _I64),
+                "md5_8": md5_8,
+            }
+        )
+
+    try:
+        manifest = (
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(export, batch_format="pyarrow")
+            .materialize()  # one row per shard — the export barrier
+        )
+        assert manifest.count() > 0
+        files = sorted(
+            _os.path.join(root, f) for f in _os.listdir(root) if f.startswith("wet-")
+        )
+        out = (
+            read_wet(files).map_batches(summarize, batch_format="pyarrow").materialize()
+        )
+    finally:
+        if out_dir is None:
+            _sh.rmtree(root, ignore_errors=True)
+    return out
+
+
+LSH_EVAL_TRUTH = 0.8  # exact word-3-gram jaccard ≥ this is a "true" near-dup
+LSH_EVAL_PARTS = 16
+LSH_EVAL_EST_FLOOR = 64  # report non-truth candidates only at est ≥ 64/128
+LSH_EVAL_SHINGLE = 5  # byte-shingle minhash (the production pages config)
+
+
+def q_lsh_recall(sf_dir: str):
+    """Dedup-quality evaluation: how well does the production
+    MinHash-LSH candidate generator cover the EXACT near-duplicate
+    pairs?  Production pipelines tune LSH (bands × rows, shingle
+    space) against measured recall/precision, not guesses — this row
+    makes that measurement a first-class, regression-gated operator.
+
+    Truth side: :func:`shingle_jaccard_pairs` — the exact word-3-gram
+    Jaccard pairs (inverted-index plan, q_ngram_jaccard's machinery) at
+    ``LSH_EVAL_TRUTH``.  Candidate side: :func:`near_dup_minhash` with
+    ``threshold=0.0`` so every LSH band-bucket candidate survives with
+    its signature-agreement estimate.  Both sides are pair tables
+    (bounded by actual similarity, never O(N²)); the outer merge is one
+    co-partitioned ``__p`` exchange + vectorized run-boundary reduce —
+    no join operator, no driver collect.
+
+    Output: every truth pair plus every candidate pair at ``est_x128 ≥
+    LSH_EVAL_EST_FLOOR`` — ``(id_a, id_b, exact_x1000, est_x128,
+    in_truth, in_cand)`` with -1 for a side the pair is absent from
+    (``est_x128`` = signature agreement k of 128; ``in_cand`` records
+    raw LSH candidacy at ANY estimate, so recall over truth rows is
+    exact).  The floor keeps the result answer-sized: the raw candidate
+    set is the LSH background fire rate (~100k pairs even at sf0.01),
+    which is the thing this eval exists to measure, not to ship.
+    Recall = mean(in_cand | in_truth), asserted ≥ the production bar in
+    tests.  Golden-checked (the minhash side is not SQL-expressible)."""
+    from textpipe_ray.stages.dedup import near_dup_minhash, shingle_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pair_part(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        mix = (a.astype(np.uint64) << np.uint64(32)) ^ b.astype(np.uint64)
+        mix *= np.uint64(0x9E3779B97F4A7C15)
+        return ((mix >> np.uint64(33)) % np.uint64(LSH_EVAL_PARTS)).astype(np.int32)
+
+    def tag_truth(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("id_a"), dtype=np.int64)
+        b = np.asarray(batch.column("id_b"), dtype=np.int64)
+        jac = np.asarray(batch.column("jac"), dtype=np.float64)
+        return pa.table(
+            {
+                "id_a": pa.array(a, _I64),
+                "id_b": pa.array(b, _I64),
+                "exact_x1000": pa.array(np.floor(jac * 1000.0).astype(np.int64), _I64),
+                "est_x128": pa.array(np.full(len(a), -1, dtype=np.int64), _I64),
+                "__p": pa.array(pair_part(a, b), pa.int32()),
+            }
+        )
+
+    def tag_cand(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("id_a"), dtype=np.int64)
+        b = np.asarray(batch.column("id_b"), dtype=np.int64)
+        est = np.asarray(batch.column("jaccard_est"), dtype=np.float64)
+        return pa.table(
+            {
+                "id_a": pa.array(a, _I64),
+                "id_b": pa.array(b, _I64),
+                "exact_x1000": pa.array(np.full(len(a), -1, dtype=np.int64), _I64),
+                "est_x128": pa.array(np.rint(est * 128.0).astype(np.int64), _I64),
+                "__p": pa.array(pair_part(a, b), pa.int32()),
+            }
+        )
+
+    truth = shingle_jaccard_pairs(ds, k=3, threshold=LSH_EVAL_TRUTH).map_batches(
+        tag_truth, batch_format="pyarrow"
+    )
+    cand = near_dup_minhash(ds, threshold=0.0, shingle_size=LSH_EVAL_SHINGLE).map_batches(
+        tag_cand, batch_format="pyarrow"
+    )
+
+    def merge(part: pa.Table) -> pa.Table:
+        n = len(part)
+        if n == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], _I64),
+                    "id_b": pa.array([], _I64),
+                    "exact_x1000": pa.array([], _I64),
+                    "est_x128": pa.array([], _I64),
+                    "in_truth": pa.array([], pa.bool_()),
+                    "in_cand": pa.array([], pa.bool_()),
+                }
+            )
+        a = np.asarray(part.column("id_a"), dtype=np.int64)
+        b = np.asarray(part.column("id_b"), dtype=np.int64)
+        ex = np.asarray(part.column("exact_x1000"), dtype=np.int64)
+        es = np.asarray(part.column("est_x128"), dtype=np.int64)
+        order = np.lexsort((b, a))
+        a, b, ex, es = a[order], b[order], ex[order], es[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(new)
+        bounds = np.append(starts, n)
+        exm = np.maximum.reduceat(ex, starts)
+        esm = np.maximum.reduceat(es, starts)
+        keep = (exm >= 0) | (esm >= LSH_EVAL_EST_FLOOR)
+        return pa.table(
+            {
+                "id_a": pa.array(a[starts][keep], _I64),
+                "id_b": pa.array(b[starts][keep], _I64),
+                "exact_x1000": pa.array(exm[keep], _I64),
+                "est_x128": pa.array(esm[keep], _I64),
+                "in_truth": pa.array(exm[keep] >= 0),
+                "in_cand": pa.array(esm[keep] >= 0),
+            }
+        )
+
+    return truth.union(cand).groupby("__p").map_groups(merge, batch_format="pyarrow")
