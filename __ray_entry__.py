@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_skew_join": Q.q_skew_join,
         "q_wet_export": Q.q_wet_export,
         "q_lsh_recall": Q.q_lsh_recall,
+        "q_vocab_coverage": Q.q_vocab_coverage,
         "q_dup_clusters": Q.q_dup_clusters,
         "q_bm25": Q.q_bm25,
         "q_ann_ivf_append": Q.q_ann_ivf_append,

@@ -69,6 +69,7 @@ GOLDEN_QUERIES = [
     "q_pagerank",
     "q_compress_ratio",
     "q_lsh_recall",
+    "q_vocab_coverage",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

@@ -69,3 +69,42 @@ def test_q_bpe_train_compresses_and_is_exact(ray_session):
     assert (df["n_bpe_tokens"].to_numpy() <= n_chars + df["n_words"].to_numpy()).all()
     assert (df["n_bpe_tokens"] >= df["n_words"]).all()
     assert (df["n_bpe_tokens"][df["n_words"] > 0] > 0).all()
+
+
+def test_vocab_coverage_matches_single_process(ray_session):
+    """q_vocab_coverage's type-space token frequencies must equal a
+    from-scratch single-process count over the whole corpus (same
+    merges, token-instance space)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    import regex as re
+
+    from textpipe_ray.functions.bpe import encode_word, learn_bpe
+    from textpipe_ray.functions.quality import RE2_PATTERNS
+    from textpipe_ray.pipelines.queries import (
+        BPE_NUM_MERGES,
+        BPE_TOP_WORDS,
+        VOCAB_TOP_K,
+        q_vocab_coverage,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    creg = re.compile(RE2_PATTERNS["nwords"])
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"]).column("text")
+    wc = Counter()
+    for t in texts.to_pylist():
+        wc.update(creg.findall((t or "").lower()))
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_WORDS]
+    ranks = {p: i for i, p in enumerate(learn_bpe(top, BPE_NUM_MERGES))}
+    tc = Counter()
+    for w, n in wc.items():
+        for tok in encode_word(w, ranks):
+            tc[tok] += n
+    total = sum(tc.values())
+    expect = sorted(tc.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_TOP_K]
+
+    got = q_vocab_coverage(sf).to_pandas()
+    assert list(got.token) == [t for t, _ in expect]
+    assert list(got.n) == [n for _, n in expect]
+    assert list(got.permille) == [n * 1000 // total for _, n in expect]

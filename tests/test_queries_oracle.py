@@ -46,7 +46,7 @@ def oracle_names():
     "q_para_ppl", "q_incremental_dedup", "q_distinct_sketch", "q_doc_vectors", "q_bloom_dedup", "q_bpe_train", "q_semdedup",
     "q_classifier_train", "q_substring_dedup", "q_snapshot_loop",
     "q_ann_ivf_layout", "q_heavy_hitters", "q_ann_ivf_append", "q_link_graph",
-    "q_pagerank", "q_compress_ratio", "q_lsh_recall",
+    "q_pagerank", "q_compress_ratio", "q_lsh_recall", "q_vocab_coverage",
 ])
 def test_query_matches_oracle(ray_session, name):
     from textpipe_ray.pipelines.compare import compare, run_oracle

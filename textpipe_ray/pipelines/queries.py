@@ -8024,3 +8024,92 @@ def q_lsh_recall(sf_dir: str):
         )
 
     return truth.union(cand).groupby("__p").map_groups(merge, batch_format="pyarrow")
+
+
+VOCAB_TOP_K = 50
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Tokenizer QA: corpus-wide BPE token frequencies and coverage —
+    the check a team runs after training a tokenizer (q_bpe_train)
+    before spending GPU-hours on it: which token types dominate, and
+    what share of the corpus token stream the head of the vocabulary
+    covers.
+
+    Everything runs in WORD-TYPE space, never token-instance space:
+    the corpus is read once for the word-type count table (the
+    q_bpe_train plan — exchange moves distinct types × blocks), merges
+    are learned from the bounded top-type table, and then each TYPE is
+    encoded exactly once with its count carried as a weight — the
+    token-frequency table is a second types-sized groupby, so corpus
+    size only enters through the single word-count pass.
+
+    Output: the top ``VOCAB_TOP_K`` tokens by corpus frequency —
+    ``(rank, token, n, permille)`` where permille is the token's
+    integer share of the total token stream.  Golden-checked (merge
+    learning is not SQL-expressible)."""
+    import regex as _re
+    from collections import Counter as _Counter
+
+    from textpipe_ray.functions.bpe import encode_word, learn_bpe
+    from textpipe_ray.functions.quality import RE2_PATTERNS
+
+    creg = _re.compile(RE2_PATTERNS["nwords"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def wc_partial(batch: pa.Table) -> pa.Table:
+        c: dict = _Counter()
+        for t in pc.utf8_lower(batch.column("text")).to_pylist():
+            c.update(creg.findall(t or ""))
+        words = sorted(c)
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "n": pa.array([c[w] for w in words], _I64),
+            }
+        )
+
+    types = (
+        ds.map_batches(wc_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # types-sized; reused for learn + encode passes
+    )
+    top = types.sort(["n", "word"], descending=[True, False]).limit(BPE_TOP_WORDS).take_all()
+    merges = learn_bpe([(r["word"], r["n"]) for r in top], BPE_NUM_MERGES)
+    ranks_ref = ray.put({p: i for i, p in enumerate(merges)})
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        ranks = ray.get(ranks_ref)
+        c: dict = _Counter()
+        for w, n in zip(batch.column("word").to_pylist(), batch.column("n").to_pylist()):
+            for tok in encode_word(w, ranks):
+                c[tok] += n
+        toks = sorted(c)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "n": pa.array([c[t] for t in toks], _I64),
+            }
+        )
+
+    tokens = (
+        types.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # vocab-sized
+    )
+    total = tokens.sum("n")
+    head = tokens.sort(["n", "token"], descending=[True, False]).limit(VOCAB_TOP_K)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n"), dtype=np.int64)
+        return pa.table(
+            {
+                "token": batch.column("token"),
+                "n": pa.array(n, _I64),
+                "permille": pa.array(n * 1000 // max(1, total), _I64),
+            }
+        )
+
+    return head.map_batches(finish, batch_format="pyarrow")
