@@ -37,6 +37,11 @@ for s in sessions:
         qmin[q] = min(qmin.get(q, 1e9), t)
 agg["queries"] = qmin
 agg["value"] = qmin.get("q_pages_flagship")
+# docs_per_sec must track the aggregated (min) flagship time, not the
+# latest session's — sessions[-1] may be a degraded-host run
+if agg["value"]:
+    agg["docs_per_sec"] = round(agg["rows"]["q_pages_flagship"] / agg["value"], 1)
+agg.pop("host_probe_ms", None)  # per-session reading; probes_ms has them all
 agg["sessions"] = len(sessions)
 agg["probes_ms"] = [s.get("host_probe_ms") for s in sessions]
 with open("bench_out/bench_r4.json", "w") as f:

@@ -7941,7 +7941,11 @@ def q_lsh_recall(sf_dir: str):
     set is the LSH background fire rate (~100k pairs even at sf0.01),
     which is the thing this eval exists to measure, not to ship.
     Recall = mean(in_cand | in_truth), asserted ≥ the production bar in
-    tests.  Golden-checked (the minhash side is not SQL-expressible)."""
+    tests.  At corpus scale the eval runs over a sampled shard slice —
+    it composes with any upstream filter; the exact truth side is the
+    quadratic-free inverted-index plan, so the slice just bounds the
+    candidate fire rate.  Golden-checked (the minhash side is not
+    SQL-expressible)."""
     from textpipe_ray.stages.dedup import near_dup_minhash, shingle_jaccard_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
