@@ -103,6 +103,12 @@ BENCH_QUERIES = [
     "q_time_layout",
     "q_cdc_diff",
     "q_compress_ratio",
+    "q_skew_join",
+    "q_wet_export",
+    "q_lsh_recall",
+    "q_vocab_coverage",
+    "q_ann_pq",
+    "q_drift",
 ]
 
 

@@ -70,6 +70,7 @@ GOLDEN_QUERIES = [
     "q_compress_ratio",
     "q_lsh_recall",
     "q_vocab_coverage",
+    "q_ann_pq",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

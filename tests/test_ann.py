@@ -333,3 +333,122 @@ def test_ivf_append_retry_is_idempotent(emb_ds, tmp_path):
     assert total == 200  # exactly one copy of the odd half
     meta = json.load(open(f"{lay}/_meta.json"))
     assert meta["gens"] == [1]
+
+
+def test_pq_matches_independent_reference(emb_ds):
+    """The distributed encode→ADC→merge chain must equal a plain-Python
+    reference computing the same PQ search over the same codebooks."""
+    from textpipe_ray.stages.ann import (
+        _uniform_sample,
+        ann_pq_topk,
+        train_pq,
+    )
+
+    ds, vecs = emb_ds
+    qids = np.arange(5, dtype=np.int64)
+    qmat = vecs[:5]
+    k = 10
+    m_sub, n_codes = 4, 16  # dim 16 → 4 subspaces of 4
+
+    out = ann_pq_topk(
+        ds, qids, qmat, k=k, m_subspaces=m_sub, n_codes=n_codes
+    ).to_pandas()
+
+    # reference: same codebooks (deterministic sample + seeds), but
+    # encode/ADC/top-k re-derived with plain loops
+    sample = _uniform_sample(ds, 2048, "vec_id", "embedding")
+    books = train_pq(sample, m_sub, n_codes)
+    dsub = vecs.shape[1] // m_sub
+    x = vecs / np.sqrt((vecs * vecs).sum(axis=1))[:, None]
+    codes = np.empty((len(x), m_sub), dtype=np.int64)
+    for i in range(len(x)):
+        for m in range(m_sub):
+            d = ((books[m] - x[i, m * dsub : (m + 1) * dsub]) ** 2).sum(axis=1)
+            codes[i, m] = int(d.argmin())
+    qhat = qmat / np.sqrt((qmat * qmat).sum(axis=1))[:, None]
+    for j, qid in enumerate(qids):
+        scores = np.zeros(len(x))
+        for i in range(len(x)):
+            s = 0.0
+            for m in range(m_sub):
+                s += float(qhat[j, m * dsub : (m + 1) * dsub] @ books[m][codes[i, m]])
+            scores[i] = s
+        sq = np.floor(scores * 1e9).astype(np.int64)
+        ids = np.arange(len(x), dtype=np.int64)
+        keep = ids != qid
+        order = np.lexsort((ids[keep], -sq[keep]))[:k]
+        exp_n = ids[keep][order]
+        got = out[out["query_id"] == qid].sort_values("rank")
+        assert list(got["neighbor_id"]) == list(exp_n), qid
+        assert list(got["cos_q"]) == list(sq[keep][order]), qid
+
+
+def test_pq_recall_vs_brute(emb_ds):
+    """PQ's contract: the exact top-10 lives inside the ADC top-50
+    shortlist (recall@10-in-top-50 high), and the refined search (ADC
+    candidates + exact re-rank) recovers the exact top-10 almost
+    everywhere."""
+    from textpipe_ray.stages.ann import ann_pq_topk
+
+    ds, vecs = emb_ds
+    qids = np.arange(5, dtype=np.int64)
+    qmat = vecs[:5]
+    shortlist = ann_pq_topk(ds, qids, qmat, k=50, m_subspaces=4, n_codes=16).to_pandas()
+    refined = ann_pq_topk(
+        ds, qids, qmat, k=10, m_subspaces=4, n_codes=16, refine=5
+    ).to_pandas()
+
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    sims = (vecs @ qmat.T) / (norms[:, None] * norms[:5][None, :])
+    short_rec, ref_rec = [], []
+    for j, qid in enumerate(qids):
+        s = sims[:, j].copy()
+        s[qid] = -np.inf
+        truth = set(np.argsort(-s)[:10])
+        in_short = set(shortlist[shortlist["query_id"] == qid]["neighbor_id"])
+        got = refined[refined["query_id"] == qid]
+        assert len(got) == 10
+        short_rec.append(len(truth & in_short) / 10)
+        ref_rec.append(len(truth & set(got["neighbor_id"])) / 10)
+    assert np.mean(short_rec) >= 0.9, short_rec
+    assert np.mean(ref_rec) >= 0.9, ref_rec
+    # the re-rank scores are EXACT quantized cosines for the survivors
+    for _, r in refined.iterrows():
+        exact = np.floor(sims[int(r["neighbor_id"]), int(r["query_id"])] * 1e9)
+        assert int(r["cos_q"]) == int(exact)
+
+
+def test_pq_scores_bound_exchange_and_layout_independent(emb_ds):
+    """The ADC scoring stage emits ≤ k rows per query per batch, and
+    the merged result is identical under any block layout."""
+    from textpipe_ray.stages.ann import (
+        _uniform_sample,
+        ann_pq_scores,
+        ann_pq_topk,
+        pq_encode,
+        train_pq,
+    )
+
+    ds, vecs = emb_ds
+    qids = np.arange(5, dtype=np.int64)
+    qmat = vecs[:5]
+    k = 10
+    sample = _uniform_sample(ds, 2048, "vec_id", "embedding")
+    books = train_pq(sample, 4, 16)
+    codes = pq_encode(ds, books)  # emb_ds has 4 blocks
+    scored = ann_pq_scores(codes, books, qids, qmat, k=k).count()
+    assert scored <= k * len(qids) * 4, scored
+
+    a = (
+        ann_pq_topk(ds, qids, qmat, k=k, m_subspaces=4, n_codes=16)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        ann_pq_topk(ds.repartition(1), qids, qmat, k=k, m_subspaces=4, n_codes=16)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)

@@ -35,7 +35,7 @@ def oracle_names():
     "q_quantile_sketch", "q_dup_clusters", "q_bm25", "q_epoch_mix", "q_bitext_mine",
     "q_keeper_selection", "q_profile", "q_validate", "q_rollup", "q_pivot",
     "q_bm25_layout", "q_bm25_append", "q_time_layout", "q_cdc_diff",
-    "q_skew_join", "q_wet_export",
+    "q_skew_join", "q_wet_export", "q_drift",
     # golden-parquet oracles (scripts/make_goldens.py)
     "q_langid", "q_perplexity", "q_minhash", "q_simhash", "q_simhash_neardup",
     "q_ann_ivf", "q_embedding_neardup", "q_pages_flagship", "q_pages_neardup",
@@ -47,6 +47,7 @@ def oracle_names():
     "q_classifier_train", "q_substring_dedup", "q_snapshot_loop",
     "q_ann_ivf_layout", "q_heavy_hitters", "q_ann_ivf_append", "q_link_graph",
     "q_pagerank", "q_compress_ratio", "q_lsh_recall", "q_vocab_coverage",
+    "q_ann_pq",
 ])
 def test_query_matches_oracle(ray_session, name):
     from textpipe_ray.pipelines.compare import compare, run_oracle
@@ -670,3 +671,53 @@ def test_compress_ratio_band_and_extremes(ray_session):
 
     rnd = os.urandom(8192)
     assert 1000 * len(zlib.compress(rnd, COMPRESS_LEVEL)) // len(rnd) > COMPRESS_HIGH_MILLI
+
+
+def test_drift_semantics(ray_session, tmp_path):
+    """TVD in micro units: identical snapshots → 0 on a table where A
+    and B coincide; a planted hard shift → large TVD + drifted flag."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textpipe_ray.pipelines import queries as Q
+
+    # doc_id ≡ 1 (mod 3) rows are in BOTH snapshots; (mod CDC_CHANGE_MOD)
+    # never 0 keeps B's text identical to A's → every bucket has
+    # n_a == n_b and TVD must be exactly 0
+    ids = [i for i in range(1, 400, 3) if i % Q.CDC_CHANGE_MOD != 0][:100]
+    same = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([f"steady page {i} " + "w " * (i % 50) for i in ids]),
+        }
+    )
+    d = tmp_path / "same"
+    d.mkdir()
+    pq.write_table(same, d / "documents.parquet")
+    out = Q.q_drift(str(d)).to_pandas()
+    assert (out["n_a"] == out["n_b"]).all()
+    assert (out["tvd_micro"] == 0).all()
+    assert (~out["drifted"]).all()
+
+    # planted shift: A-only rows (doc_id % 3 == 0, % CDC_CHANGE_MOD != 0)
+    # short, B-only rows (doc_id % 3 == 2) long → char/word histograms
+    # separate almost completely and both features must flag
+    rows, texts = [], []
+    for i in range(2, 600):
+        if i % 3 == 0 and i % Q.CDC_CHANGE_MOD != 0:
+            rows.append(i)
+            texts.append("tiny")
+        elif i % 3 == 2:
+            rows.append(i)
+            texts.append("long document " + "word " * 500)
+    shift = pa.table(
+        {"doc_id": pa.array(rows, pa.int64()), "text": pa.array(texts)}
+    )
+    d2 = tmp_path / "shift"
+    d2.mkdir()
+    pq.write_table(shift, d2 / "documents.parquet")
+    out2 = Q.q_drift(str(d2)).to_pandas()
+    per_feat = out2.groupby("feature")["tvd_micro"].first()
+    assert (per_feat >= 900_000).all(), per_feat  # near-total separation
+    assert out2["drifted"].all()

@@ -1100,6 +1100,56 @@ SELECT CAST(coalesce(a.doc_id, b.doc_id) AS BIGINT) AS doc_id,
 FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
 WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR a.text <> b.text"""
 
+    # snapshot distribution drift: histograms on the DECLARED bucket
+    # edges (queries.DRIFT_EDGES), TVD in exact integer micro units —
+    # both engines use pure integer arithmetic, so the match is exact
+    from textpipe_ray.pipelines.queries import (
+        DRIFT_EDGES,
+        DRIFT_TVD_MICRO_BAR,
+    )
+
+    _WS_TOKEN_RE = r"\S+"  # whitespace-token count, RE2 on both engines
+
+    def _bucket_case(col: str, edges: tuple) -> str:
+        whens = " ".join(
+            f"WHEN {col} < {edges[i + 1]} THEN {i}" for i in range(len(edges) - 1)
+        )
+        return f"CASE {whens} ELSE {len(edges) - 1} END"
+
+    _drift_feats = "\n       UNION ALL ".join(
+        f"SELECT '{feat}' AS feature, {_bucket_case(feat, e)} AS bucket FROM {{side}}"
+        for feat, e in DRIFT_EDGES.items()
+    )
+    out["q_drift"] = f"""
+WITH src AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+a0 AS (SELECT len(text) AS n_chars,
+              len(regexp_extract_all(text, {q(_WS_TOKEN_RE)})) AS n_words
+       FROM src WHERE doc_id % 3 != 2),
+b0 AS (SELECT len(t) AS n_chars,
+              len(regexp_extract_all(t, {q(_WS_TOKEN_RE)})) AS n_words
+       FROM (SELECT CASE WHEN doc_id % {CDC_CHANGE_MOD} = 0
+                         THEN text || ' [rev2]' ELSE text END AS t
+             FROM src WHERE doc_id % 3 != 0)),
+fa AS ({_drift_feats.format(side="a0")}),
+fb AS ({_drift_feats.format(side="b0")}),
+ha AS (SELECT feature, bucket, count(*) AS n_a FROM fa GROUP BY 1, 2),
+hb AS (SELECT feature, bucket, count(*) AS n_b FROM fb GROUP BY 1, 2),
+h AS (SELECT coalesce(ha.feature, hb.feature) AS feature,
+             coalesce(ha.bucket, hb.bucket) AS bucket,
+             coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+      FROM ha FULL OUTER JOIN hb
+        ON ha.feature = hb.feature AND ha.bucket = hb.bucket),
+t AS (SELECT (SELECT count(*) FROM a0) AS na, (SELECT count(*) FROM b0) AS nb),
+w AS (SELECT feature, bucket, n_a, n_b,
+        (1000000 * SUM(ABS(n_a * t.nb - n_b * t.na)) OVER (PARTITION BY feature))
+          // greatest(1, 2 * t.na * t.nb) AS tvd_micro
+      FROM h CROSS JOIN t)
+SELECT feature, CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(tvd_micro AS BIGINT) AS tvd_micro,
+       tvd_micro >= {DRIFT_TVD_MICRO_BAR} AS drifted
+FROM w"""
+
     # repeat-upsampling: same factor clamp, same md5-prefix shard math
     from textpipe_ray.pipelines.queries import (
         EPOCH_MIX_MAX_FACTOR,

@@ -8117,3 +8117,141 @@ def q_vocab_coverage(sf_dir: str):
         )
 
     return head.map_batches(finish, batch_format="pyarrow")
+
+
+ANN_PQ_REFINE = 5  # exact re-rank shortlist factor (k·R candidates)
+
+
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ANN (PQ-ADC, Jégou et al. 2011) — the
+    memory tier of the ANN family (brute exact → IVF probe-pruned →
+    IVF layout file-pruned → PQ RAM-compressed): vectors quantize to
+    M=8 uint8 codes (8 B vs 256 B raw), so a corpus whose embeddings
+    exceed cluster RAM keeps its whole index resident; queries scan the
+    codes table with per-row table lookups (stages/ann.ann_pq_topk).
+    PQ's guarantee is recall@k within its top-k·R shortlist (shared
+    codes collapse near-identical vectors), so the query runs the full
+    production shape: ADC candidate generation (k·{ANN_PQ_REFINE}) +
+    one exact-cosine re-rank over the answer-sized shortlist (the
+    candidate map broadcasts; re-rank work and exchange are O(k·R·Q),
+    never corpus-sized).  Same bounded-exchange contract as q_ann_topk:
+    per-batch partial top-k, merge sees ≤ k·Q·blocks rows.
+    Golden-checked (k-means codebooks + ADC are not SQL-expressible);
+    shortlist recall and refined agreement vs the exact brute-force
+    baseline are asserted in tests/test_ann.py."""
+    import pyarrow.parquet as pq
+
+    from textpipe_ray.stages.ann import ann_pq_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), ANN_NUM_QUERIES))
+    qids = np.asarray(qt.column("vec_id"), dtype=np.int64)
+    qmat = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann_pq_topk(ds, qids, qmat, k=ANN_K, refine=ANN_PQ_REFINE)
+
+
+# --- q_drift: snapshot distribution drift -----------------------------------
+# Bucket edges are declared constants shared with the SQL oracle; the
+# TVD threshold flags a feature whose distribution moved enough that a
+# recurring-crawl pipeline should alert before mixing the new snapshot.
+DRIFT_EDGES = {
+    "n_chars": (0, 100, 200, 400, 800, 1600, 3200, 6400),
+    "n_words": (0, 20, 40, 80, 160, 320, 640, 1280),
+}
+DRIFT_TVD_MICRO_BAR = 25000  # drifted iff TVD ≥ 0.025
+
+
+def q_drift(sf_dir: str):
+    """Distribution drift between two crawl snapshots — the monitoring
+    op a recurring ingest runs BEFORE mixing a new snapshot: per-feature
+    histograms (doc length in chars / words, fixed declared bucket
+    edges) for snapshot A (``doc_id % 3 != 2``) vs snapshot B
+    (``doc_id % 3 != 0``, every ``% CDC_CHANGE_MOD == 0`` row's text
+    re-crawled with a revision suffix — the q_cdc_diff snapshot
+    convention), and the total-variation distance between the two
+    distributions in exact integer micro units:
+    ``tvd_micro = floor(1e6 · Σ|n_a·NB − n_b·NA| / (2·NA·NB))``
+    (exact rational arithmetic — no float ln as PSI would need, so the
+    oracle matches bit-for-bit).  Output: one row per (feature, bucket)
+    with both counts, the feature's ``tvd_micro`` and the ``drifted``
+    flag.
+
+    Scale shape: ONE read of the corpus; each batch reduces row-locally
+    to per-(feature, bucket) count partials — a CONSTANT ≤ features ×
+    buckets rows per block regardless of batch size (the q_distinct_
+    sketch register idiom); one tiny groupby merges partials and a
+    per-feature map_groups over ≤ buckets rows computes the TVD with
+    Python bignums (overflow-free at any corpus size).  Nothing
+    text-sized ever enters an exchange."""
+    import pandas as pd
+
+    edges = {f: np.asarray(e, dtype=np.int64) for f, e in DRIFT_EDGES.items()}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = np.asarray(pc.cast(batch.column("doc_id"), _I64), dtype=np.int64)
+        text = pc.coalesce(pc.cast(batch.column("text"), pa.string()), "")
+        in_a = d % 3 != 2
+        in_b = d % 3 != 0
+        changed = pa.array(d % CDC_CHANGE_MOD == 0)
+        text_b = pc.if_else(
+            changed, pc.binary_join_element_wise(text, " [rev2]", ""), text
+        )
+        feats = {}
+        for t, mask, side in ((text, in_a, "a"), (text_b, in_b, "b")):
+            nc = np.asarray(pc.cast(pc.utf8_length(t), _I64), dtype=np.int64)[mask]
+            nw = np.asarray(
+                pc.cast(pc.count_substring_regex(t, r"\S+"), _I64), dtype=np.int64
+            )[mask]
+            feats[side] = {"n_chars": nc, "n_words": nw}
+        out_f: list = []
+        out_bkt, out_a, out_b = [], [], []
+        for feat, e in edges.items():
+            ca = np.bincount(
+                np.searchsorted(e, feats["a"][feat], side="right") - 1, minlength=len(e)
+            )
+            cb = np.bincount(
+                np.searchsorted(e, feats["b"][feat], side="right") - 1, minlength=len(e)
+            )
+            idx = np.nonzero((ca > 0) | (cb > 0))[0]
+            out_f.extend([feat] * len(idx))
+            out_bkt.append(idx.astype(np.int64))
+            out_a.append(ca[idx].astype(np.int64))
+            out_b.append(cb[idx].astype(np.int64))
+        cat = lambda xs: np.concatenate(xs) if xs else np.array([], np.int64)  # noqa: E731
+        return pa.table(
+            {
+                "feature": pa.array(out_f, pa.string()),
+                "bucket": pa.array(cat(out_bkt), _I64),
+                "n_a": pa.array(cat(out_a), _I64),
+                "n_b": pa.array(cat(out_b), _I64),
+            }
+        )
+
+    def tvd(group: "pd.DataFrame") -> "pd.DataFrame":
+        na = int(group["n_a"].sum())
+        nb = int(group["n_b"].sum())
+        num = sum(
+            abs(int(a) * nb - int(b) * na)
+            for a, b in zip(group["n_a"], group["n_b"])
+        )
+        t = (1_000_000 * num) // max(1, 2 * na * nb)
+        return pd.DataFrame(
+            {
+                "feature": group["feature"].to_numpy(),
+                "bucket": group["bucket"].to_numpy(dtype=np.int64),
+                "n_a": group["n_a"].to_numpy(dtype=np.int64),
+                "n_b": group["n_b"].to_numpy(dtype=np.int64),
+                "tvd_micro": np.full(len(group), t, dtype=np.int64),
+                "drifted": np.full(len(group), t >= DRIFT_TVD_MICRO_BAR),
+            }
+        )
+
+    hist = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["feature", "bucket"])
+        .aggregate(Sum("n_a", alias_name="n_a"), Sum("n_b", alias_name="n_b"))
+    )
+    return hist.groupby("feature").map_groups(tvd, batch_format="pandas")

@@ -590,3 +590,227 @@ def ann_ivf_topk(
 
     scored = ds.map_batches(score, batch_format="pyarrow")
     return _merge_topk(scored, k)
+
+
+# --- Product quantization (PQ) ---------------------------------------------
+# Jégou, Douze, Schmid 2011, "Product Quantization for Nearest Neighbor
+# Search" (public literature).  The memory tier of the ANN family: a
+# 64-dim float32 vector (256 B) compresses to M uint8 codes (8 B at
+# M=8), so a corpus whose raw embeddings exceed cluster RAM keeps its
+# whole index resident.  Search is asymmetric-distance (ADC): the exact
+# normalized query is dotted against each subspace codebook ONCE into a
+# (M × K) lookup table on the driver; per-vector scoring is then M
+# table lookups + adds — no float multiply touches the corpus.
+
+
+def train_pq(
+    sample: np.ndarray,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    kmeans_iters: int = 10,
+    seed: int = 29,
+) -> np.ndarray:
+    """Train PQ codebooks on a bounded sample: L2-normalize (the cosine
+    contract shared by the whole ANN family), slice dims into
+    ``m_subspaces`` blocks, fit an independent k-means codebook per
+    block.  Returns ``(M, K, dsub)`` float64.  Runs on the driver in
+    milliseconds — the distributed work is encode + scan."""
+    s = np.asarray(sample, dtype=np.float64)
+    n = np.sqrt((s * s).sum(axis=1))
+    n[n == 0] = 1.0
+    s = s / n[:, None]
+    dim = s.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    dsub = dim // m_subspaces
+    return np.stack(
+        [
+            _kmeans(s[:, m * dsub : (m + 1) * dsub], n_codes, kmeans_iters, seed + m)
+            for m in range(m_subspaces)
+        ]
+    )
+
+
+def _codes_matrix(col, num_rows: int) -> np.ndarray:
+    """(B, M) uint8 matrix from the fixed-size-list ``codes`` column
+    (per-chunk flatten respects block slices)."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    flat = np.concatenate(
+        [np.asarray(c.flatten(), dtype=np.uint8) for c in chunks if len(c)]
+    )
+    return flat.reshape(num_rows, -1)
+
+
+def pq_encode(
+    ds: "ray.data.Dataset",
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Row-local PQ encode: every vector (normalized) → M uint8 codes.
+    Codebooks ship once (``ray.put``); output is ``(id, codes)`` — the
+    16-32× smaller table downstream ADC scans stream over instead of
+    the raw embeddings."""
+    ref = ray.put(np.asarray(codebooks, dtype=np.float64))
+
+    def enc(batch: pa.Table) -> pa.Table:
+        books = ray.get(ref)
+        m_sub, _, dsub = books.shape
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "codes": pa.array([], pa.list_(pa.uint8(), m_sub)),
+                }
+            )
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        emb = np.array(batch.column(embedding_col).to_pylist(), dtype=np.float64)
+        nrm = np.sqrt((emb * emb).sum(axis=1))
+        nrm[nrm == 0] = 1.0
+        emb = emb / nrm[:, None]
+        codes = np.empty((len(emb), m_sub), dtype=np.uint8)
+        for m in range(m_sub):
+            sub = emb[:, m * dsub : (m + 1) * dsub]
+            d = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = d.argmin(axis=1).astype(np.uint8)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "codes": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.ravel(), pa.uint8()), m_sub
+                ),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def ann_pq_topk(
+    ds: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 10,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 2048,
+    kmeans_iters: int = 10,
+    seed: int = 29,
+    refine: int | None = None,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """PQ-ADC approximate cosine top-k: ``(query_id, neighbor_id, rank,
+    cos_q)`` with ``cos_q = floor(adc_score · 1e9)`` (or the EXACT
+    quantized cosine when ``refine`` is set).
+
+    Scale shape: codebooks train on the bounded
+    :func:`_uniform_sample`; encode is one row-local pass; the ADC
+    lookup table (Q × M × K doubles) ships once via ``ray.put``; the
+    scoring scan streams the CODES table (8 B/vector at defaults, not
+    the raw embeddings) and emits a per-batch partial top-k, so the
+    merge groupby sees ≤ k·Q·blocks rows — the same bounded-exchange
+    contract as the brute/IVF tiers.  Per-row ADC sums the M lookup
+    terms in fixed subspace order, so scores are batching-stable even
+    before quantization.
+
+    ``refine=R`` adds the production second stage: the ADC scan
+    generates ``k·R`` CANDIDATES per query (PQ collapses near-identical
+    vectors onto shared codes, so its intra-shortlist order is coarse
+    — recall@k-in-top-k·R is what PQ actually guarantees), then one
+    exact-cosine pass re-ranks ONLY the shortlist (candidate→query map
+    broadcast; per batch the masked subset is matmul'd — work and
+    exchange are both answer-sized, O(k·R·Q))."""
+    sample = _uniform_sample(ds, sample_size, id_col, embedding_col)
+    books = train_pq(sample, m_subspaces, n_codes, kmeans_iters, seed)
+    codes = pq_encode(ds, books, id_col, embedding_col)
+    kk = k * refine if refine else k
+    shortlist = _merge_topk(
+        ann_pq_scores(codes, books, query_ids, query_mat, kk, id_col), kk
+    )
+    if not refine:
+        return shortlist
+
+    # exact re-rank of the answer-sized shortlist (k·R rows per query)
+    cand = shortlist.select_columns(["query_id", "neighbor_id"]).take_all()
+    by_nid: dict = {}
+    for r in cand:
+        by_nid.setdefault(r["neighbor_id"], []).append(r["query_id"])
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qmat = np.asarray(query_mat, dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    qpos = {int(q): j for j, q in enumerate(qids)}
+    ref = ray.put((by_nid, qids, qmat, qnorm, qpos))
+
+    def rerank(batch: pa.Table) -> pa.Table:
+        by_nid_, qids_, qmat_, qnorm_, qpos_ = ray.get(ref)
+        if len(batch) == 0:
+            return _partial_topk_table([], [], [])
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        sel = np.isin(ids, np.fromiter(by_nid_.keys(), dtype=np.int64))
+        if not sel.any():
+            return _partial_topk_table([], [], [])
+        sub_ids = ids[sel]
+        emb = np.array(
+            batch.column(embedding_col).filter(pa.array(sel)).to_pylist(),
+            dtype=np.float64,
+        )
+        norms = np.sqrt((emb * emb).sum(axis=1))
+        sims = (emb @ qmat_.T) / (norms[:, None] * qnorm_[None, :])
+        cos_q = np.floor(sims * 1e9).astype(np.int64)
+        out_q, out_n, out_s = [], [], []
+        for i, nid in enumerate(sub_ids):
+            for qid in by_nid_[int(nid)]:
+                out_q.append(np.array([qid], dtype=np.int64))
+                out_n.append(np.array([nid], dtype=np.int64))
+                out_s.append(np.array([cos_q[i, qpos_[int(qid)]]], dtype=np.int64))
+        return _partial_topk_table(out_q, out_n, out_s)
+
+    return _merge_topk(ds.map_batches(rerank, batch_format="pyarrow"), k)
+
+
+def pq_lut(books: np.ndarray, query_mat: np.ndarray) -> np.ndarray:
+    """ADC lookup table: ``lut[q, m, c] = qhat_q[m-th slice] ·
+    books[m, c]`` — Q × M × K doubles, computed once on the driver."""
+    qmat = np.asarray(query_mat, dtype=np.float64)
+    qn = np.sqrt((qmat * qmat).sum(axis=1))
+    qn[qn == 0] = 1.0
+    qhat = qmat / qn[:, None]
+    m_sub, _, dsub = books.shape
+    qsub = qhat.reshape(len(qhat), m_sub, dsub)
+    return np.einsum("qmd,mkd->qmk", qsub, books)
+
+
+def ann_pq_scores(
+    codes: "ray.data.Dataset",
+    books: np.ndarray,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """ADC scoring over the codes table with the bounded-exchange
+    contract: each batch emits ≤ k rows per query."""
+    qids = np.asarray(query_ids, dtype=np.int64)
+    lut = pq_lut(books, query_mat)
+    ref = ray.put((qids, lut))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qids_, lut_ = ray.get(ref)
+        if len(batch) == 0:
+            return _partial_topk_table([], [], [])
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        cm = _codes_matrix(batch.column("codes"), len(batch))
+        s = np.zeros((len(ids), len(qids_)), dtype=np.float64)
+        for m in range(cm.shape[1]):  # fixed m-order: batching-stable sums
+            s += lut_[:, m, cm[:, m]].T
+        sq = np.floor(s * 1e9).astype(np.int64)
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(qids_):
+            keep = ids != qid  # self-exclusion
+            cq, nid = _topk_select(sq[keep, j], ids[keep], k)
+            out_q.append(np.full(len(nid), qid, dtype=np.int64))
+            out_n.append(nid)
+            out_s.append(cq)
+        return _partial_topk_table(out_q, out_n, out_s)
+
+    return codes.map_batches(score, batch_format="pyarrow")
