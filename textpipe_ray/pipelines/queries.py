@@ -8194,17 +8194,23 @@ def q_drift(sf_dir: str):
         text = pc.coalesce(pc.cast(batch.column("text"), pa.string()), "")
         in_a = d % 3 != 2
         in_b = d % 3 != 0
-        changed = pa.array(d % CDC_CHANGE_MOD == 0)
-        text_b = pc.if_else(
-            changed, pc.binary_join_element_wise(text, " [rev2]", ""), text
+        # ONE kernel pass: B's re-crawl suffix " [rev2]" shifts the
+        # features by a constant (+7 chars, +1 whitespace token — the
+        # suffix starts with a space, so this holds for every input
+        # including empty), so B's values derive arithmetically instead
+        # of re-running utf8_length + the RE2 count on 2/3 of the corpus
+        changed = d % CDC_CHANGE_MOD == 0
+        nc = np.asarray(pc.cast(pc.utf8_length(text), _I64), dtype=np.int64)
+        nw = np.asarray(
+            pc.cast(pc.count_substring_regex(text, r"\S+"), _I64), dtype=np.int64
         )
-        feats = {}
-        for t, mask, side in ((text, in_a, "a"), (text_b, in_b, "b")):
-            nc = np.asarray(pc.cast(pc.utf8_length(t), _I64), dtype=np.int64)[mask]
-            nw = np.asarray(
-                pc.cast(pc.count_substring_regex(t, r"\S+"), _I64), dtype=np.int64
-            )[mask]
-            feats[side] = {"n_chars": nc, "n_words": nw}
+        feats = {
+            "a": {"n_chars": nc[in_a], "n_words": nw[in_a]},
+            "b": {
+                "n_chars": (nc + 7 * changed)[in_b],
+                "n_words": (nw + changed)[in_b],
+            },
+        }
         out_f: list = []
         out_bkt, out_a, out_b = [], [], []
         for feat, e in edges.items():
