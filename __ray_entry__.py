@@ -31,9 +31,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered by verification priority: the driver value-checks the
     # FIRST ~50 entries each round.  ROTATION POLICY (round-3 advice):
     # never-driver-checked queries outrank everything, then queries
-    # whose code changed this round, then staleness.  With 111 queries
+    # whose code changed this round, then staleness.  With 112 queries
     # and a ~50 window not every signal can be ≤1 round old; the front
-    # holds (a) all 31 queries NEW in round 4 (never driver-checked:
+    # holds (a) all 32 queries NEW in round 4 (never driver-checked:
     # q_dup_clusters … q_compress_ratio, the layout/lifecycle family,
     # OLAP/CDC/entropy additions) and (b) the round-4-CHANGED older
     # queries (ANN partial top-k, corpus-release hashing, sort-finisher
@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pages_flagship": Q.q_pages_flagship,
         "q_ann_pq": Q.q_ann_pq,
         "q_drift": Q.q_drift,
+        "q_rule_ablation": Q.q_rule_ablation,
         "q_skew_join": Q.q_skew_join,
         "q_wet_export": Q.q_wet_export,
         "q_lsh_recall": Q.q_lsh_recall,

@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "q_vocab_coverage",
     "q_ann_pq",
     "q_drift",
+    "q_rule_ablation",
 ]
 
 

@@ -834,6 +834,31 @@ SELECT doc_id, n_words, mean_word_len_milli, symbol_milli, alpha_milli, stop_hit
        ELSE '' END AS drop_reason
 FROM r ORDER BY doc_id"""
 
+    # per-rule ablation over the same flag CTE: n_fail / n_unique
+    # (docs failing ONLY that rule) / exact integer permille
+    _abl_flags = {
+        "n_words": "r_nw",
+        "mean_word_len": "r_mwl",
+        "symbol_ratio": "r_sym",
+        "alpha_words": "r_alpha",
+        "stop_words": "r_stop",
+    }
+    _abl_nfails = " + ".join(
+        f"(CASE WHEN NOT {c} THEN 1 ELSE 0 END)" for c in _abl_flags.values()
+    )
+    _abl_rows = "\nUNION ALL ".join(
+        f"""SELECT '{name}' AS rule,
+  CAST(sum(CASE WHEN NOT {col} THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+  CAST(sum(CASE WHEN NOT {col} AND n_fails = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+  CAST((1000 * sum(CASE WHEN NOT {col} THEN 1 ELSE 0 END)) // greatest(count(*), 1) AS BIGINT) AS fail_permille
+FROM x"""
+        for name, col in _abl_flags.items()
+    )
+    _gopher_flag_ctes = out["q_gopher_rules"].split("\nSELECT doc_id,")[0]
+    out["q_rule_ablation"] = f"""{_gopher_flag_ctes},
+x AS (SELECT *, ({_abl_nfails}) AS n_fails FROM r)
+{_abl_rows}"""
+
     # Gopher repetition rules: word grams rebuilt with list lambdas;
     # char contribution of a gram string g of n words is length(g)-(n-1)
     # (the joining spaces), so both engines do identical int64 math

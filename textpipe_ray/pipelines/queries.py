@@ -8261,3 +8261,80 @@ def q_drift(sf_dir: str):
         .aggregate(Sum("n_a", alias_name="n_a"), Sum("n_b", alias_name="n_b"))
     )
     return hist.groupby("feature").map_groups(tvd, batch_format="pandas")
+
+
+def q_rule_ablation(sf_dir: str):
+    """Per-rule drop attribution for the Gopher rule family — the
+    ablation table a pipeline engineer reads before tuning thresholds:
+    for each rule, how many documents violate it (``n_fail``) and how
+    many it ALONE is responsible for dropping (``n_unique`` — the docs
+    that would be recovered if the rule were removed), plus the exact
+    integer ``fail_permille``.  A rule with large n_fail but near-zero
+    n_unique is redundant with the rest of the family; a rule with
+    n_unique ≈ n_fail is doing independent work.
+
+    Scale shape: composes on q_gopher_rules' row-local feature map (the
+    integer-milli features carry every threshold decision, so the rule
+    flags recompute from 5 int columns — the text kernels run ONCE);
+    the per-batch combiner reduces to a CONSTANT 5 rows per block
+    (rule, n_fail, n_unique, n_docs partials), one tiny groupby-sum,
+    arithmetic finisher.  Nothing row-sized enters the exchange."""
+    feats = q_gopher_rules(sf_dir)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        nw = np.asarray(batch.column("n_words"), dtype=np.int64)
+        mwl = np.asarray(batch.column("mean_word_len_milli"), dtype=np.int64)
+        symm = np.asarray(batch.column("symbol_milli"), dtype=np.int64)
+        alpham = np.asarray(batch.column("alpha_milli"), dtype=np.int64)
+        stop = np.asarray(batch.column("stop_hits"), dtype=np.int64)
+        passes = {
+            "n_words": (nw >= GOPHER_MIN_WORDS) & (nw <= GOPHER_MAX_WORDS),
+            "mean_word_len": (mwl >= GOPHER_MWL_MIN_MILLI)
+            & (mwl <= GOPHER_MWL_MAX_MILLI),
+            "symbol_ratio": symm <= GOPHER_MAX_SYMBOL_MILLI,
+            "alpha_words": alpham >= GOPHER_MIN_ALPHA_MILLI,
+            "stop_words": stop >= GOPHER_MIN_STOP_HITS,
+        }
+        n_fails = np.zeros(len(nw), dtype=np.int64)
+        for p in passes.values():
+            n_fails += ~p
+        rows_r, rows_f, rows_u, rows_n = [], [], [], []
+        for name in GOPHER_RULE_ORDER:
+            fail = ~passes[name]
+            rows_r.append(name)
+            rows_f.append(int(fail.sum()))
+            rows_u.append(int((fail & (n_fails == 1)).sum()))
+            rows_n.append(len(nw))
+        return pa.table(
+            {
+                "rule": pa.array(rows_r, pa.string()),
+                "n_fail": pa.array(rows_f, _I64),
+                "n_unique": pa.array(rows_u, _I64),
+                "n_docs": pa.array(rows_n, _I64),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        f = np.asarray(batch.column("n_fail"), dtype=np.int64)
+        n = np.asarray(batch.column("n_docs"), dtype=np.int64)
+        return pa.table(
+            {
+                "rule": batch.column("rule"),
+                "n_fail": pa.array(f, _I64),
+                "n_unique": pc.cast(batch.column("n_unique"), _I64),
+                "fail_permille": pa.array(
+                    1000 * f // np.maximum(n, 1), _I64
+                ),
+            }
+        )
+
+    return (
+        feats.map_batches(combine, batch_format="pyarrow")
+        .groupby("rule")
+        .aggregate(
+            Sum("n_fail", alias_name="n_fail"),
+            Sum("n_unique", alias_name="n_unique"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
