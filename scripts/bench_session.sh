@@ -38,9 +38,19 @@ for s in sessions:
 agg["queries"] = qmin
 agg["value"] = qmin.get("q_pages_flagship")
 # docs_per_sec must track the aggregated (min) flagship time, not the
-# latest session's — sessions[-1] may be a degraded-host run
-if agg["value"]:
-    agg["docs_per_sec"] = round(agg["rows"]["q_pages_flagship"] / agg["value"], 1)
+# latest session's — sessions[-1] may be a degraded-host run.  The row
+# count comes from any session that ran the flagship (it is determined
+# by the input, not the session); a RAY_GRAFT_ONLY subset session must
+# not KeyError the refresh or silently keep a stale reading.
+frows = next(
+    (s["rows"]["q_pages_flagship"] for s in reversed(sessions)
+     if "q_pages_flagship" in s.get("rows", {})),
+    None,
+)
+if agg["value"] and frows:
+    agg["docs_per_sec"] = round(frows / agg["value"], 1)
+else:
+    agg.pop("docs_per_sec", None)
 agg.pop("host_probe_ms", None)  # per-session reading; probes_ms has them all
 agg["sessions"] = len(sessions)
 agg["probes_ms"] = [s.get("host_probe_ms") for s in sessions]

@@ -452,3 +452,12 @@ def test_pq_scores_bound_exchange_and_layout_independent(emb_ds):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_pq_rejects_oversized_codebook():
+    """Codes are uint8; n_codes > 256 must raise instead of silently
+    wrapping indices mod 256 (wrong neighbors, no error)."""
+    from textpipe_ray.stages.ann import train_pq
+
+    with pytest.raises(ValueError, match="256"):
+        train_pq(np.random.RandomState(0).standard_normal((400, 16)), 4, 512)

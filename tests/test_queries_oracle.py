@@ -721,3 +721,34 @@ def test_drift_semantics(ray_session, tmp_path):
     per_feat = out2.groupby("feature")["tvd_micro"].first()
     assert (per_feat >= 900_000).all(), per_feat  # near-total separation
     assert out2["drifted"].all()
+
+
+def test_drift_empty_snapshot_alarms(ray_session, tmp_path):
+    """One empty snapshot is MAXIMAL drift (true TVD = 1), not the 0/0
+    degenerate of the formula — both engines must alarm."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textpipe_ray.pipelines import queries as Q
+    from textpipe_ray.pipelines.oracle import build_oracle_sql
+
+    ids = [i for i in range(2, 300) if i % 3 == 2]  # snapshot A is empty
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([f"only in b {i} " + "w " * (i % 30) for i in ids]),
+        }
+    )
+    d = tmp_path / "bonly"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    out = Q.q_drift(str(d)).to_pandas()
+    assert (out["n_a"] == 0).all()
+    assert (out["tvd_micro"] == 1_000_000).all()
+    assert out["drifted"].all()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    odf = con.execute(build_oracle_sql()["q_drift"]).fetchdf()
+    assert (odf["tvd_micro"] == 1_000_000).all()

@@ -798,7 +798,9 @@ ORDER BY n_xy DESC, w1, w2 LIMIT {COLLOC_TOPK}"""
     alpha_expr = count_expr("text", GOPHER_ALPHA_WORD_RE2)
     stop_expr = count_expr("lower(text)", GOPHER_STOP_RE2)
     ell_expr = count_expr("text", GOPHER_ELLIPSIS_RE2)
-    out["q_gopher_rules"] = f"""
+    # the feature+flag CTE block is SHARED by q_gopher_rules and
+    # q_rule_ablation (one definition — the two cannot diverge)
+    _gopher_ctes = f"""
 WITH f AS (
   SELECT doc_id,
     {nw_expr} AS n_words,
@@ -823,7 +825,8 @@ r AS (
     (alpha_milli >= {GOPHER_MIN_ALPHA_MILLI}) AS r_alpha,
     (stop_hits >= {GOPHER_MIN_STOP_HITS}) AS r_stop
   FROM m
-)
+)"""
+    out["q_gopher_rules"] = f"""{_gopher_ctes}
 SELECT doc_id, n_words, mean_word_len_milli, symbol_milli, alpha_milli, stop_hits,
   (r_nw AND r_mwl AND r_sym AND r_alpha AND r_stop) AS keep,
   CASE WHEN NOT r_nw THEN 'n_words'
@@ -854,8 +857,7 @@ FROM r ORDER BY doc_id"""
 FROM x"""
         for name, col in _abl_flags.items()
     )
-    _gopher_flag_ctes = out["q_gopher_rules"].split("\nSELECT doc_id,")[0]
-    out["q_rule_ablation"] = f"""{_gopher_flag_ctes},
+    out["q_rule_ablation"] = f"""{_gopher_ctes},
 x AS (SELECT *, ({_abl_nfails}) AS n_fails FROM r)
 {_abl_rows}"""
 
@@ -1166,8 +1168,10 @@ h AS (SELECT coalesce(ha.feature, hb.feature) AS feature,
         ON ha.feature = hb.feature AND ha.bucket = hb.bucket),
 t AS (SELECT (SELECT count(*) FROM a0) AS na, (SELECT count(*) FROM b0) AS nb),
 w AS (SELECT feature, bucket, n_a, n_b,
-        (1000000 * SUM(ABS(n_a * t.nb - n_b * t.na)) OVER (PARTITION BY feature))
-          // greatest(1, 2 * t.na * t.nb) AS tvd_micro
+        CASE WHEN t.na = 0 AND t.nb = 0 THEN 0
+             WHEN t.na = 0 OR t.nb = 0 THEN 1000000
+             ELSE (1000000 * SUM(ABS(n_a * t.nb - n_b * t.na)) OVER (PARTITION BY feature))
+                    // (2 * t.na * t.nb) END AS tvd_micro
       FROM h CROSS JOIN t)
 SELECT feature, CAST(bucket AS BIGINT) AS bucket,
        CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,

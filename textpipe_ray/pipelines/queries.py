@@ -4732,6 +4732,22 @@ GOPHER_ELLIPSIS_RE2 = r"\.\.\."
 GOPHER_RULE_ORDER = ("n_words", "mean_word_len", "symbol_ratio", "alpha_words", "stop_words")
 
 
+def gopher_rule_flags(
+    nw: np.ndarray, mwl: np.ndarray, symm: np.ndarray, alpham: np.ndarray, stop: np.ndarray
+) -> dict:
+    """Per-rule pass flags from the five integer features — the ONE
+    place the thresholds are applied (q_gopher_rules emits them,
+    q_rule_ablation attributes drops to them; a threshold change cannot
+    diverge the two)."""
+    return {
+        "n_words": (nw >= GOPHER_MIN_WORDS) & (nw <= GOPHER_MAX_WORDS),
+        "mean_word_len": (mwl >= GOPHER_MWL_MIN_MILLI) & (mwl <= GOPHER_MWL_MAX_MILLI),
+        "symbol_ratio": symm <= GOPHER_MAX_SYMBOL_MILLI,
+        "alpha_words": alpham >= GOPHER_MIN_ALPHA_MILLI,
+        "stop_words": stop >= GOPHER_MIN_STOP_HITS,
+    }
+
+
 def q_gopher_rules(sf_dir: str):
     """Gopher word-level quality rules over documents: per-doc rule
     features (integer-milli quantized so both engines do exact int64
@@ -4762,13 +4778,7 @@ def q_gopher_rules(sf_dir: str):
         mwl = wchars * 1000 // nz
         alpham = alphaw * 1000 // nz
         symm = sym * 1000 // nz
-        rules = {
-            "n_words": (nw >= GOPHER_MIN_WORDS) & (nw <= GOPHER_MAX_WORDS),
-            "mean_word_len": (mwl >= GOPHER_MWL_MIN_MILLI) & (mwl <= GOPHER_MWL_MAX_MILLI),
-            "symbol_ratio": symm <= GOPHER_MAX_SYMBOL_MILLI,
-            "alpha_words": alpham >= GOPHER_MIN_ALPHA_MILLI,
-            "stop_words": stop >= GOPHER_MIN_STOP_HITS,
-        }
+        rules = gopher_rule_flags(nw, mwl, symm, alpham, stop)
         keep = np.ones(len(nw), dtype=bool)
         reason = np.full(len(nw), "", dtype=object)
         for name in reversed(GOPHER_RULE_ORDER):  # earliest failure wins
@@ -8238,11 +8248,17 @@ def q_drift(sf_dir: str):
     def tvd(group: "pd.DataFrame") -> "pd.DataFrame":
         na = int(group["n_a"].sum())
         nb = int(group["n_b"].sum())
-        num = sum(
-            abs(int(a) * nb - int(b) * na)
-            for a, b in zip(group["n_a"], group["n_b"])
-        )
-        t = (1_000_000 * num) // max(1, 2 * na * nb)
+        if na == 0 or nb == 0:
+            # exactly one empty snapshot = maximal drift (true TVD 1);
+            # the 0/0 form of the formula would report 0 — the one
+            # situation a drift monitor must alarm on, not sleep through
+            t = 0 if na == nb else 1_000_000
+        else:
+            num = sum(
+                abs(int(a) * nb - int(b) * na)
+                for a, b in zip(group["n_a"], group["n_b"])
+            )
+            t = (1_000_000 * num) // (2 * na * nb)
         return pd.DataFrame(
             {
                 "feature": group["feature"].to_numpy(),
@@ -8287,14 +8303,7 @@ def q_rule_ablation(sf_dir: str):
         symm = np.asarray(batch.column("symbol_milli"), dtype=np.int64)
         alpham = np.asarray(batch.column("alpha_milli"), dtype=np.int64)
         stop = np.asarray(batch.column("stop_hits"), dtype=np.int64)
-        passes = {
-            "n_words": (nw >= GOPHER_MIN_WORDS) & (nw <= GOPHER_MAX_WORDS),
-            "mean_word_len": (mwl >= GOPHER_MWL_MIN_MILLI)
-            & (mwl <= GOPHER_MWL_MAX_MILLI),
-            "symbol_ratio": symm <= GOPHER_MAX_SYMBOL_MILLI,
-            "alpha_words": alpham >= GOPHER_MIN_ALPHA_MILLI,
-            "stop_words": stop >= GOPHER_MIN_STOP_HITS,
-        }
+        passes = gopher_rule_flags(nw, mwl, symm, alpham, stop)
         n_fails = np.zeros(len(nw), dtype=np.int64)
         for p in passes.values():
             n_fails += ~p

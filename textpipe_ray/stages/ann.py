@@ -622,6 +622,10 @@ def train_pq(
     dim = s.shape[1]
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    if n_codes > 256:
+        # codes are stored as uint8; a larger codebook would silently
+        # wrap indices mod 256 and return wrong neighbors
+        raise ValueError(f"n_codes {n_codes} > 256 does not fit uint8 codes")
     dsub = dim // m_subspaces
     return np.stack(
         [
@@ -735,18 +739,19 @@ def ann_pq_topk(
     by_nid: dict = {}
     for r in cand:
         by_nid.setdefault(r["neighbor_id"], []).append(r["query_id"])
+    cand_ids = np.sort(np.fromiter(by_nid.keys(), dtype=np.int64))  # once, not per batch
     qids = np.asarray(query_ids, dtype=np.int64)
     qmat = np.asarray(query_mat, dtype=np.float64)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
     qpos = {int(q): j for j, q in enumerate(qids)}
-    ref = ray.put((by_nid, qids, qmat, qnorm, qpos))
+    ref = ray.put((by_nid, cand_ids, qids, qmat, qnorm, qpos))
 
     def rerank(batch: pa.Table) -> pa.Table:
-        by_nid_, qids_, qmat_, qnorm_, qpos_ = ray.get(ref)
+        by_nid_, cand_ids_, qids_, qmat_, qnorm_, qpos_ = ray.get(ref)
         if len(batch) == 0:
             return _partial_topk_table([], [], [])
         ids = np.asarray(batch.column(id_col), dtype=np.int64)
-        sel = np.isin(ids, np.fromiter(by_nid_.keys(), dtype=np.int64))
+        sel = np.isin(ids, cand_ids_)
         if not sel.any():
             return _partial_topk_table([], [], [])
         sub_ids = ids[sel]
