@@ -108,3 +108,33 @@ def test_wave_size_bounds_commits(ray_session, pages_dir, tmp_path_factory, job_
         f"SELECT md5(string_agg(url || clean || keep, '|' ORDER BY url)) FROM '{wout}/part-*/*.parquet'"
     ).fetchone()[0]
     assert h1 == h2
+
+
+def test_block_size_invariance(ray_session, pages_dir):
+    """The flagship result is identical whether the executor streams
+    default-sized blocks or many tiny 32 KiB blocks — the guarantee
+    that lets `DataContext.target_max_block_size` be tuned per cluster
+    (memory headroom vs scheduling overhead) at corpus scale without a
+    correctness audit.  Catches any stage that accidentally depends on
+    batch/block boundaries (cross-row state, per-block aggregation)."""
+    import ray.data
+    from textpipe_ray.pipelines.flagship import build_pages_pipeline, read_pages
+
+    files = sorted(glob.glob(f"{pages_dir}/pages-*.parquet"))
+
+    def run():
+        df = build_pages_pipeline(read_pages(files)).to_pandas()
+        return df.sort_values("url").reset_index(drop=True)
+
+    ctx = ray.data.DataContext.get_current()
+    saved = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 32 * 1024  # html rows ≫ this → many tiny blocks
+        tiny = run()
+    finally:
+        ctx.target_max_block_size = saved
+    default = run()
+    assert len(tiny) == len(default) == 300
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(tiny, default)
