@@ -93,8 +93,13 @@ def test_vocab_coverage_matches_single_process(ray_session):
     creg = re.compile(RE2_PATTERNS["nwords"])
     texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"]).column("text")
     wc = Counter()
-    for t in texts.to_pylist():
-        wc.update(creg.findall((t or "").lower()))
+    # lower via Arrow's utf8_lower — the query's lowering — so this
+    # tests the BPE math, not Python-vs-Arrow Unicode case mapping
+    # (they diverge on context-sensitive maps, e.g. final sigma)
+    import pyarrow.compute as pc
+
+    for t in pc.utf8_lower(texts).to_pylist():
+        wc.update(creg.findall(t or ""))
     top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_WORDS]
     ranks = {p: i for i, p in enumerate(learn_bpe(top, BPE_NUM_MERGES))}
     tc = Counter()

@@ -101,6 +101,30 @@ def test_wet_roundtrip_and_record_type_isolation(ray_session, tmp_path):
     assert read_warc(str(tmp_path / "mixed.warc")).count() == 40
 
 
+def test_wet_export_rerun_into_same_dir_is_clean(ray_session, tmp_path):
+    """Re-exporting into a user-provided out_dir must not read back
+    stale shards from the previous run (shard names differ when the
+    batching differs, so leftovers would silently duplicate rows)."""
+    from textpipe_ray.pipelines.queries import q_wet_export
+
+    out = str(tmp_path / "wet")
+    a = q_wet_export("/root/testdata/sf0.001", out_dir=out).to_pandas()
+    # plant a stale shard that a second run must NOT pick up: a valid
+    # prior-run artifact under a name the new batching won't reuse
+    import gzip
+    import os
+
+    first = sorted(f for f in os.listdir(out) if f.startswith("wet-"))[0]
+    stale = os.path.join(out, "wet-999999999999.warc.wet.gz")
+    with open(os.path.join(out, first), "rb") as f:
+        blob = f.read()
+    with open(stale, "wb") as f:
+        f.write(blob)
+    b = q_wet_export("/root/testdata/sf0.001", out_dir=out).to_pandas()
+    assert len(b) == len(a)  # stale shard removed, not re-read
+    assert sorted(b["doc_id"]) == sorted(a["doc_id"])
+
+
 def test_pages_jsonl_roundtrip_non_utc_tz(ray_session, tmp_path):
     """warc_ts must survive the JSONL roundtrip regardless of host
     timezone (naive-datetime .timestamp() regression)."""

@@ -269,8 +269,8 @@ FROM orders o JOIN customer c
     # equality proves the sharded WET write→parse cycle is lossless
     out["q_wet_export"] = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(length(text) AS BIGINT) AS n_chars,
-       substr(md5(text), 1, 8) AS md5_8
+       CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+       substr(md5(coalesce(text, '')), 1, 8) AS md5_8
 FROM documents"""
 
     # per-doc repetition signals (dup 3-gram / top-bigram fractions);

@@ -5152,24 +5152,18 @@ BPE_NUM_MERGES = 48
 BPE_TOP_WORDS = 10_000  # merge-table training vocabulary cap (bounded driver work)
 
 
-def q_bpe_train(sf_dir: str):
-    """Train a BPE tokenizer on the corpus and apply it: per-document
-    whitespace-word and BPE-token counts under the learned merges.
-
-    Physical plan: (1) per-batch word-count combiner → ``groupby(word)``
-    — the exchange moves distinct word TYPES × blocks, never token
-    instances; (2) exact top-V types by (count desc, word asc) — the
-    sort runs over the type table, not the corpus; (3) the driver
-    learns ≤``BPE_NUM_MERGES`` merges from the bounded type table
-    (deterministic tie-breaks, functions/bpe.py) — the k-means-on-a-
-    sample idiom, except BPE-from-type-frequencies is EXACT Sennrich
-    semantics, not an approximation; (4) the merge-rank table
-    broadcasts once (``ray.put``) and every batch encodes its own docs
-    with a per-batch distinct-word cache.  Golden-oracle value-checked
-    (the merge learning is not SQL-expressible)."""
+def _bpe_word_types(sf_dir: str):
+    """Shared trainer front half for :func:`q_bpe_train` and
+    :func:`q_vocab_coverage` — the two MUST stay in lockstep (same token
+    regex, same lowering, same (count desc, word asc) tie-break, same
+    merge count) or the coverage QA stops measuring the tokenizer the
+    trainer actually produces.  Returns ``(types, ranks_ref, creg)``:
+    the materialized word-type count table (types-sized, reusable for
+    encode passes), the broadcast merge-rank dict learned from its top
+    ``BPE_TOP_WORDS`` types, and the compiled word regex."""
     import regex as _re
 
-    from textpipe_ray.functions.bpe import learn_bpe, token_count
+    from textpipe_ray.functions.bpe import learn_bpe
     from textpipe_ray.functions.quality import RE2_PATTERNS
 
     creg = _re.compile(RE2_PATTERNS["nwords"])
@@ -5189,16 +5183,37 @@ def q_bpe_train(sf_dir: str):
             }
         )
 
-    top = (
+    types = (
         ds.map_batches(wc_partial, batch_format="pyarrow")
         .groupby("word")
         .aggregate(Sum("n", alias_name="n"))
-        .sort(["n", "word"], descending=[True, False])
-        .limit(BPE_TOP_WORDS)
-        .take_all()
+        .materialize()  # types-sized; reused for learn + encode passes
     )
+    top = types.sort(["n", "word"], descending=[True, False]).limit(BPE_TOP_WORDS).take_all()
     merges = learn_bpe([(r["word"], r["n"]) for r in top], BPE_NUM_MERGES)
     ranks_ref = ray.put({p: i for i, p in enumerate(merges)})
+    return types, ranks_ref, creg
+
+
+def q_bpe_train(sf_dir: str):
+    """Train a BPE tokenizer on the corpus and apply it: per-document
+    whitespace-word and BPE-token counts under the learned merges.
+
+    Physical plan: (1) per-batch word-count combiner → ``groupby(word)``
+    — the exchange moves distinct word TYPES × blocks, never token
+    instances; (2) exact top-V types by (count desc, word asc) — the
+    sort runs over the type table, not the corpus; (3) the driver
+    learns ≤``BPE_NUM_MERGES`` merges from the bounded type table
+    (deterministic tie-breaks, functions/bpe.py) — the k-means-on-a-
+    sample idiom, except BPE-from-type-frequencies is EXACT Sennrich
+    semantics, not an approximation; (4) the merge-rank table
+    broadcasts once (``ray.put``) and every batch encodes its own docs
+    with a per-batch distinct-word cache.  Golden-oracle value-checked
+    (the merge learning is not SQL-expressible)."""
+    from textpipe_ray.functions.bpe import token_count
+
+    _, ranks_ref, creg = _bpe_word_types(sf_dir)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def encode(batch: pa.Table) -> pa.Table:
         ranks = ray.get(ranks_ref)
@@ -7826,10 +7841,12 @@ def q_skew_join(sf_dir: str):
         salt_right, batch_format="pyarrow"
     )
 
+    from textpipe_ray.stages.dedup import _join_partitions
+
     j = left.join(
         right,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=_join_partitions(16),
         on=("skew_custkey", "salt"),
         right_on=("c_custkey", "salt"),
     )
@@ -7876,8 +7893,18 @@ def q_wet_export(sf_dir: str, out_dir: str | None = None):
     from textpipe_ray.sources.warc import read_wet, write_wet
 
     root = out_dir or _tf.mkdtemp(prefix="textpipe_ray_wet_")
+    # a re-run into a user-provided out_dir must not read back stale
+    # shards from a previous export (shard names differ when batching
+    # differs, so leftovers would silently corrupt the result)
+    if out_dir is not None:
+        _os.makedirs(root, exist_ok=True)
+        for f in _os.listdir(root):
+            if f.startswith("wet-"):
+                _os.remove(_os.path.join(root, f))
 
     def export(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # tiny inputs can produce empty blocks
+            return pa.table({"file": pa.array([], pa.string()), "n_docs": pa.array([], _I64)})
         ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
         urls = pa.array([f"http://docs.example/{i}" for i in ids], pa.string())
         ts = pa.array(WET_EPOCH_US + ids * 1_000_000, pa.timestamp("us"))
@@ -8022,7 +8049,6 @@ def q_lsh_recall(sf_dir: str):
         new = np.ones(n, dtype=bool)
         new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
         starts = np.flatnonzero(new)
-        bounds = np.append(starts, n)
         exm = np.maximum.reduceat(ex, starts)
         esm = np.maximum.reduceat(es, starts)
         keep = (exm >= 0) | (esm >= LSH_EVAL_EST_FLOOR)
@@ -8059,39 +8085,16 @@ def q_vocab_coverage(sf_dir: str):
     size only enters through the single word-count pass.
 
     Output: the top ``VOCAB_TOP_K`` tokens by corpus frequency —
-    ``(rank, token, n, permille)`` where permille is the token's
-    integer share of the total token stream.  Golden-checked (merge
-    learning is not SQL-expressible)."""
-    import regex as _re
+    ``(token, n, permille)`` where permille is the token's integer
+    share of the total token stream.  Trainer front half is shared
+    with :func:`q_bpe_train` (:func:`_bpe_word_types`) so the QA query
+    always measures the tokenizer the trainer produces.  Golden-checked
+    (merge learning is not SQL-expressible)."""
     from collections import Counter as _Counter
 
-    from textpipe_ray.functions.bpe import encode_word, learn_bpe
-    from textpipe_ray.functions.quality import RE2_PATTERNS
+    from textpipe_ray.functions.bpe import encode_word
 
-    creg = _re.compile(RE2_PATTERNS["nwords"])
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def wc_partial(batch: pa.Table) -> pa.Table:
-        c: dict = _Counter()
-        for t in pc.utf8_lower(batch.column("text")).to_pylist():
-            c.update(creg.findall(t or ""))
-        words = sorted(c)
-        return pa.table(
-            {
-                "word": pa.array(words, pa.string()),
-                "n": pa.array([c[w] for w in words], _I64),
-            }
-        )
-
-    types = (
-        ds.map_batches(wc_partial, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("n", alias_name="n"))
-        .materialize()  # types-sized; reused for learn + encode passes
-    )
-    top = types.sort(["n", "word"], descending=[True, False]).limit(BPE_TOP_WORDS).take_all()
-    merges = learn_bpe([(r["word"], r["n"]) for r in top], BPE_NUM_MERGES)
-    ranks_ref = ray.put({p: i for i, p in enumerate(merges)})
+    types, ranks_ref, _ = _bpe_word_types(sf_dir)
 
     def tok_partial(batch: pa.Table) -> pa.Table:
         ranks = ray.get(ranks_ref)
