@@ -642,6 +642,12 @@ def test_time_layout_prunes_partitions(ray_session, tmp_path):
     assert len(days_on_disk) == 30
     assert len(in_range) == 7
     assert got["n"].sum() > 0
+    # re-run hygiene: write_parquet appends into existing day= dirs, so
+    # a second build into the same layout_path must clear them first or
+    # the pruned scan double-counts
+    again = q_time_layout(SF, layout_path=path).to_pandas()
+    assert again["n"].sum() == got["n"].sum()
+    assert again["sum_value_cents"].sum() == got["sum_value_cents"].sum()
 
 
 def test_compress_ratio_band_and_extremes(ray_session):

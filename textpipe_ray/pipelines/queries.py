@@ -7513,6 +7513,7 @@ def q_time_layout(sf_dir: str, layout_path: str | None = None):
     shared storage on a cluster; omitted → temp dir, removed after
     materialize."""
     import glob as _glob
+    import os as _os
     import shutil as _sh
     import tempfile as _tf
     from datetime import date, timedelta
@@ -7520,6 +7521,12 @@ def q_time_layout(sf_dir: str, layout_path: str | None = None):
     import pandas as pd
 
     path = layout_path or _tf.mkdtemp(prefix="textpipe_ray_time_layout_")
+    # re-run hygiene: write_parquet APPENDS files into existing day=
+    # dirs, so stale partitions from a previous (or crashed) build into
+    # a user-provided layout_path would double-count — clear them first
+    if layout_path is not None and _os.path.isdir(path):
+        for d in _glob.glob(f"{path}/day=*"):
+            _sh.rmtree(d, ignore_errors=True)
     try:
         def stamp(batch: pa.Table) -> pa.Table:
             return batch.append_column(
