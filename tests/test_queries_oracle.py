@@ -660,16 +660,27 @@ def test_compress_ratio_band_and_extremes(ray_session):
         COMPRESS_HIGH_MILLI,
         COMPRESS_LEVEL,
         COMPRESS_LOW_MILLI,
+        COMPRESS_MIN_BYTES,
         q_compress_ratio,
     )
 
     df = q_compress_ratio(SF).to_pandas()
     assert len(df) == 500
     assert (df["ratio_milli"] > 0).all()
+    # keep = in-band OR too short to judge (zlib overhead dominates)
+    import duckdb as _dd
+
+    nb = dict(
+        _dd.sql(
+            f"SELECT doc_id, octet_length(encode(text)) FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    )
+    short = df["doc_id"].map(nb) < COMPRESS_MIN_BYTES
     band = (df["ratio_milli"] >= COMPRESS_LOW_MILLI) & (
         df["ratio_milli"] <= COMPRESS_HIGH_MILLI
     )
-    assert (df["keep"] == band).all()
+    assert (df["keep"] == (band | short)).all()
+    assert (df.loc[short, "drop_reason"] == "").all()  # abstains, never drops
     assert df["keep"].mean() > 0.5  # synthetic prose is not junk
     rep = b"spam " * 2000
     assert 1000 * len(zlib.compress(rep, COMPRESS_LEVEL)) // len(rep) < COMPRESS_LOW_MILLI

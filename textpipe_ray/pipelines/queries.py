@@ -7623,9 +7623,7 @@ def q_cdc_diff(sf_dir: str):
     sides' hash tables in-partition with vectorized isin/merge.  The
     exchange is O(docs), the only floor possible for a full-corpus
     diff; the output is O(delta)."""
-    import pandas as pd
-
-    from textpipe_ray.functions.strhash import hash64_mixed
+    from textpipe_ray.functions.strhash import hash64_mixed_chunked
 
     num_parts = 16
 
@@ -7641,7 +7639,9 @@ def q_cdc_diff(sf_dir: str):
                 text = pc.if_else(
                     changed, pc.binary_join_element_wise(text, " [rev2]", ""), text
                 )
-            h = hash64_mixed(text).astype(np.int64)
+            # chunked form: text columns amplify ~32 bytes of temporaries
+            # per input byte in the plain kernel (strhash.py contract)
+            h = hash64_mixed_chunked(text).astype(np.int64)
             return pa.table(
                 {
                     "doc_id": pa.array(d, _I64),
@@ -7655,25 +7655,34 @@ def q_cdc_diff(sf_dir: str):
             f, batch_format="pyarrow"
         )
 
-    def diff(part: "pd.DataFrame") -> "pd.DataFrame":
+    def diff(part) -> pa.Table:
         a = part[~part["is_b"]]
         b = part[part["is_b"]]
-        m = a[["doc_id", "h"]].merge(
-            b[["doc_id", "h"]], on="doc_id", how="outer", suffixes=("_a", "_b"),
-            indicator=True,
+        # nullable Int64 keeps the hashes EXACT through the outer merge:
+        # plain int64 would upcast to float64 (NaN padding) and distinct
+        # hashes above 2^53 could compare equal, silently dropping a
+        # changed doc from the delta
+        m = a[["doc_id", "h"]].astype({"h": "Int64"}).merge(
+            b[["doc_id", "h"]].astype({"h": "Int64"}),
+            on="doc_id", how="outer", suffixes=("_a", "_b"), indicator=True,
         )
-        removed = m["_merge"] == "left_only"
-        added = m["_merge"] == "right_only"
-        changed = (m["_merge"] == "both") & (m["h_a"] != m["h_b"])
-        out = pd.DataFrame(
+        removed = (m["_merge"] == "left_only").to_numpy(dtype=bool)
+        added = (m["_merge"] == "right_only").to_numpy(dtype=bool)
+        changed = (
+            ((m["_merge"] == "both") & (m["h_a"] != m["h_b"]))
+            .fillna(False)
+            .to_numpy(dtype=bool)
+        )
+        change = np.select([removed, added, changed], ["removed", "added", "changed"], "")
+        keep = change != ""
+        # pyarrow output pins the schema (an empty pandas object column
+        # would convert to Arrow null type, not string)
+        return pa.table(
             {
-                "doc_id": m["doc_id"].to_numpy(dtype=np.int64),
-                "change": np.select(
-                    [removed, added, changed], ["removed", "added", "changed"], ""
-                ),
+                "doc_id": pa.array(m["doc_id"].to_numpy(dtype=np.int64)[keep], _I64),
+                "change": pa.array(change[keep].astype(object), pa.string()),
             }
         )
-        return out[out["change"] != ""].reset_index(drop=True)
 
     return (
         side(0)
@@ -7685,6 +7694,9 @@ def q_cdc_diff(sf_dir: str):
 
 COMPRESS_LEVEL = 6  # zlib level; output LENGTH is deterministic per zlib build
 COMPRESS_LOW_MILLI, COMPRESS_HIGH_MILLI = 200, 995  # keep band (repetitive / random)
+COMPRESS_MIN_BYTES = 64  # below this zlib's fixed ~11-byte stream overhead
+# dominates the ratio (empty text "compresses" to 8 bytes → ratio 8000),
+# so the filter ABSTAINS (keep) — length rules own tiny docs
 
 
 def q_compress_ratio(sf_dir: str):
@@ -7695,7 +7707,10 @@ def q_compress_ratio(sf_dir: str):
     ``ratio_milli = floor(1000 * len(zlib(text)) / max(1, len(text)))``
     over UTF-8 bytes, keep iff ``COMPRESS_LOW_MILLI <= ratio_milli <=
     COMPRESS_HIGH_MILLI``, first-fail ``drop_reason`` like the other
-    rule families.
+    rule families.  Texts under ``COMPRESS_MIN_BYTES`` are ALWAYS kept
+    (reason ``""``): zlib's fixed ~11-byte stream overhead dominates
+    the ratio there (empty text → 8000 milli), so the signal is
+    meaningless — length rules own tiny docs.
 
     Determinism: only the compressed LENGTH is used, a pure function of
     the input bytes for a fixed zlib version/level — golden-stable in
@@ -7711,11 +7726,14 @@ def q_compress_ratio(sf_dir: str):
         texts = batch.column("text").to_pylist()
         n = len(texts)
         milli = np.zeros(n, dtype=np.int64)
+        nbytes = np.zeros(n, dtype=np.int64)
         for i, t in enumerate(texts):
             raw = (t or "").encode("utf8")
+            nbytes[i] = len(raw)
             milli[i] = (1000 * len(zlib.compress(raw, COMPRESS_LEVEL))) // max(1, len(raw))
-        too_rep = milli < COMPRESS_LOW_MILLI
-        too_rand = milli > COMPRESS_HIGH_MILLI
+        judged = nbytes >= COMPRESS_MIN_BYTES  # overhead-dominated below → abstain
+        too_rep = judged & (milli < COMPRESS_LOW_MILLI)
+        too_rand = judged & (milli > COMPRESS_HIGH_MILLI)
         keep = ~(too_rep | too_rand)
         reason = np.where(too_rep, "too_repetitive", np.where(too_rand, "too_random", ""))
         return pa.table(
