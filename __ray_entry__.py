@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- changed or new this round ---
         "q_pages_flagship": Q.q_pages_flagship,
+        "q_robots_filter": Q.q_robots_filter,
         "q_ann_pq": Q.q_ann_pq,
         "q_drift": Q.q_drift,
         "q_rule_ablation": Q.q_rule_ablation,

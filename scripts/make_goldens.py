@@ -45,6 +45,7 @@ GOLDEN_QUERIES = [
     "q_boilerplate_dedup",
     "q_ppl_buckets",
     "q_url_filter",
+    "q_robots_filter",
     "q_media_phash_dedup",
     "q_url_dedup",
     "q_corpus_release",

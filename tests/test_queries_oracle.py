@@ -47,7 +47,7 @@ def oracle_names():
     "q_classifier_train", "q_substring_dedup", "q_snapshot_loop",
     "q_ann_ivf_layout", "q_heavy_hitters", "q_ann_ivf_append", "q_link_graph",
     "q_pagerank", "q_compress_ratio", "q_lsh_recall", "q_vocab_coverage",
-    "q_ann_pq",
+    "q_ann_pq", "q_robots_filter",
 ])
 def test_query_matches_oracle(ray_session, name):
     from textpipe_ray.pipelines.compare import compare, run_oracle
@@ -94,6 +94,51 @@ def test_entry_smoke(ray_session):
     ds = _entry().entry()
     assert ds.count() >= 0
     assert ds.schema() is not None
+
+
+def test_robots_filter_rfc_semantics(ray_session):
+    """The vectorized longest-match resolution must equal an
+    independent per-row RFC 9309 reference on every page, and each
+    planted semantic case must actually occur: allow-override
+    (host00), partial disallow band (host01), whole-host block
+    (host02), equal-length tie -> allow (host03), unlisted hosts
+    allowed with no rule."""
+    import re
+
+    from textpipe_ray.pipelines.queries import load_robots_rules, q_robots_filter
+
+    df = q_robots_filter(SF).to_pandas()
+    groups = load_robots_rules()
+
+    def ref(url: str):
+        m = re.match(r"^[a-z]+://([^/]+)(/.*)?$", url)
+        host, path = m.group(1), m.group(2) or "/"
+        spec = groups.get(host, groups.get("*", {}))
+        best = None  # (prefix_len, is_allow, prefix); allow wins ties
+        for typ in ("allow", "disallow"):
+            for p in spec.get(typ, []):
+                if path.startswith(p):
+                    cand = (len(p), typ == "allow", p)
+                    if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                        best = cand
+        if best is None:
+            return True, ""
+        return best[1], ("allow:" if best[1] else "disallow:") + best[2]
+
+    for r in df.itertuples():
+        allowed, rule = ref(r.url)
+        assert (r.allowed, r.rule) == (allowed, rule), r.url
+    by_host = df.groupby("host")["allowed"]
+    assert not df[df.host == "host00.example.com"]["allowed"].all()
+    assert df[(df.host == "host00.example.com") & df.allowed].shape[0] > 0
+    h1 = df[df.host == "host01.example.org"]["allowed"]
+    assert (~h1).any() and h1.any()
+    assert not by_host.get_group("host02.example.net").any()
+    h3 = df[df.host == "host03.example.io"]
+    assert h3["allowed"].all() and (h3["rule"] == "allow:/page/").all()
+    listed = set(groups) - {"*"}
+    unlisted = df[~df.host.isin(listed)]
+    assert unlisted["allowed"].all() and (unlisted["rule"] == "").all()
 
 
 def test_url_dedup_recovers_original_urls(ray_session):

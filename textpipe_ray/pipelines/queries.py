@@ -3033,6 +3033,99 @@ def q_url_filter(sf_dir: str):
     return ds.map_batches(flag, batch_format="pyarrow")
 
 
+def load_robots_rules() -> dict:
+    """→ {host_or_star: {"allow": [prefixes], "disallow": [prefixes]}}
+    from the committed artifact ``models/robots_rules.json`` (in
+    production: rules parsed from per-host robots.txt fetches)."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    spec = _json.loads(
+        (_Path(__file__).resolve().parents[2] / "models" / "robots_rules.json").read_text()
+    )
+    return spec["groups"]
+
+
+def q_robots_filter(sf_dir: str):
+    """robots.txt crawl-compliance filter (RFC 9309) — the stage a
+    lawful web pipeline runs before even the URL blocklist: each page's
+    path is resolved against its host's robots rule group (or the
+    ``*`` default group when the host has none) and the LONGEST
+    matching prefix rule wins, with allow winning length ties (the
+    RFC 9309 / Google resolution order).  Rules come from the committed
+    ``models/robots_rules.json`` so per-host rules parsed from real
+    robots.txt fetches drop in without code changes.
+
+    Scale shape: the ruleset is host-count-sized and broadcast once
+    (``ray.put``); every check is row-local and vectorized — one Arrow
+    regex splits host/path, then one ``np.char.startswith`` per rule
+    over the group's rows (groups × rules is tiny) — no shuffle
+    anywhere, and only ``url`` is ever read.
+
+    Output per page: ``(url, host, allowed, rule)`` where ``rule`` is
+    the winning directive (``allow:<prefix>`` / ``disallow:<prefix>``)
+    or ``""`` when no rule matched (allowed by default)."""
+    import glob as _glob
+
+    groups = load_robots_rules()
+    pages = pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(
+        sorted(_glob.glob(f"{pages}/pages-*.parquet")), columns=["url"]
+    )
+    ref = ray.put(groups)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        rules = ray.get(ref)
+        parts = pc.extract_regex(
+            batch.column("url"), r"^[a-z]+://(?P<host>[^/]+)(?P<path>/.*)?$"
+        )
+        host = np.asarray(
+            pc.fill_null(pc.struct_field(parts, "host"), "").to_pylist(), dtype=str
+        )
+        path = np.asarray(
+            pc.fill_null(pc.struct_field(parts, "path"), "/").to_pylist(), dtype=str
+        )
+        n = len(host)
+        best_a = np.full(n, -1, dtype=np.int64)  # longest matching allow len
+        best_d = np.full(n, -1, dtype=np.int64)
+        rule_a = np.full(n, "", dtype=object)
+        rule_d = np.full(n, "", dtype=object)
+        listed = np.zeros(n, dtype=bool)
+        for g, spec in rules.items():
+            if g == "*":
+                continue
+            m_g = host == g
+            listed |= m_g
+            for typ, best, rule in (("allow", best_a, rule_a), ("disallow", best_d, rule_d)):
+                for prefix in spec.get(typ, []):
+                    m = m_g & np.char.startswith(path, prefix) & (len(prefix) > best)
+                    best[m] = len(prefix)
+                    rule[m] = prefix
+        star = rules.get("*", {})
+        m_star = ~listed
+        for typ, best, rule in (("allow", best_a, rule_a), ("disallow", best_d, rule_d)):
+            for prefix in star.get(typ, []):
+                m = m_star & np.char.startswith(path, prefix) & (len(prefix) > best)
+                best[m] = len(prefix)
+                rule[m] = prefix
+        allowed = best_a >= best_d  # ties -> allow; no match: -1 >= -1 -> allowed
+        rule = np.where(
+            allowed,
+            np.where(best_a >= 0, np.char.add("allow:", rule_a.astype(str)), ""),
+            np.char.add("disallow:", rule_d.astype(str)),
+        )
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "host": pa.array(host.tolist(), pa.string()),
+                "allowed": pa.array(allowed.tolist(), pa.bool_()),
+                "rule": pa.array(rule.tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
 def load_url_blocklist() -> tuple[np.ndarray, str]:
     """→ (sorted blocked-host array, url-pattern alternation) from the
     committed artifact models/url_blocklist.json."""
