@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "q_ann_pq",
     "q_drift",
     "q_rule_ablation",
+    "q_robots_filter",
 ]
 
 
