@@ -3079,35 +3079,33 @@ def q_robots_filter(sf_dir: str):
         parts = pc.extract_regex(
             batch.column("url"), r"^[a-z]+://(?P<host>[^/]+)(?P<path>/.*)?$"
         )
-        host = np.asarray(
-            pc.fill_null(pc.struct_field(parts, "host"), "").to_pylist(), dtype=str
-        )
-        path = np.asarray(
-            pc.fill_null(pc.struct_field(parts, "path"), "/").to_pylist(), dtype=str
-        )
-        n = len(host)
+        host = pc.fill_null(pc.struct_field(parts, "host"), "")
+        path = pc.fill_null(pc.struct_field(parts, "path"), "/")
+        n = len(batch)
         best_a = np.full(n, -1, dtype=np.int64)  # longest matching allow len
         best_d = np.full(n, -1, dtype=np.int64)
         rule_a = np.full(n, "", dtype=object)
         rule_d = np.full(n, "", dtype=object)
         listed = np.zeros(n, dtype=bool)
+
+        def apply_group(m_g: np.ndarray, spec: dict) -> None:
+            for typ, best, rule in (("allow", best_a, rule_a), ("disallow", best_d, rule_d)):
+                for prefix in spec.get(typ, []):
+                    m = (
+                        m_g
+                        & np.asarray(pc.starts_with(path, pattern=prefix))
+                        & (len(prefix) > best)
+                    )
+                    best[m] = len(prefix)
+                    rule[m] = prefix
+
         for g, spec in rules.items():
             if g == "*":
                 continue
-            m_g = host == g
+            m_g = np.asarray(pc.equal(host, g))
             listed |= m_g
-            for typ, best, rule in (("allow", best_a, rule_a), ("disallow", best_d, rule_d)):
-                for prefix in spec.get(typ, []):
-                    m = m_g & np.char.startswith(path, prefix) & (len(prefix) > best)
-                    best[m] = len(prefix)
-                    rule[m] = prefix
-        star = rules.get("*", {})
-        m_star = ~listed
-        for typ, best, rule in (("allow", best_a, rule_a), ("disallow", best_d, rule_d)):
-            for prefix in star.get(typ, []):
-                m = m_star & np.char.startswith(path, prefix) & (len(prefix) > best)
-                best[m] = len(prefix)
-                rule[m] = prefix
+            apply_group(m_g, spec)
+        apply_group(~listed, rules.get("*", {}))
         allowed = best_a >= best_d  # ties -> allow; no match: -1 >= -1 -> allowed
         rule = np.where(
             allowed,
@@ -3117,7 +3115,7 @@ def q_robots_filter(sf_dir: str):
         return pa.table(
             {
                 "url": batch.column("url"),
-                "host": pa.array(host.tolist(), pa.string()),
+                "host": host,
                 "allowed": pa.array(allowed.tolist(), pa.bool_()),
                 "rule": pa.array(rule.tolist(), pa.string()),
             }
