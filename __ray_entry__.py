@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- changed or new this round ---
         "q_pages_flagship": Q.q_pages_flagship,
         "q_robots_filter": Q.q_robots_filter,
+        "q_nfc_normalize": Q.q_nfc_normalize,
         "q_ann_pq": Q.q_ann_pq,
         "q_drift": Q.q_drift,
         "q_rule_ablation": Q.q_rule_ablation,

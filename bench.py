@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "q_drift",
     "q_rule_ablation",
     "q_robots_filter",
+    "q_nfc_normalize",
 ]
 
 

@@ -267,6 +267,24 @@ FROM orders o JOIN customer c
 
     # WET export round-trip: the oracle summarizes the ORIGINAL parquet;
     # equality proves the sharded WET write→parse cycle is lossless
+    # NFC normalization: DuckDB's nfc_normalize is codepoint-identical
+    # to CPython unicodedata NFC (the engine kernel); the planted
+    # decomposed suffix is the same ' cafe' + combining acute (U+0301)
+    from textpipe_ray.pipelines.queries import NFC_DIRTY_MOD
+
+    out["q_nfc_normalize"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {NFC_DIRTY_MOD} = 0
+              THEN coalesce(text, '') || ' cafe' || chr(769)
+              ELSE coalesce(text, '') END AS t
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       nfc_normalize(t) <> t AS changed,
+       CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars_norm,
+       substr(md5(nfc_normalize(t)), 1, 8) AS norm_md5
+FROM d"""
+
     out["q_wet_export"] = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,

@@ -3124,6 +3124,56 @@ def q_robots_filter(sf_dir: str):
     return ds.map_batches(flag, batch_format="pyarrow")
 
 
+NFC_DIRTY_MOD = 3  # doc_id % 3 == 0 rows get a decomposed suffix planted
+
+
+def q_nfc_normalize(sf_dir: str):
+    """Unicode NFC normalization — the canonicalization pass multilingual
+    corpus pipelines (mC4, OSCAR) run before tokenization so that
+    composed and decomposed encodings of the same text dedup and count
+    as one: NFC-normalize each document, report whether it changed and
+    the normalized length/digest.  The shipped corpus is already NFC,
+    so a decomposed suffix (``' cafe' + U+0301``) is PLANTED row-locally
+    on every ``doc_id % NFC_DIRTY_MOD == 0`` row — the q_cdc_diff
+    perturbation idiom — making ``changed`` a live signal the TRUE
+    DuckDB oracle (``nfc_normalize``) reproduces exactly.
+
+    Kernel note: CPython ``unicodedata.normalize`` (C implementation)
+    matches DuckDB's ``nfc_normalize`` on every case tested; this
+    build's ``pc.utf8_normalize`` does NOT compose, so the Python
+    kernel is the portable choice.  Scale shape: strictly row-local
+    per-doc string work (the inherent cost class of the ops registry),
+    vectorized md5 digest, no exchange anywhere."""
+    import unicodedata as _ud
+
+    from textpipe_ray.functions.strhash import md5_hex
+
+    def norm(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(batch.column("doc_id"), _I64), dtype=np.int64)
+        texts = pc.fill_null(pc.cast(batch.column("text"), pa.string()), "").to_pylist()
+        # explicitly DECOMPOSED suffix: 'e' + combining acute (U+0301)
+        dirty = [
+            t + " cafe\u0301" if i % NFC_DIRTY_MOD == 0 else t
+            for i, t in zip(ids, texts)
+        ]
+        normed = [_ud.normalize("NFC", t) for t in dirty]
+        changed = [n != d for n, d in zip(normed, dirty)]
+        normed_arr = pa.array(normed, pa.string())
+        md5_8 = pc.utf8_slice_codeunits(pa.array(md5_hex(normed_arr), pa.string()), 0, 8)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, _I64),
+                "changed": pa.array(changed, pa.bool_()),
+                "n_chars_norm": pa.array([len(n) for n in normed], _I64),
+                "norm_md5": md5_8,
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow"
+    )
+
+
 def load_url_blocklist() -> tuple[np.ndarray, str]:
     """→ (sorted blocked-host array, url-pattern alternation) from the
     committed artifact models/url_blocklist.json."""
