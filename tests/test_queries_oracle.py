@@ -101,8 +101,10 @@ def test_robots_filter_rfc_semantics(ray_session):
     independent per-row RFC 9309 reference on every page, and each
     planted semantic case must actually occur: allow-override
     (host00), partial disallow band (host01), whole-host block
-    (host02), equal-length tie -> allow (host03), unlisted hosts
-    allowed with no rule."""
+    (host02), equal-length tie -> allow (host03), wildcard +
+    end-anchor disallow (host04), wildcard allow beating a shorter
+    literal disallow (host05), empty Disallow = allow-all no-op
+    (host06), unlisted hosts allowed with no rule."""
     import re
 
     from textpipe_ray.pipelines.queries import load_robots_rules, q_robots_filter
@@ -110,14 +112,26 @@ def test_robots_filter_rfc_semantics(ray_session):
     df = q_robots_filter(SF).to_pandas()
     groups = load_robots_rules()
 
+    def ref_match(path: str, p: str) -> bool:
+        # Independent per-row RFC 9309 §2.2.3 matcher: '' = no-op,
+        # '*' spans anything, trailing '$' anchors the end, else prefix.
+        if p == "":
+            return False
+        anchored = p.endswith("$")
+        body = p[:-1] if anchored else p
+        if "*" not in body and not anchored:
+            return path.startswith(body)
+        rx = ".*".join(re.escape(seg) for seg in body.split("*"))
+        return re.match("^" + rx + ("$" if anchored else ""), path) is not None
+
     def ref(url: str):
         m = re.match(r"^[a-z]+://([^/]+)(/.*)?$", url)
         host, path = m.group(1), m.group(2) or "/"
         spec = groups.get(host, groups.get("*", {}))
-        best = None  # (prefix_len, is_allow, prefix); allow wins ties
+        best = None  # (pattern_len, is_allow, pattern); allow wins ties
         for typ in ("allow", "disallow"):
             for p in spec.get(typ, []):
-                if path.startswith(p):
+                if ref_match(path, p):
                     cand = (len(p), typ == "allow", p)
                     if best is None or (cand[0], cand[1]) > (best[0], best[1]):
                         best = cand
@@ -136,6 +150,21 @@ def test_robots_filter_rfc_semantics(ray_session):
     assert not by_host.get_group("host02.example.net").any()
     h3 = df[df.host == "host03.example.io"]
     assert h3["allowed"].all() and (h3["rule"] == "allow:/page/").all()
+    # host04: end-anchored wildcard blocks EXACTLY ids ending in '0'
+    h4 = df[df.host == "host04.example.dev"]
+    ends0 = h4["url"].str.endswith("0")
+    assert (~h4["allowed"] == ends0).all()
+    assert (h4.loc[ends0.values, "rule"] == "disallow:/page/*0$").all()
+    assert (~h4["allowed"]).any() and h4["allowed"].any()
+    # host05: '/page/*5' (len 8) outranks literal '/page/0' (len 7)
+    h5 = df[df.host == "host05.example.com"]
+    has5 = h5["url"].str.slice(len("https://host05.example.com")).str.contains("5")
+    assert (h5["allowed"] == has5).all()
+    assert (h5.loc[has5.values, "rule"] == "allow:/page/*5").all()
+    assert h5["allowed"].any() and (~h5["allowed"]).any()
+    # host06: empty Disallow is an allow-all NO-OP, never a len-0 block
+    h6 = df[df.host == "host06.example.org"]
+    assert len(h6) > 0 and h6["allowed"].all() and (h6["rule"] == "").all()
     listed = set(groups) - {"*"}
     unlisted = df[~df.host.isin(listed)]
     assert unlisted["allowed"].all() and (unlisted["rule"] == "").all()

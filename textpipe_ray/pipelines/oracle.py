@@ -265,8 +265,6 @@ SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
 FROM orders o JOIN customer c
   ON c.c_custkey = (CASE WHEN o.o_orderkey % {SKEW_MOD} = 0 THEN 1 ELSE o.o_custkey END)"""
 
-    # WET export round-trip: the oracle summarizes the ORIGINAL parquet;
-    # equality proves the sharded WET write→parse cycle is lossless
     # NFC normalization: DuckDB's nfc_normalize is codepoint-identical
     # to CPython unicodedata NFC (the engine kernel); the planted
     # decomposed suffix is the same ' cafe' + combining acute (U+0301)
@@ -285,6 +283,8 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        substr(md5(nfc_normalize(t)), 1, 8) AS norm_md5
 FROM d"""
 
+    # WET export round-trip: the oracle summarizes the ORIGINAL parquet;
+    # equality proves the sharded WET write→parse cycle is lossless
     out["q_wet_export"] = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,

@@ -3046,24 +3046,46 @@ def load_robots_rules() -> dict:
     return spec["groups"]
 
 
+def _robots_rule_matcher(pattern: str):
+    """RFC 9309 rule pattern → ``("prefix", pattern)`` for plain
+    octet prefixes or ``("regex", anchored_re)`` for patterns using
+    ``*`` wildcards / a trailing ``$`` end anchor (RFC 9309 §2.2.3).
+    Returns ``None`` for the empty pattern: an empty ``Disallow:``
+    means allow-all per the RFC and an empty ``Allow:`` is a no-op,
+    so the rule must be SKIPPED, never treated as a length-0 match."""
+    if pattern == "":
+        return None
+    if "*" not in pattern and not pattern.endswith("$"):
+        return ("prefix", pattern)
+    import re as _re
+
+    body, anchor = (pattern[:-1], "$") if pattern.endswith("$") else (pattern, "")
+    return ("regex", "^" + ".*".join(_re.escape(seg) for seg in body.split("*")) + anchor)
+
+
 def q_robots_filter(sf_dir: str):
     """robots.txt crawl-compliance filter (RFC 9309) — the stage a
     lawful web pipeline runs before even the URL blocklist: each page's
     path is resolved against its host's robots rule group (or the
-    ``*`` default group when the host has none) and the LONGEST
-    matching prefix rule wins, with allow winning length ties (the
-    RFC 9309 / Google resolution order).  Rules come from the committed
-    ``models/robots_rules.json`` so per-host rules parsed from real
-    robots.txt fetches drop in without code changes.
+    ``*`` default group when the host has none) and the MOST SPECIFIC
+    matching rule wins — specificity is the raw pattern's octet length
+    (the Google robotstxt priority), with allow winning length ties
+    (the RFC 9309 / Google resolution order).  The full RFC pattern
+    grammar is supported: plain prefixes, ``*`` wildcards, a trailing
+    ``$`` end anchor, and empty rules (allow-all no-ops, skipped).
+    Rules come from the committed ``models/robots_rules.json`` so
+    per-host rules parsed from real robots.txt fetches drop in without
+    code changes.
 
     Scale shape: the ruleset is host-count-sized and broadcast once
     (``ray.put``); every check is row-local and vectorized — one Arrow
-    regex splits host/path, then one ``np.char.startswith`` per rule
-    over the group's rows (groups × rules is tiny) — no shuffle
-    anywhere, and only ``url`` is ever read.
+    regex splits host/path, then one ``pc.starts_with`` (prefix rules)
+    or anchored RE2 ``pc.match_substring_regex`` (wildcard/anchor
+    rules) per rule over the group's rows (groups × rules is tiny) —
+    no shuffle anywhere, and only ``url`` is ever read.
 
     Output per page: ``(url, host, allowed, rule)`` where ``rule`` is
-    the winning directive (``allow:<prefix>`` / ``disallow:<prefix>``)
+    the winning directive (``allow:<pattern>`` / ``disallow:<pattern>``)
     or ``""`` when no rule matched (allowed by default)."""
     import glob as _glob
 
@@ -3090,14 +3112,18 @@ def q_robots_filter(sf_dir: str):
 
         def apply_group(m_g: np.ndarray, spec: dict) -> None:
             for typ, best, rule in (("allow", best_a, rule_a), ("disallow", best_d, rule_d)):
-                for prefix in spec.get(typ, []):
-                    m = (
-                        m_g
-                        & np.asarray(pc.starts_with(path, pattern=prefix))
-                        & (len(prefix) > best)
-                    )
-                    best[m] = len(prefix)
-                    rule[m] = prefix
+                for pat in spec.get(typ, []):
+                    matcher = _robots_rule_matcher(pat)
+                    if matcher is None:  # empty rule: allow-all no-op
+                        continue
+                    kind, payload = matcher
+                    if kind == "prefix":
+                        hit = np.asarray(pc.starts_with(path, pattern=payload))
+                    else:
+                        hit = np.asarray(pc.match_substring_regex(path, payload))
+                    m = m_g & hit & (len(pat) > best)
+                    best[m] = len(pat)
+                    rule[m] = pat
 
         for g, spec in rules.items():
             if g == "*":
