@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "q_rule_ablation",
     "q_robots_filter",
     "q_nfc_normalize",
+    "q_lang_quantile_norm",
+    "q_code_detect",
+    "q_langid_eval",
 ]
 
 

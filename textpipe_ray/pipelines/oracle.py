@@ -545,6 +545,61 @@ s AS (SELECT doc_id, CAST(floor(({score_sql_expr(_w)}) * 1e6) AS BIGINT) AS scor
 t AS (SELECT quantile_disc(score_micro, {_qnum / _qden}) AS thr FROM s)
 SELECT s.doc_id, s.score_micro FROM s, t WHERE s.score_micro >= t.thr ORDER BY doc_id"""
 
+    # per-language quantile normalization: strict-rank permille via a
+    # RANGE window counting scores <= score-1 (integer scores, so
+    # RANGE ... 1 PRECEDING is exactly "strictly below"); integer //
+    # matches the engine's int64 floor division bit-for-bit
+    out["q_lang_quantile_norm"] = f"""
+WITH f AS (SELECT doc_id, coalesce(lang, '') AS lang, {feats} FROM documents),
+r AS (SELECT *, {ratios} FROM f),
+s AS (SELECT doc_id, lang,
+             CAST(floor(({score_sql_expr(_w)}) * 1e6) AS BIGINT) AS score_micro FROM r)
+SELECT doc_id, lang, score_micro,
+       (1000 * count(*) OVER (PARTITION BY lang ORDER BY score_micro
+            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         // count(*) OVER (PARTITION BY lang) AS pct_milli
+FROM s"""
+
+    # code detection: the planted snippet + plain substring counts
+    # (replace-length idiom; multi-char counts divide by the literal's
+    # length, exact integers end to end)
+    from textpipe_ray.pipelines.queries import (
+        CODE_KEYWORDS,
+        CODE_MOD,
+        CODE_SNIPPET,
+        CODE_SYMBOLS,
+    )
+
+    def _subcnt(expr: str, lit: str) -> str:
+        sq = lit.replace("'", "''")
+        n = f"(length({expr}) - length(replace({expr}, '{sq}', '')))"
+        return n if len(lit) == 1 else f"{n} // {len(lit)}"
+
+    _snip = CODE_SNIPPET.replace("'", "''").replace("\n", "' || chr(10) || '")
+    _kw = " + ".join(_subcnt("t", k) for k in CODE_KEYWORDS)
+    _sym = {s: _subcnt("t", s) for s in CODE_SYMBOLS}
+    out["q_code_detect"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {CODE_MOD} = 0
+              THEN coalesce(text, '') || '{_snip}'
+              ELSE coalesce(text, '') END AS t
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST({_kw} AS BIGINT) AS kw_hits,
+         CAST({_sym["{"]} + {_sym["}"]} AS BIGINT) AS n_braces,
+         CAST({_sym[";"]} AS BIGINT) AS n_semi,
+         CAST({_sym["="]} AS BIGINT) AS n_eq,
+         CAST(length(t) AS BIGINT) AS n_chars
+  FROM d)
+SELECT doc_id, kw_hits, n_braces, n_semi, n_eq,
+       CASE WHEN n_chars > 0
+            THEN (1000 * (n_braces + n_semi + n_eq)) // n_chars
+            ELSE 0 END AS code_milli,
+       kw_hits >= 2 AND n_braces >= 2 AND n_semi >= 1 AS is_code
+FROM c"""
+
     # bottom-k quantile sketch: DuckDB's md5() replays the engine's
     # EXACT deterministic sample (k smallest md5(doc_id) per lang), so
     # the sketch estimate itself is SQL-value-checked, not just bounded

@@ -8542,3 +8542,222 @@ def q_rule_ablation(sf_dir: str):
         )
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+# --- per-language quantile normalization -------------------------------
+
+def q_lang_quantile_norm(sf_dir: str):
+    """Per-language quantile normalization of the quality score — the
+    CCNet/FineWeb "language-fair filtering" move: a single global score
+    cutoff keeps whatever languages the classifier happens to favor, so
+    each doc's score is re-expressed as its percentile WITHIN its
+    language and any later threshold composes per-language.  Emits the
+    exact strict-rank permille
+    ``pct_milli = (1000 * n_strictly_below_in_lang) // n_lang``.
+
+    Scale shape — two streaming passes, no sort, no per-doc exchange:
+      1. histogram pass: scores quantize to ``floor(score*1e6)`` int64
+         (score doubles are bit-identical across engines — see
+         q_quality_score) and reduce to ONE row per (lang, score_micro)
+         via per-batch ``np.unique`` combiners + a small multi-key
+         groupby — the exchange is bounded by langs × distinct
+         micro-scores, never by corpus size;
+      2. the driver folds the tiny histogram into per-lang cumulative
+         below-counts and broadcasts it in the task closure; the
+         percentile pass is a row-local ``searchsorted`` lookup.
+         Integer ``//`` keeps both engines exact (no float rank)."""
+    from textpipe_ray.functions.quality_score import load_weights, score_batch
+
+    weights = load_weights()
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def micro_scores(batch: pa.Table) -> np.ndarray:
+        b = quality_batch(batch, text_col="text")
+        s = score_batch(b, weights)
+        return np.floor(np.asarray(s, dtype=np.float64) * 1e6).astype(np.int64)
+
+    def batch_langs(batch: pa.Table) -> np.ndarray:
+        col = pc.fill_null(pc.cast(batch.column("lang"), pa.string()), "")
+        return np.asarray(col.to_pylist(), dtype=object)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        langs, m = batch_langs(batch), micro_scores(batch)
+        out_l: list = []
+        out_s: list = []
+        out_c: list = []
+        for lg in np.unique(langs):
+            mask = langs == lg
+            uk, cnt = np.unique(m[mask], return_counts=True)
+            out_l.extend([lg] * len(uk))
+            out_s.append(uk)
+            out_c.append(cnt.astype(np.int64))
+        return pa.table(
+            {
+                "lang": pa.array(out_l, pa.string()),
+                "score_micro": pa.array(
+                    np.concatenate(out_s) if out_s else np.array([], np.int64), _I64
+                ),
+                "cnt": pa.array(
+                    np.concatenate(out_c) if out_c else np.array([], np.int64), _I64
+                ),
+            }
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["lang", "score_micro"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # ≤ langs × distinct micro-scores rows — tiny
+        .sort_values(["lang", "score_micro"])
+    )
+    ranks: dict = {}
+    for lg, g in hist.groupby("lang", sort=False):
+        cnt = g["cnt"].to_numpy()
+        below = np.concatenate([[0], np.cumsum(cnt)[:-1]]).astype(np.int64)
+        ranks[lg] = (g["score_micro"].to_numpy(), below, int(cnt.sum()))
+
+    def pct(batch: pa.Table) -> pa.Table:
+        langs, m = batch_langs(batch), micro_scores(batch)
+        out = np.zeros(len(m), dtype=np.int64)
+        for lg in np.unique(langs):
+            mask = langs == lg
+            scores, below, n = ranks[lg]
+            out[mask] = (1000 * below[np.searchsorted(scores, m[mask])]) // n
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), _I64),
+                "lang": pa.array(langs.astype(str), pa.string()),
+                "score_micro": pa.array(m, _I64),
+                "pct_milli": pa.array(out, _I64),
+            }
+        )
+
+    return ds.map_batches(pct, batch_format="pyarrow")
+
+
+# --- code detection -----------------------------------------------------
+
+CODE_MOD = 4  # doc_id % 4 == 0 rows get the code snippet planted
+CODE_SNIPPET = "\ndef f(x):\n    y = x * 2; return {x: y};\nimport os\n"
+CODE_KEYWORDS = ("def ", "return ", "import ")
+CODE_SYMBOLS = ("{", "}", ";", "=")
+
+
+def q_code_detect(sf_dir: str):
+    """Code-vs-prose routing (the StarCoder/CodeLlama-era split: code
+    goes to the code corpus, NOT the NL corpus, and a code-looking doc
+    inside a web-text crawl is usually boilerplate or a paste dump):
+    per doc, count code keywords and code symbols and flag
+    ``is_code = kw_hits >= 2 AND n_braces >= 2 AND n_semi >= 1``.  The
+    shipped corpus is pure prose, so a deterministic code snippet is
+    PLANTED row-locally on every ``doc_id % CODE_MOD == 0`` row — the
+    q_nfc_normalize perturbation idiom — making every feature and the
+    flag a live signal the TRUE DuckDB oracle reproduces exactly.
+
+    Scale shape: strictly row-local — suffix append + one vectorized
+    ``pc.count_substring`` per keyword/symbol over the Arrow column,
+    integer milli math, no shuffle, only (doc_id, text) read."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def detect(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(batch.column("doc_id"), _I64), dtype=np.int64)
+        base = pc.fill_null(pc.cast(batch.column("text"), pa.string()), "")
+        sfx = pa.array(
+            np.where(ids % CODE_MOD == 0, CODE_SNIPPET, "").tolist(), pa.string()
+        )
+        t = pc.binary_join_element_wise(base, sfx, "")
+        kw = sum(
+            np.asarray(pc.count_substring(t, pattern=k), dtype=np.int64)
+            for k in CODE_KEYWORDS
+        )
+        sym = {
+            s: np.asarray(pc.count_substring(t, pattern=s), dtype=np.int64)
+            for s in CODE_SYMBOLS
+        }
+        n_braces = sym["{"] + sym["}"]
+        n_sym = n_braces + sym[";"] + sym["="]
+        n_chars = np.asarray(pc.utf8_length(t), dtype=np.int64)
+        code_milli = np.where(n_chars > 0, (1000 * n_sym) // np.maximum(n_chars, 1), 0)
+        is_code = (kw >= 2) & (n_braces >= 2) & (sym[";"] >= 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, _I64),
+                "kw_hits": pa.array(kw, _I64),
+                "n_braces": pa.array(n_braces, _I64),
+                "n_semi": pa.array(sym[";"], _I64),
+                "n_eq": pa.array(sym["="], _I64),
+                "code_milli": pa.array(code_milli, _I64),
+                "is_code": pa.array(is_code, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(detect, batch_format="pyarrow")
+
+
+# --- langid evaluation --------------------------------------------------
+
+LANGID_NOISE_MOD = 8  # doc_id % 8 == 0 rows get a rotated truth label
+LANGID_NOISE_ROTATE = {"en": "de", "de": "es", "es": "fr", "fr": "zh", "zh": "en"}
+
+
+def q_langid_eval(sf_dir: str):
+    """LangID evaluation confusion matrix — the QA table a corpus team
+    reads before trusting the language router (the q_lsh_recall /
+    q_filter_pr_curve treatment, applied to langid): run the committed
+    langid model over every doc and count agreements per
+    ``(lang_true, lang_pred)`` cell against the table's label column.
+    The synthetic corpus is drawn from the model's own vocabularies, so
+    the raw matrix is purely diagonal; deterministic LABEL NOISE is
+    PLANTED row-locally (``doc_id % LANGID_NOISE_MOD == 0`` rows read a
+    rotated truth label — the q_nfc_normalize perturbation idiom) so
+    the off-diagonal cells, i.e. the disagreement path every real eval
+    exercises, stay live at every scale.
+
+    Scale shape: model scoring in the langid actor pool (model loads
+    once per actor), then a per-batch ``np.unique`` combiner emits one
+    row per confusion cell seen — the exchange is bounded by
+    |langs|² × blocks, never corpus size — and a tiny multi-key groupby
+    merges the partials.  Model op → golden-parquet oracle."""
+    from textpipe_ray.stages.actors import LangIdStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return batch.append_column("clean", batch.column("text"))
+
+    scored = ds.map_batches(pre, batch_format="pyarrow").map_batches(
+        LangIdStage, batch_format="pyarrow", batch_size=1024, concurrency=2
+    )
+
+    def confuse(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(batch.column("doc_id"), _I64), dtype=np.int64)
+        true = np.asarray(
+            pc.fill_null(pc.cast(batch.column("lang"), pa.string()), "").to_pylist(),
+            dtype=object,
+        )
+        noisy = ids % LANGID_NOISE_MOD == 0
+        true = np.where(
+            noisy,
+            np.asarray([LANGID_NOISE_ROTATE.get(t, t) for t in true], dtype=object),
+            true,
+        )
+        pred = np.asarray(
+            pc.fill_null(pc.cast(batch.column("pred_lang"), pa.string()), "").to_pylist(),
+            dtype=object,
+        )
+        pair = np.char.add(np.char.add(true.astype(str), "\x1f"), pred.astype(str))
+        uk, cnt = np.unique(pair, return_counts=True)
+        t, p = ([], []) if len(uk) == 0 else zip(*(u.split("\x1f", 1) for u in uk))
+        return pa.table(
+            {
+                "lang_true": pa.array(list(t), pa.string()),
+                "lang_pred": pa.array(list(p), pa.string()),
+                "n": pa.array(cnt.astype(np.int64), _I64),
+            }
+        )
+
+    return (
+        scored.map_batches(confuse, batch_format="pyarrow")
+        .groupby(["lang_true", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
