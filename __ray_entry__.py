@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lang_quantile_norm": Q.q_lang_quantile_norm,
         "q_code_detect": Q.q_code_detect,
         "q_langid_eval": Q.q_langid_eval,
+        "q_markup_density": Q.q_markup_density,
         "q_robots_filter": Q.q_robots_filter,
         "q_nfc_normalize": Q.q_nfc_normalize,
         "q_ann_pq": Q.q_ann_pq,

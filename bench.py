@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "q_lang_quantile_norm",
     "q_code_detect",
     "q_langid_eval",
+    "q_markup_density",
 ]
 
 

@@ -30,6 +30,7 @@ sys.path.insert(0, str(REPO))
 GOLDEN_QUERIES = [
     "q_langid",
     "q_langid_eval",
+    "q_markup_density",
     "q_perplexity",
     "q_minhash",
     "q_simhash",

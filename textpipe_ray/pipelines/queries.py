@@ -8761,3 +8761,62 @@ def q_langid_eval(sf_dir: str):
         .groupby(["lang_true", "lang_pred"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+# --- markup density -------------------------------------------------------
+
+MARKUP_HIGH_MILLI = 600  # tag-char permille at/above which a page is markup-heavy
+TEXT_LOW_MILLI = 350     # text-density permille below which a page is boiler-heavy
+
+
+def q_markup_density(sf_dir: str):
+    """Per-page markup/text-density signals — the structural
+    boilerplate heuristics (jusText/trafilatura-style) a crawl pipeline
+    computes BEFORE committing to full extraction: how much of the raw
+    HTML is tags, how much survives as visible text, and how link/
+    paragraph-dense the page is.  Emits exact integer permilles and two
+    routing flags (``high_markup``: tag chars ≥ 60% of the page;
+    ``low_text``: visible text < 35% of the page) — both live in both
+    directions at every scale on the synthetic corpus (measured range
+    308–937 / 0–683 milli).
+
+    Scale shape: strictly row-local over the pruned ``(url, html,
+    text)`` read — one utf8 validation cast, one RE2
+    ``replace_substring_regex`` for tag chars, ``pc.count_substring``
+    for links/paragraphs; integer ``//`` milli math, no shuffle, and
+    the HTML never leaves the task.  Golden oracle (pages table), plus
+    an independent DuckDB-regexp cross-check in tests."""
+    import glob as _glob
+
+    pages = pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(
+        sorted(_glob.glob(f"{pages}/pages-*.parquet")), columns=["url", "html", "text"]
+    )
+
+    def density(batch: pa.Table) -> pa.Table:
+        h = pc.cast(batch.column("html"), pa.string())  # validates utf-8
+        t = pc.fill_null(pc.cast(batch.column("text"), pa.string()), "")
+        html_chars = np.asarray(pc.utf8_length(h), dtype=np.int64)
+        stripped = pc.replace_substring_regex(h, pattern="<[^>]*>", replacement="")
+        tag_chars = html_chars - np.asarray(pc.utf8_length(stripped), dtype=np.int64)
+        text_chars = np.asarray(pc.utf8_length(t), dtype=np.int64)
+        n_links = np.asarray(pc.count_substring(h, pattern="<a "), dtype=np.int64)
+        n_paras = np.asarray(pc.count_substring(h, pattern="<p>"), dtype=np.int64)
+        denom = np.maximum(html_chars, 1)
+        markup_milli = (1000 * tag_chars) // denom
+        text_milli = (1000 * text_chars) // denom
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "html_chars": pa.array(html_chars, _I64),
+                "tag_chars": pa.array(tag_chars, _I64),
+                "n_links": pa.array(n_links, _I64),
+                "n_paras": pa.array(n_paras, _I64),
+                "markup_milli": pa.array(markup_milli, _I64),
+                "text_milli": pa.array(text_milli, _I64),
+                "high_markup": pa.array(markup_milli >= MARKUP_HIGH_MILLI),
+                "low_text": pa.array(text_milli < TEXT_LOW_MILLI),
+            }
+        )
+
+    return ds.map_batches(density, batch_format="pyarrow")
