@@ -31,9 +31,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered by verification priority: the driver value-checks the
     # FIRST ~50 entries each round.  ROTATION POLICY (round-3 advice):
     # never-driver-checked queries outrank everything, then queries
-    # whose code changed this round, then staleness.  With 117 queries
+    # whose code changed this round, then staleness.  With 118 queries
     # and a ~50 window not every signal can be ≤1 round old; the front
-    # holds (a) all 37 queries NEW in round 4 (never driver-checked:
+    # holds (a) all 38 queries NEW in round 4 (never driver-checked:
     # q_robots_filter, q_nfc_normalize, q_dup_clusters …
     # q_compress_ratio, the
     # layout/lifecycle family, OLAP/CDC/entropy additions) and (b) the

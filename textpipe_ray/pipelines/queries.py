@@ -2278,6 +2278,19 @@ SKETCH_SAMPLE_K = 256
 SKETCH_QUANTILES = ((25, 100), (50, 100), (75, 100), (90, 100))
 
 
+def _quality_micro(batch: pa.Table, weights) -> np.ndarray:
+    """floor(quality_score · 1e6) as int64 — the ONE quantization the
+    SQL oracles mirror as ``CAST(floor((score) * 1e6) AS BIGINT)``.
+    Shared by q_quantile_sketch / q_quality_percentile /
+    q_lang_quantile_norm so the three quantile-family queries cannot
+    drift apart from the oracle expression one copy at a time."""
+    from textpipe_ray.functions.quality_score import score_batch
+
+    b = quality_batch(batch, text_col="text")
+    s = score_batch(b, weights)
+    return np.floor(np.asarray(s, dtype=np.float64) * 1e6).astype(np.int64)
+
+
 def q_quantile_sketch(sf_dir: str):
     """Per-language quantiles of the learned quality score via a
     DETERMINISTIC bottom-k sample sketch — the scale path for
@@ -2296,7 +2309,7 @@ def q_quantile_sketch(sf_dir: str):
     compaction depends on merge order).  Rank error ~1/sqrt(K); a
     language with ≤K documents samples the whole population and the
     quantiles are EXACT (asserted in tests)."""
-    from textpipe_ray.functions.quality_score import load_weights, score_batch
+    from textpipe_ray.functions.quality_score import load_weights
     from textpipe_ray.functions.strhash import md5_hex
 
     weights = load_weights()
@@ -2306,10 +2319,7 @@ def q_quantile_sketch(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        b = quality_batch(batch, text_col="text")
-        micro = np.floor(
-            np.asarray(score_batch(b, weights), dtype=np.float64) * 1e6
-        ).astype(np.int64)
+        micro = _quality_micro(batch, weights)
         df = pd.DataFrame(
             {
                 "lang": batch.column("lang").to_pylist(),
@@ -4079,18 +4089,13 @@ def q_quality_percentile(sf_dir: str):
          row-local, no shuffle; ties at the threshold all survive on
          both engines (deterministic over-selection, never a coin
          flip).  The int threshold is a closure scalar, not state."""
-    from textpipe_ray.functions.quality_score import load_weights, score_batch
+    from textpipe_ray.functions.quality_score import load_weights
 
     weights = load_weights()
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def micro_scores(batch: pa.Table) -> np.ndarray:
-        b = quality_batch(batch, text_col="text")
-        score = score_batch(b, weights)
-        return np.floor(np.asarray(score, dtype=np.float64) * 1e6).astype(np.int64)
-
     def hist_partial(batch: pa.Table) -> pa.Table:
-        uk, cnt = np.unique(micro_scores(batch), return_counts=True)
+        uk, cnt = np.unique(_quality_micro(batch, weights), return_counts=True)
         return pa.table(
             {
                 "score_micro": pa.array(uk, _I64),
@@ -4112,7 +4117,7 @@ def q_quality_percentile(sf_dir: str):
     thr = int(hist["score_micro"].to_numpy()[np.searchsorted(cum, idx + 1)])
 
     def keep(batch: pa.Table) -> pa.Table:
-        micro = micro_scores(batch)
+        micro = _quality_micro(batch, weights)
         mask = micro >= thr
         return pa.table(
             {
@@ -8546,6 +8551,9 @@ def q_rule_ablation(sf_dir: str):
 
 # --- per-language quantile normalization -------------------------------
 
+NORM_BUCKET_SHIFT = 6  # micro-score >> 6: ≤ score-range/64 rank buckets
+
+
 def q_lang_quantile_norm(sf_dir: str):
     """Per-language quantile normalization of the quality score — the
     CCNet/FineWeb "language-fair filtering" move: a single global score
@@ -8555,47 +8563,56 @@ def q_lang_quantile_norm(sf_dir: str):
     exact strict-rank permille
     ``pct_milli = (1000 * n_strictly_below_in_lang) // n_lang``.
 
-    Scale shape — two streaming passes, no sort, no per-doc exchange:
-      1. histogram pass: scores quantize to ``floor(score*1e6)`` int64
-         (score doubles are bit-identical across engines — see
-         q_quality_score) and reduce to ONE row per (lang, score_micro)
-         via per-batch ``np.unique`` combiners + a small multi-key
-         groupby — the exchange is bounded by langs × distinct
-         micro-scores, never by corpus size;
-      2. the driver folds the tiny histogram into per-lang cumulative
-         below-counts and broadcasts it in the task closure; the
-         percentile pass is a row-local ``searchsorted`` lookup.
-         Integer ``//`` keeps both engines exact (no float rank)."""
-    from textpipe_ray.functions.quality_score import load_weights, score_batch
+    Scale shape — exact distributed rank in two passes; the score is
+    effectively CONTINUOUS (≈1 distinct micro per doc), so a per-value
+    histogram would be corpus-sized and is exactly what this layout
+    avoids:
+      1. bucket-histogram pass: scores quantize to ``floor(score*1e6)``
+         int64 (bit-identical across engines — see q_quality_score) and
+         coarsen to ``bucket = micro >> 6``; per-batch ``np.unique``
+         combiners + a small (lang, bucket) groupby.  Exchange AND
+         driver pull are bounded by langs × score-range/64 (≈62k
+         buckets for the model's fixed weight range — the DSIR/HLL
+         constant-histogram idiom), never by corpus size.  The driver
+         folds cumulative below-bucket offsets and per-lang totals and
+         broadcasts them once via ``ray.put``.
+      2. rank pass: one (lang, bucket) groupby over the narrow
+         (doc_id, lang, bucket, micro) projection — the standard
+         distributed-rank all-to-all, four slim columns, evenly keyed
+         by construction of the fixed-width buckets.  Within a group
+         the strict rank is a local sort + ``searchsorted`` (ties share
+         a bucket by definition, so below-counts are exact), and
+         ``pct_milli = (1000·(offset+local)) // n_lang`` in integer
+         math.  Nothing corpus-sized ever lands on the driver or in a
+         task closure."""
+    import pandas as pd
+
+    from textpipe_ray.functions.quality_score import load_weights
 
     weights = load_weights()
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
-
-    def micro_scores(batch: pa.Table) -> np.ndarray:
-        b = quality_batch(batch, text_col="text")
-        s = score_batch(b, weights)
-        return np.floor(np.asarray(s, dtype=np.float64) * 1e6).astype(np.int64)
 
     def batch_langs(batch: pa.Table) -> np.ndarray:
         col = pc.fill_null(pc.cast(batch.column("lang"), pa.string()), "")
         return np.asarray(col.to_pylist(), dtype=object)
 
     def hist_partial(batch: pa.Table) -> pa.Table:
-        langs, m = batch_langs(batch), micro_scores(batch)
+        langs = batch_langs(batch)
+        buckets = _quality_micro(batch, weights) >> NORM_BUCKET_SHIFT
         out_l: list = []
-        out_s: list = []
+        out_b: list = []
         out_c: list = []
         for lg in np.unique(langs):
             mask = langs == lg
-            uk, cnt = np.unique(m[mask], return_counts=True)
+            uk, cnt = np.unique(buckets[mask], return_counts=True)
             out_l.extend([lg] * len(uk))
-            out_s.append(uk)
+            out_b.append(uk)
             out_c.append(cnt.astype(np.int64))
         return pa.table(
             {
                 "lang": pa.array(out_l, pa.string()),
-                "score_micro": pa.array(
-                    np.concatenate(out_s) if out_s else np.array([], np.int64), _I64
+                "bucket": pa.array(
+                    np.concatenate(out_b) if out_b else np.array([], np.int64), _I64
                 ),
                 "cnt": pa.array(
                     np.concatenate(out_c) if out_c else np.array([], np.int64), _I64
@@ -8605,34 +8622,54 @@ def q_lang_quantile_norm(sf_dir: str):
 
     hist = (
         ds.map_batches(hist_partial, batch_format="pyarrow")
-        .groupby(["lang", "score_micro"])
+        .groupby(["lang", "bucket"])
         .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()  # ≤ langs × distinct micro-scores rows — tiny
-        .sort_values(["lang", "score_micro"])
+        .to_pandas()  # ≤ langs × score-range/64 rows — constant-bounded
+        .sort_values(["lang", "bucket"])
     )
-    ranks: dict = {}
+    offsets: dict = {}  # (lang, bucket) -> docs in strictly smaller buckets
+    totals: dict = {}  # lang -> n_lang
     for lg, g in hist.groupby("lang", sort=False):
         cnt = g["cnt"].to_numpy()
         below = np.concatenate([[0], np.cumsum(cnt)[:-1]]).astype(np.int64)
-        ranks[lg] = (g["score_micro"].to_numpy(), below, int(cnt.sum()))
+        for b, off in zip(g["bucket"].to_numpy(), below):
+            offsets[(lg, int(b))] = int(off)
+        totals[lg] = int(cnt.sum())
+    rank_ref = ray.put((offsets, totals))
 
-    def pct(batch: pa.Table) -> pa.Table:
-        langs, m = batch_langs(batch), micro_scores(batch)
-        out = np.zeros(len(m), dtype=np.int64)
-        for lg in np.unique(langs):
-            mask = langs == lg
-            scores, below, n = ranks[lg]
-            out[mask] = (1000 * below[np.searchsorted(scores, m[mask])]) // n
+    def project(batch: pa.Table) -> pa.Table:
+        langs = batch_langs(batch)
+        m = _quality_micro(batch, weights)
         return pa.table(
             {
                 "doc_id": pc.cast(batch.column("doc_id"), _I64),
                 "lang": pa.array(langs.astype(str), pa.string()),
+                "bucket": pa.array(m >> NORM_BUCKET_SHIFT, _I64),
                 "score_micro": pa.array(m, _I64),
-                "pct_milli": pa.array(out, _I64),
             }
         )
 
-    return ds.map_batches(pct, batch_format="pyarrow")
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        offs, tots = ray.get(rank_ref)
+        m = df["score_micro"].to_numpy()
+        local = np.searchsorted(np.sort(m), m, side="left")
+        lg = df["lang"].iloc[0]
+        base = offs[(lg, int(df["bucket"].iloc[0]))]
+        pct = (1000 * (base + local)) // tots[lg]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "lang": df["lang"].to_numpy(),
+                "score_micro": m,
+                "pct_milli": pct.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(["lang", "bucket"])
+        .map_groups(rank_group, batch_format="pandas")
+    )
 
 
 # --- code detection -----------------------------------------------------
@@ -8696,69 +8733,95 @@ def q_code_detect(sf_dir: str):
 
 # --- langid evaluation --------------------------------------------------
 
-LANGID_NOISE_MOD = 8  # doc_id % 8 == 0 rows get a rotated truth label
-LANGID_NOISE_ROTATE = {"en": "de", "de": "es", "es": "fr", "fr": "zh", "zh": "en"}
+LANGID_NOISE_MOD = 8  # hash64_mixed(url) % 8 == 0 rows get a corrupted declared lang
+LANGID_NOISE_ROTATE = {"en": "de", "de": "es", "es": "fr", "fr": "nl", "nl": "en"}
 
 
 def q_langid_eval(sf_dir: str):
-    """LangID evaluation confusion matrix — the QA table a corpus team
-    reads before trusting the language router (the q_lsh_recall /
-    q_filter_pr_curve treatment, applied to langid): run the committed
-    langid model over every doc and count agreements per
-    ``(lang_true, lang_pred)`` cell against the table's label column.
-    The synthetic corpus is drawn from the model's own vocabularies, so
-    the raw matrix is purely diagonal; deterministic LABEL NOISE is
-    PLANTED row-locally (``doc_id % LANGID_NOISE_MOD == 0`` rows read a
-    rotated truth label — the q_nfc_normalize perturbation idiom) so
-    the off-diagonal cells, i.e. the disagreement path every real eval
-    exercises, stay live at every scale.
+    """LangID router evaluation over the pages corpus — the QA table a
+    corpus team reads before trusting the language-resolution rule
+    (reference doc.py:146: ``resolved = pred if reliable else declared
+    hint``): score every page's extracted text with the committed model
+    and count ``(lang_true, lang_pred, lang_resolved)`` confusion cells.
 
-    Scale shape: model scoring in the langid actor pool (model loads
-    once per actor), then a per-batch ``np.unique`` combiner emits one
-    row per confusion cell seen — the exchange is bounded by
-    |langs|² × blocks, never corpus size — and a tiny multi-key groupby
-    merges the partials.  Model op → golden-parquet oracle."""
+    The page's DECLARED language (the metadata hint the flagship feeds
+    LangIdStage's ``lang`` slot) is deterministically CORRUPTED on
+    ``hash64_mixed(url) % LANGID_NOISE_MOD == 0`` rows — real crawls
+    carry wrong lang attributes — which makes every resolution path a
+    live cell at every scale: pages with real content recover the truth
+    from trigram evidence regardless of the bad hint (diagonal),
+    empty/numeric pages (truth ``un``) detect unreliable and resolve to
+    the declared hint, corrupted or not — the off-diagonal
+    ``un → lang`` mass that is exactly the failure mode the rule
+    accepts in production.  The truth label itself NEVER reaches the
+    stage: it is moved to ``lang_true`` before scoring, so the model
+    sees only what production sees (text + declared metadata).
+
+    Scale shape: vectorized url hashing for the corruption mask, model
+    scoring in the langid actor pool (model loads once per actor), then
+    a per-batch ``np.unique`` combiner emits one row per confusion cell
+    seen — the exchange is bounded by |langs|³ × blocks, never corpus
+    size — and a tiny multi-key groupby merges the partials.  Model op
+    → golden-parquet oracle."""
+    import glob as _glob
+
+    from textpipe_ray.functions.strhash import hash64_mixed
     from textpipe_ray.stages.actors import LangIdStage
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pages = pages_dir_for(sf_dir)
+    ds = ray.data.read_parquet(
+        sorted(_glob.glob(f"{pages}/pages-*.parquet")), columns=["url", "text", "lang"]
+    )
 
     def pre(batch: pa.Table) -> pa.Table:
-        return batch.append_column("clean", batch.column("text"))
+        truth = np.asarray(
+            pc.fill_null(pc.cast(batch.column("lang"), pa.string()), "").to_pylist(),
+            dtype=object,
+        )
+        noisy = hash64_mixed(batch.column("url")) % LANGID_NOISE_MOD == 0
+        hint = np.where(
+            noisy,
+            np.asarray([LANGID_NOISE_ROTATE.get(t, t) for t in truth], dtype=object),
+            truth,
+        )
+        idx = batch.column_names.index("lang")
+        batch = batch.set_column(idx, "lang", pa.array(hint.tolist(), pa.string()))
+        return batch.append_column(
+            "lang_true", pa.array(truth.tolist(), pa.string())
+        ).append_column("clean", batch.column("text"))
 
     scored = ds.map_batches(pre, batch_format="pyarrow").map_batches(
         LangIdStage, batch_format="pyarrow", batch_size=1024, concurrency=2
     )
 
     def confuse(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(pc.cast(batch.column("doc_id"), _I64), dtype=np.int64)
-        true = np.asarray(
-            pc.fill_null(pc.cast(batch.column("lang"), pa.string()), "").to_pylist(),
-            dtype=object,
+        cols = []
+        for name in ("lang_true", "pred_lang", "resolved_lang"):
+            cols.append(
+                np.asarray(
+                    pc.fill_null(pc.cast(batch.column(name), pa.string()), "").to_pylist(),
+                    dtype=object,
+                ).astype(str)
+            )
+        trip = np.char.add(
+            np.char.add(np.char.add(np.char.add(cols[0], "\x1f"), cols[1]), "\x1f"),
+            cols[2],
         )
-        noisy = ids % LANGID_NOISE_MOD == 0
-        true = np.where(
-            noisy,
-            np.asarray([LANGID_NOISE_ROTATE.get(t, t) for t in true], dtype=object),
-            true,
-        )
-        pred = np.asarray(
-            pc.fill_null(pc.cast(batch.column("pred_lang"), pa.string()), "").to_pylist(),
-            dtype=object,
-        )
-        pair = np.char.add(np.char.add(true.astype(str), "\x1f"), pred.astype(str))
-        uk, cnt = np.unique(pair, return_counts=True)
-        t, p = ([], []) if len(uk) == 0 else zip(*(u.split("\x1f", 1) for u in uk))
+        uk, cnt = np.unique(trip, return_counts=True)
+        parts = [u.split("\x1f", 2) for u in uk]
+        t, p, r = ([], [], []) if not parts else zip(*parts)
         return pa.table(
             {
                 "lang_true": pa.array(list(t), pa.string()),
                 "lang_pred": pa.array(list(p), pa.string()),
+                "lang_resolved": pa.array(list(r), pa.string()),
                 "n": pa.array(cnt.astype(np.int64), _I64),
             }
         )
 
     return (
         scored.map_batches(confuse, batch_format="pyarrow")
-        .groupby(["lang_true", "lang_pred"])
+        .groupby(["lang_true", "lang_pred", "lang_resolved"])
         .aggregate(Sum("n", alias_name="n"))
     )
 
@@ -8794,7 +8857,9 @@ def q_markup_density(sf_dir: str):
     )
 
     def density(batch: pa.Table) -> pa.Table:
-        h = pc.cast(batch.column("html"), pa.string())  # validates utf-8
+        # cast validates utf-8; fill_null so a fetch-failure row (null
+        # html on real crawl shards) scores 0/0 instead of killing the task
+        h = pc.fill_null(pc.cast(batch.column("html"), pa.string()), "")
         t = pc.fill_null(pc.cast(batch.column("text"), pa.string()), "")
         html_chars = np.asarray(pc.utf8_length(h), dtype=np.int64)
         stripped = pc.replace_substring_regex(h, pattern="<[^>]*>", replacement="")
