@@ -31,9 +31,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered by verification priority: the driver value-checks the
     # FIRST ~50 entries each round.  ROTATION POLICY (round-3 advice):
     # never-driver-checked queries outrank everything, then queries
-    # whose code changed this round, then staleness.  With 118 queries
+    # whose code changed this round, then staleness.  With 120 queries
     # and a ~50 window not every signal can be ≤1 round old; the front
-    # holds (a) all 38 queries NEW in round 4 (never driver-checked:
+    # holds (a) all 40 queries NEW in round 4 (never driver-checked:
     # q_robots_filter, q_nfc_normalize, q_dup_clusters …
     # q_compress_ratio, the
     # layout/lifecycle family, OLAP/CDC/entropy additions) and (b) the
@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_code_detect": Q.q_code_detect,
         "q_langid_eval": Q.q_langid_eval,
         "q_markup_density": Q.q_markup_density,
+        "q_token_fertility": Q.q_token_fertility,
+        "q_citation_density": Q.q_citation_density,
         "q_robots_filter": Q.q_robots_filter,
         "q_nfc_normalize": Q.q_nfc_normalize,
         "q_ann_pq": Q.q_ann_pq,

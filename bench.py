@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "q_code_detect",
     "q_langid_eval",
     "q_markup_density",
+    "q_token_fertility",
+    "q_citation_density",
 ]
 
 

@@ -31,6 +31,7 @@ GOLDEN_QUERIES = [
     "q_langid",
     "q_langid_eval",
     "q_markup_density",
+    "q_token_fertility",
     "q_perplexity",
     "q_minhash",
     "q_simhash",

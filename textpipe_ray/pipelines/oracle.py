@@ -600,6 +600,28 @@ SELECT doc_id, kw_hits, n_braces, n_semi, n_eq,
        kw_hits >= 2 AND n_braces >= 2 AND n_semi >= 1 AS is_code
 FROM c"""
 
+    # citation density: the planted marker suffix + DuckDB's own regexp
+    # engine re-counting the [n] markers (independent of Arrow's RE2)
+    from textpipe_ray.pipelines.queries import CITE_MIN_HITS, CITE_MOD, CITE_SUFFIX
+
+    _cite_sfx = CITE_SUFFIX.replace("'", "''")
+    out["q_citation_density"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {CITE_MOD} = 0
+              THEN coalesce(text, '') || '{_cite_sfx}'
+              ELSE coalesce(text, '') END AS t
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '\\[[0-9]+\\]')) AS BIGINT) AS n_cites,
+         CAST(length(t) AS BIGINT) AS n_chars
+  FROM d)
+SELECT doc_id, n_cites, n_chars,
+       (10000 * n_cites) // greatest(n_chars, 1) AS cites_per_10k,
+       n_cites >= {CITE_MIN_HITS} AS is_reference
+FROM c"""
+
     # bottom-k quantile sketch: DuckDB's md5() replays the engine's
     # EXACT deterministic sample (k smallest md5(doc_id) per lang), so
     # the sketch estimate itself is SQL-value-checked, not just bounded

@@ -8885,3 +8885,142 @@ def q_markup_density(sf_dir: str):
         )
 
     return ds.map_batches(density, batch_format="pyarrow")
+
+
+# --- tokenizer fertility ---------------------------------------------------
+
+def q_token_fertility(sf_dir: str):
+    """Per-language tokenizer fertility QA — the multilingual-fairness
+    table (the mT5/XLM-R-era finding: one tokenizer's tokens-per-word
+    varies across languages, silently re-weighting any token-budgeted
+    data mix): under the SAME committed BPE trainer as q_bpe_train /
+    q_vocab_coverage (shared ``_bpe_word_types`` front half — the three
+    MUST measure the same tokenizer), per language sum whitespace
+    words, BPE tokens and utf-8 text bytes, and report the exact
+    integer ratios ``fertility_milli = (1000·n_bpe) // n_words`` and
+    ``bytes_per_token_milli = (1000·n_bytes) // n_bpe``.
+
+    Scale shape: the trainer front half is the combiner-bounded
+    word-type count (exchange = distinct types × blocks, merge loop on
+    the bounded top-V table on the driver); the apply pass is row-local
+    encode with the merge table broadcast once (``ray.put``) and a
+    per-batch distinct-word cache; a per-batch per-lang combiner then
+    emits ONE row per (lang, batch) and a langs-sized groupby + finish
+    computes the ratios — nothing corpus-sized moves anywhere.  Golden
+    oracle (merge learning is not SQL-expressible)."""
+    from textpipe_ray.functions.bpe import token_count
+
+    _, ranks_ref, creg = _bpe_word_types(sf_dir)
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ranks = ray.get(ranks_ref)
+        cache: dict[str, int] = {}
+        langs = np.asarray(
+            pc.fill_null(pc.cast(batch.column("lang"), pa.string()), "").to_pylist(),
+            dtype=object,
+        )
+        text = pc.fill_null(pc.cast(batch.column("text"), pa.string()), "")
+        nbytes = np.asarray(pc.binary_length(text), dtype=np.int64)
+        n_words = np.zeros(len(langs), np.int64)
+        n_bpe = np.zeros(len(langs), np.int64)
+        for i, t in enumerate(pc.utf8_lower(text).to_pylist()):
+            ws = creg.findall(t or "")
+            n_words[i] = len(ws)
+            tot = 0
+            for w in ws:
+                k = cache.get(w)
+                if k is None:
+                    k = cache[w] = token_count(w, ranks)
+                tot += k
+            n_bpe[i] = tot
+        out_l, out_d, out_w, out_t, out_b = [], [], [], [], []
+        for lg in np.unique(langs):
+            m = langs == lg
+            out_l.append(str(lg))
+            out_d.append(int(m.sum()))
+            out_w.append(int(n_words[m].sum()))
+            out_t.append(int(n_bpe[m].sum()))
+            out_b.append(int(nbytes[m].sum()))
+        return pa.table(
+            {
+                "lang": pa.array(out_l, pa.string()),
+                "n_docs": pa.array(out_d, _I64),
+                "n_words": pa.array(out_w, _I64),
+                "n_bpe_tokens": pa.array(out_t, _I64),
+                "n_bytes": pa.array(out_b, _I64),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        w = np.asarray(batch.column("n_words"), dtype=np.int64)
+        t = np.asarray(batch.column("n_bpe_tokens"), dtype=np.int64)
+        b = np.asarray(batch.column("n_bytes"), dtype=np.int64)
+        return batch.append_column(
+            "fertility_milli", pa.array((1000 * t) // np.maximum(w, 1), _I64)
+        ).append_column(
+            "bytes_per_token_milli", pa.array((1000 * b) // np.maximum(t, 1), _I64)
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_words", alias_name="n_words"),
+            Sum("n_bpe_tokens", alias_name="n_bpe_tokens"),
+            Sum("n_bytes", alias_name="n_bytes"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+# --- citation density ------------------------------------------------------
+
+CITE_MOD = 5  # doc_id % 5 == 0 rows get the citation markers planted
+CITE_SUFFIX = " As shown in [1] and [12], this holds.[3]"
+CITE_REGEX = r"\[[0-9]+\]"
+CITE_MIN_HITS = 2  # at/above this many markers a doc is reference-grade
+
+
+def q_citation_density(sf_dir: str):
+    """Citation-marker density — the wiki-style quality prior (pages
+    with inline ``[n]`` citations are disproportionately reference
+    material, and citation density feeds quality classifiers the way
+    ``citation needed`` density feeds Wikipedia's own article scoring):
+    per doc, count ``[n]`` markers and normalize to markers per 10k
+    chars.  The shipped corpus has no citation markup, so a
+    deterministic marker suffix is PLANTED row-locally on every
+    ``doc_id % CITE_MOD == 0`` row (the q_nfc_normalize / q_code_detect
+    perturbation idiom) — every column and the ``is_reference`` flag
+    are live signals in both directions at every scale, and the TRUE
+    DuckDB oracle replays the identical plant.
+
+    Scale shape: strictly row-local — one suffix append, one RE2
+    ``count_substring_regex`` over the Arrow column, integer per-10k
+    math, no shuffle, only (doc_id, text) read."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def cite(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(batch.column("doc_id"), _I64), dtype=np.int64)
+        base = pc.fill_null(pc.cast(batch.column("text"), pa.string()), "")
+        sfx = pa.array(
+            np.where(ids % CITE_MOD == 0, CITE_SUFFIX, "").tolist(), pa.string()
+        )
+        t = pc.binary_join_element_wise(base, sfx, "")
+        n_cites = np.asarray(
+            pc.count_substring_regex(t, pattern=CITE_REGEX), dtype=np.int64
+        )
+        n_chars = np.asarray(pc.utf8_length(t), dtype=np.int64)
+        per_10k = (10_000 * n_cites) // np.maximum(n_chars, 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, _I64),
+                "n_cites": pa.array(n_cites, _I64),
+                "n_chars": pa.array(n_chars, _I64),
+                "cites_per_10k": pa.array(per_10k, _I64),
+                "is_reference": pa.array(n_cites >= CITE_MIN_HITS),
+            }
+        )
+
+    return ds.map_batches(cite, batch_format="pyarrow")
