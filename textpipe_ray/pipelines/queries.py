@@ -8551,7 +8551,7 @@ def q_rule_ablation(sf_dir: str):
 
 # --- per-language quantile normalization -------------------------------
 
-NORM_BUCKET_SHIFT = 6  # micro-score >> 6: ≤ score-range/64 rank buckets
+NORM_BUCKET_SHIFT = 12  # micro-score >> 12: ≤ score-range/4096 rank buckets
 
 
 def q_lang_quantile_norm(sf_dir: str):
@@ -8569,22 +8569,26 @@ def q_lang_quantile_norm(sf_dir: str):
     avoids:
       1. bucket-histogram pass: scores quantize to ``floor(score*1e6)``
          int64 (bit-identical across engines — see q_quality_score) and
-         coarsen to ``bucket = micro >> 6``; per-batch ``np.unique``
+         coarsen to ``bucket = micro >> 12``; per-batch ``np.unique``
          combiners + a small (lang, bucket) groupby.  Exchange AND
-         driver pull are bounded by langs × score-range/64 (≈62k
-         buckets for the model's fixed weight range — the DSIR/HLL
-         constant-histogram idiom), never by corpus size.  The driver
-         folds cumulative below-bucket offsets and per-lang totals and
-         broadcasts them once via ``ray.put``.
+         driver pull are bounded by langs × score-range/4096 (the
+         measured micro range is ±3M → ≲1.5k buckets per language —
+         the DSIR/HLL constant-histogram idiom), never by corpus size.
+         The driver folds cumulative below-bucket offsets and per-lang
+         totals and broadcasts them once via ``ray.put``.
       2. rank pass: one (lang, bucket) groupby over the narrow
          (doc_id, lang, bucket, micro) projection — the standard
-         distributed-rank all-to-all, four slim columns, evenly keyed
-         by construction of the fixed-width buckets.  Within a group
-         the strict rank is a local sort + ``searchsorted`` (ties share
-         a bucket by definition, so below-counts are exact), and
+         distributed-rank all-to-all, four slim columns.  Within a
+         group the strict rank is a local sort + ``searchsorted`` (ties
+         share a bucket by definition, so below-counts are exact), and
          ``pct_milli = (1000·(offset+local)) // n_lang`` in integer
          math.  Nothing corpus-sized ever lands on the driver or in a
-         task closure."""
+         task closure.  Average group size is corpus/(langs·buckets);
+         a pathologically PEAKED score distribution concentrates docs
+         in few buckets (worst case: one group per tied value set) —
+         equal micros rank 0 against each other, so such a bucket could
+         be salt-sharded without changing results, at the cost of an
+         extra dedup of the offsets; not done here."""
     import pandas as pd
 
     from textpipe_ray.functions.quality_score import load_weights
