@@ -29,6 +29,7 @@ sys.path.insert(0, str(REPO))
 
 GOLDEN_QUERIES = [
     "q_langid",
+    "q_kmeans",
     "q_langid_eval",
     "q_markup_density",
     "q_token_fertility",

@@ -38,7 +38,7 @@ def oracle_names():
     "q_skew_join", "q_wet_export", "q_drift", "q_rule_ablation", "q_nfc_normalize",
     "q_lang_quantile_norm", "q_code_detect", "q_citation_density",
     # golden-parquet oracles (scripts/make_goldens.py)
-    "q_langid", "q_langid_eval", "q_markup_density", "q_token_fertility", "q_perplexity", "q_minhash", "q_simhash", "q_simhash_neardup",
+    "q_langid", "q_kmeans", "q_langid_eval", "q_markup_density", "q_token_fertility", "q_perplexity", "q_minhash", "q_simhash", "q_simhash_neardup",
     "q_ann_ivf", "q_embedding_neardup", "q_pages_flagship", "q_pages_neardup",
     "q_pages_dedup", "q_textpipe_ops", "q_media_features",
     "q_host_stats", "q_paragraph_filter", "q_boilerplate_dedup", "q_ppl_buckets",

@@ -9028,3 +9028,108 @@ def q_citation_density(sf_dir: str):
         )
 
     return ds.map_batches(cite, batch_format="pyarrow")
+
+
+# --- distributed k-means ----------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+KMEANS_Q = 1_000_000  # micro fixed-point for centroid sums and distances
+_KM_DIM = 64
+
+
+def q_kmeans(sf_dir: str):
+    """Full-corpus distributed k-means over the embedding table — the
+    curation clustering primitive (DataComp/SemDeDup-style corpus
+    bucketing, topic balancing, per-cluster sampling) as a first-class
+    operator: unlike ``q_semdedup``'s sample-fitted centroids, every
+    Lloyd iteration here reduces over EVERY row, with the fixed-point
+    integer contract of ``q_embedding_pca`` making the result
+    bit-identical under any batching, block order, or cluster size.
+
+    Scale shape:
+      1. seeds: ``KMEANS_K`` rows via the hash-uniform bounded sample
+         (stages/ann._uniform_sample — survives cluster-sorted
+         corpora), one streaming pass;
+      2. each of ``KMEANS_ITERS`` iterations: centroids broadcast via
+         ``ray.put``; per batch, rows assign to the nearest centroid
+         (row-local float64 argmin) and each ROW's embedding quantizes
+         to int64 micro BEFORE the per-cell sum — the per-block partial
+         is ≤ K rows of (cell, n, 64 int64s), a bounded driver collect
+         (K·blocks rows, like the PCA moment pass); empty cells keep
+         their previous centroid;
+      3. final pass: row-local assignment, emitting
+         (vec_id, cell, sqdist_micro).
+    The embeddings read is column-pruned and materialized ONCE into
+    spillable object-store blocks; the T iteration passes re-read those
+    blocks zero-copy instead of re-parsing parquet.  Golden oracle
+    (iterative k-means is not SQL-expressible) + single-process
+    integer-contract parity test."""
+    from textpipe_ray.stages.ann import _uniform_sample
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    cents = _uniform_sample(ds, KMEANS_K, "vec_id", "embedding")
+
+    def partial_factory(cents_ref):
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cents_ref)
+            x = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            if x.size == 0:
+                return pa.table(
+                    {
+                        "cell": pa.array([], _I64),
+                        "n": pa.array([], _I64),
+                        "s": pa.array([], pa.list_(pa.int64())),
+                    }
+                )
+            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            xi = np.floor(x * KMEANS_Q).astype(np.int64)  # per-ROW quantize
+            cells, ns, sums = [], [], []
+            for cell in np.unique(assign):
+                m = assign == cell
+                cells.append(int(cell))
+                ns.append(int(m.sum()))
+                sums.append(xi[m].sum(axis=0).tolist())
+            return pa.table(
+                {
+                    "cell": pa.array(cells, _I64),
+                    "n": pa.array(ns, _I64),
+                    "s": pa.array(sums, pa.list_(pa.int64())),
+                }
+            )
+
+        return partial
+
+    for _ in range(KMEANS_ITERS):
+        parts = ds.map_batches(
+            partial_factory(ray.put(cents)), batch_format="pyarrow"
+        ).to_pandas()  # ≤ K rows per block
+        new = cents.copy()
+        for cell in range(len(cents)):
+            rows = parts[parts["cell"] == cell]
+            n = int(rows["n"].sum())
+            if n > 0:
+                s = np.sum([np.asarray(v, dtype=np.int64) for v in rows["s"]], axis=0)
+                new[cell] = (s / KMEANS_Q) / n
+        cents = new
+
+    cents_ref = ray.put(cents)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        x = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        if x.size == 0:
+            x = np.zeros((0, _KM_DIM))
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        sq = np.floor(d[np.arange(len(x)), assign] * KMEANS_Q).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch.column("vec_id"), _I64),
+                "cell": pa.array(assign.astype(np.int64), _I64),
+                "sqdist_micro": pa.array(sq, _I64),
+            }
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow")
