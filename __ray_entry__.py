@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- changed or new this round ---
         "q_pages_flagship": Q.q_pages_flagship,
         "q_kmeans": Q.q_kmeans,
+        "q_pseudonymize": Q.q_pseudonymize,
         "q_lang_quantile_norm": Q.q_lang_quantile_norm,
         "q_code_detect": Q.q_code_detect,
         "q_langid_eval": Q.q_langid_eval,

@@ -622,6 +622,35 @@ SELECT doc_id, n_cites, n_chars,
        n_cites >= {CITE_MIN_HITS} AS is_reference
 FROM c"""
 
+    # keyed PII pseudonymization: the planted emails + DuckDB's own
+    # regexp split/extract and md5 rebuilding the interleaved text —
+    # pseudonym stability (same entity → same token across docs) is
+    # value-checked by construction
+    from textpipe_ray.pipelines.queries import PSEUDO_EMAIL_RE, PSEUDO_MOD
+
+    _ppat = q(PSEUDO_EMAIL_RE)
+    out["q_pseudonymize"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {PSEUDO_MOD} = 0
+              THEN coalesce(text, '') || ' Contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com and admin@example.com.'
+              ELSE coalesce(text, '') END AS t
+  FROM documents),
+m AS (
+  SELECT doc_id, t,
+         regexp_extract_all(t, {_ppat}) AS ms,
+         regexp_split_to_array(t, {_ppat}) AS parts
+  FROM d)
+SELECT doc_id,
+       parts[1] || coalesce(list_aggregate(
+          list_transform(list_zip(ms, parts[2:]),
+             p -> '<EMAIL_' || substr(md5(p[1]), 1, 8) || '>' || p[2]),
+          'string_agg', ''), '') AS scrubbed,
+       CAST(len(ms) AS BIGINT) AS n_pii,
+       CAST(len(list_distinct(ms)) AS BIGINT) AS n_distinct
+FROM m"""
+
     # bottom-k quantile sketch: DuckDB's md5() replays the engine's
     # EXACT deterministic sample (k smallest md5(doc_id) per lang), so
     # the sketch estimate itself is SQL-value-checked, not just bounded

@@ -9030,6 +9030,82 @@ def q_citation_density(sf_dir: str):
     return ds.map_batches(cite, batch_format="pyarrow")
 
 
+# --- PII pseudonymization ---------------------------------------------------
+
+PSEUDO_MOD = 4  # doc_id % 4 == 0 rows get the email plant
+PSEUDO_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def q_pseudonymize(sf_dir: str):
+    """Keyed PII pseudonymization — the privacy rewrite that plain
+    scrubbing (q_scrub's fixed ``<EMAIL>`` token) cannot do: every
+    email is replaced by a STABLE pseudonym ``<EMAIL_xxxxxxxx>``
+    (first 8 hex of md5 of the matched entity), so post-scrub analyses
+    can still count entity frequency and co-occurrence while the raw
+    identifier never leaves the task.  The shipped corpus carries no
+    emails (checked: zero '@' at every scale), so a deterministic
+    per-doc email + a REPEATED global entity (``admin@example.com`` —
+    its pseudonym must be identical across every doc, the stability
+    property under test) are planted row-locally on every
+    ``doc_id % PSEUDO_MOD == 0`` row; the TRUE DuckDB oracle replays
+    the plant and rebuilds the interleaved text with the SAME md5.
+
+    Scale shape: strictly row-local — regex split/findall per doc
+    (C-level regex), ONE batched md5 over the flattened match list
+    (functions/strhash.md5_hex), positional rebuild; no shuffle, only
+    (doc_id, text) read."""
+    import re
+
+    from textpipe_ray.functions.strhash import md5_hex
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    creg = re.compile(PSEUDO_EMAIL_RE)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(batch.column("doc_id"), _I64), dtype=np.int64)
+        base = pc.fill_null(pc.cast(batch.column("text"), pa.string()), "")
+        sfx = pa.array(
+            [
+                f" Contact user{i}@example.com and admin@example.com."
+                if i % PSEUDO_MOD == 0
+                else ""
+                for i in ids
+            ],
+            pa.string(),
+        )
+        texts = pc.binary_join_element_wise(base, sfx, "").to_pylist()
+        parts_per_row: list[list[str]] = []
+        ms_per_row: list[list[str]] = []
+        flat: list[str] = []
+        for t in texts:
+            ms = creg.findall(t)
+            parts_per_row.append(creg.split(t))
+            ms_per_row.append(ms)
+            flat.extend(ms)
+        digests = md5_hex(pa.array(flat, pa.string())) if flat else []
+        out_text, n_pii, n_distinct = [], [], []
+        pos = 0
+        for parts, ms in zip(parts_per_row, ms_per_row):
+            pieces = [parts[0]]
+            for j in range(len(ms)):
+                pieces.append(f"<EMAIL_{digests[pos + j][:8]}>")
+                pieces.append(parts[j + 1])
+            pos += len(ms)
+            out_text.append("".join(pieces))
+            n_pii.append(len(ms))
+            n_distinct.append(len(set(ms)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, _I64),
+                "scrubbed": pa.array(out_text, pa.string()),
+                "n_pii": pa.array(n_pii, _I64),
+                "n_distinct": pa.array(n_distinct, _I64),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
 # --- distributed k-means ----------------------------------------------------
 
 KMEANS_K = 8
