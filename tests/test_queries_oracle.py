@@ -37,6 +37,7 @@ def oracle_names():
     "q_bm25_layout", "q_bm25_append", "q_time_layout", "q_cdc_diff",
     "q_skew_join", "q_wet_export", "q_drift", "q_rule_ablation", "q_nfc_normalize",
     "q_lang_quantile_norm", "q_code_detect", "q_citation_density", "q_pseudonymize",
+    "q_domain_reweight",
     # golden-parquet oracles (scripts/make_goldens.py)
     "q_langid", "q_kmeans", "q_langid_eval", "q_markup_density", "q_token_fertility", "q_perplexity", "q_minhash", "q_simhash", "q_simhash_neardup",
     "q_ann_ivf", "q_embedding_neardup", "q_pages_flagship", "q_pages_neardup",

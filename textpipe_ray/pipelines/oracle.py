@@ -622,6 +622,48 @@ SELECT doc_id, n_cites, n_chars,
        n_cites >= {CITE_MIN_HITS} AS is_reference
 FROM c"""
 
+    # DoReMi-style domain reweighting: the multiplicative-weights
+    # rounds unroll into generated chained CTEs; every division operand
+    # is positive (the engine's DOREMI_OFFSET), so DuckDB's truncating
+    # // and Python's flooring // agree exactly
+    from textpipe_ray.pipelines.queries import (
+        DOREMI_CLIP_MICRO,
+        DOREMI_OFFSET,
+        DOREMI_ROUNDS,
+        DOREMI_SCALE,
+    )
+
+    _dw_ctes = [
+        f"w0 AS (SELECT source, n_docs, sm // n_docs AS mean, "
+        f"CAST({DOREMI_SCALE} AS BIGINT) AS w FROM d)"
+    ]
+    for _t in range(1, DOREMI_ROUNDS + 1):
+        _prev = f"w{_t - 1}"
+        _gm = (
+            f"(SELECT CAST(sum(w * mean) AS BIGINT) // CAST(sum(w) AS BIGINT) "
+            f"FROM {_prev})"
+        )
+        _dw_ctes.append(
+            f"w{_t} AS (SELECT source, n_docs, mean, "
+            f"w * ({DOREMI_SCALE} + greatest(-{DOREMI_CLIP_MICRO}, "
+            f"least({DOREMI_CLIP_MICRO}, mean - {_gm}))) // {DOREMI_SCALE} AS w "
+            f"FROM {_prev})"
+        )
+    _dw_last = f"w{DOREMI_ROUNDS}"
+    out["q_domain_reweight"] = f"""
+WITH f AS (SELECT doc_id, coalesce(source, '') AS source, {feats} FROM documents),
+r AS (SELECT *, {ratios} FROM f),
+s AS (SELECT source,
+             CAST(floor(({score_sql_expr(_w)}) * 1e6) AS BIGINT) + {DOREMI_OFFSET} AS m
+      FROM r),
+d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(m) AS BIGINT) AS sm FROM s GROUP BY source),
+{",".join(_dw_ctes)}
+SELECT source, n_docs, mean - {DOREMI_OFFSET} AS mean_score_micro,
+       CAST(w * {DOREMI_SCALE} // (SELECT CAST(sum(w) AS BIGINT) FROM {_dw_last}) AS BIGINT)
+         AS weight_micro
+FROM {_dw_last}"""
+
     # keyed PII pseudonymization: the planted emails + DuckDB's own
     # regexp split/extract and md5 rebuilding the interleaved text —
     # pseudonym stability (same entity → same token across docs) is

@@ -9030,6 +9030,102 @@ def q_citation_density(sf_dir: str):
     return ds.map_batches(cite, batch_format="pyarrow")
 
 
+# --- DoReMi-style domain reweighting ----------------------------------------
+
+DOREMI_ROUNDS = 4
+DOREMI_CLIP_MICRO = 200_000  # per-round multiplicative step clipped to ±0.2
+DOREMI_SCALE = 1_000_000
+# added to every per-doc micro score so every sum/mean/division operand
+# stays positive (DuckDB // truncates, Python // floors — they agree on
+# positives); the offset cancels exactly in the signal (a difference of
+# means) and is subtracted back out of the reported mean (n·OFF is
+# divisible by n, so floor((sum+n·OFF)/n) − OFF = floor(sum/n))
+DOREMI_OFFSET = 8_000_000
+
+
+def q_domain_reweight(sf_dir: str):
+    """Multiplicative-weights domain reweighting — the DoReMi (Xie et
+    al. 2023) mixing machinery on a SQL-checkable signal: per source
+    domain, ``DOREMI_ROUNDS`` rounds of ``w ← w·(1 + clip(signal))``
+    where ``signal`` is the domain's mean quality score minus the
+    CURRENT weighted corpus mean, so above-average domains tilt up and
+    the fixed point re-centers each round (DoReMi's proxy-model excess
+    loss is replaced by the learned quality score — the iteration,
+    clipping and normalization are the same shape).  All arithmetic is
+    exact integer micro units: every division has positive operands
+    (eta is folded into the clip bound) because DuckDB's ``//``
+    truncates while Python floors — positives make them agree.
+
+    Scale shape: ONE bounded exchange — a per-batch (source, n, sum)
+    combiner then a sources-sized groupby — and a driver loop over the
+    ~20-row domain table (constant work, the PCA-finisher idiom); no
+    row-level data moves.  TRUE SQL oracle: the rounds unroll into
+    generated chained CTEs over the same aggregate."""
+    from textpipe_ray.functions.quality_score import load_weights
+
+    weights = load_weights()
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        micro = _quality_micro(batch, weights) + DOREMI_OFFSET
+        assert micro.size == 0 or int(micro.min()) > 0, "DOREMI_OFFSET too small"
+        src = np.asarray(
+            pc.fill_null(pc.cast(batch.column("source"), pa.string()), "").to_pylist(),
+            dtype=object,
+        )
+        out_s, out_n, out_m = [], [], []
+        for s in np.unique(src):
+            m = src == s
+            out_s.append(str(s))
+            out_n.append(int(m.sum()))
+            out_m.append(int(micro[m].sum()))
+        return pa.table(
+            {
+                "source": pa.array(out_s, pa.string()),
+                "n_docs": pa.array(out_n, _I64),
+                "sum_micro": pa.array(out_m, _I64),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_micro", alias_name="sum_micro"),
+        )
+        .to_pandas()  # sources-sized (~20 rows) — bounded driver collect
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    srcs = agg["source"].tolist()
+    n_docs = [int(v) for v in agg["n_docs"]]
+    means_off = [int(s) // int(n) for s, n in zip(agg["sum_micro"], agg["n_docs"])]
+    w = [DOREMI_SCALE] * len(srcs)  # python ints: exact, unbounded
+    for _ in range(DOREMI_ROUNDS):
+        gm = sum(wi * mi for wi, mi in zip(w, means_off)) // sum(w)
+        w = [
+            wi
+            * (
+                DOREMI_SCALE
+                + max(-DOREMI_CLIP_MICRO, min(DOREMI_CLIP_MICRO, mi - gm))
+            )
+            // DOREMI_SCALE
+            for wi, mi in zip(w, means_off)
+        ]
+    tot = sum(w)
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "n_docs": pa.array(n_docs, _I64),
+            "mean_score_micro": pa.array(
+                [m - DOREMI_OFFSET for m in means_off], _I64
+            ),
+            "weight_micro": pa.array([wi * DOREMI_SCALE // tot for wi in w], _I64),
+        }
+    )
+
+
 # --- PII pseudonymization ---------------------------------------------------
 
 PSEUDO_MOD = 4  # doc_id % 4 == 0 rows get the email plant
