@@ -63,6 +63,7 @@ GOLDEN_QUERIES = [
     "q_doc_vectors",
     "q_bloom_dedup",
     "q_bpe_train",
+    "q_unigram_lm",
     "q_semdedup",
     "q_classifier_train",
     "q_substring_dedup",

@@ -5324,18 +5324,13 @@ BPE_NUM_MERGES = 48
 BPE_TOP_WORDS = 10_000  # merge-table training vocabulary cap (bounded driver work)
 
 
-def _bpe_word_types(sf_dir: str):
-    """Shared trainer front half for :func:`q_bpe_train` and
-    :func:`q_vocab_coverage` — the two MUST stay in lockstep (same token
-    regex, same lowering, same (count desc, word asc) tie-break, same
-    merge count) or the coverage QA stops measuring the tokenizer the
-    trainer actually produces.  Returns ``(types, ranks_ref, creg)``:
-    the materialized word-type count table (types-sized, reusable for
-    encode passes), the broadcast merge-rank dict learned from its top
-    ``BPE_TOP_WORDS`` types, and the compiled word regex."""
+def _word_types(sf_dir: str):
+    """Distributed word-TYPE count table — the combiner-bounded
+    exchange (distinct types × blocks, never token instances) shared by
+    the BPE and unigram tokenizer trainers.  Returns ``(types, creg)``:
+    the materialized (word, n) Dataset and the compiled word regex."""
     import regex as _re
 
-    from textpipe_ray.functions.bpe import learn_bpe
     from textpipe_ray.functions.quality import RE2_PATTERNS
 
     creg = _re.compile(RE2_PATTERNS["nwords"])
@@ -5361,6 +5356,21 @@ def _bpe_word_types(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"))
         .materialize()  # types-sized; reused for learn + encode passes
     )
+    return types, creg
+
+
+def _bpe_word_types(sf_dir: str):
+    """Shared trainer front half for :func:`q_bpe_train` and
+    :func:`q_vocab_coverage` — the two MUST stay in lockstep (same token
+    regex, same lowering, same (count desc, word asc) tie-break, same
+    merge count) or the coverage QA stops measuring the tokenizer the
+    trainer actually produces.  Returns ``(types, ranks_ref, creg)``:
+    the materialized word-type count table (types-sized, reusable for
+    encode passes), the broadcast merge-rank dict learned from its top
+    ``BPE_TOP_WORDS`` types, and the compiled word regex."""
+    from textpipe_ray.functions.bpe import learn_bpe
+
+    types, creg = _word_types(sf_dir)
     top = types.sort(["n", "word"], descending=[True, False]).limit(BPE_TOP_WORDS).take_all()
     merges = learn_bpe([(r["word"], r["n"]) for r in top], BPE_NUM_MERGES)
     ranks_ref = ray.put({p: i for i, p in enumerate(merges)})
@@ -9028,6 +9038,84 @@ def q_citation_density(sf_dir: str):
         )
 
     return ds.map_batches(cite, batch_format="pyarrow")
+
+
+# --- unigram-LM tokenizer training ------------------------------------------
+
+UNIGRAM_TOP_WORDS = 2000  # EM training vocabulary cap (bounded driver work)
+UNIGRAM_MAX_PIECE = 6
+UNIGRAM_SEED = 1200
+UNIGRAM_V = 800
+UNIGRAM_ITERS = 3
+
+
+def q_unigram_lm(sf_dir: str):
+    """Unigram-LM tokenizer training (Kudo 2018 — the SentencePiece
+    unigram model) + corpus apply: the second member of the tokenizer
+    family, trained on the SAME distributed word-type table as the BPE
+    trainer (shared ``_word_types`` front half, so the two tokenizers
+    are directly comparable on identical counts).  Per document the
+    output is whitespace words, unigram pieces under the learned vocab
+    and UNK fallbacks — the fertility/coverage signal a tokenizer bake-
+    off reads.
+
+    Physical plan (the q_bpe_train shape): (1) combiner-bounded
+    word-type exchange — distinct types × blocks, never token
+    instances; (2) Viterbi-EM on the driver over the top
+    ``UNIGRAM_TOP_WORDS`` types (functions/unigram.py: integer expected
+    counts, deterministic tie-breaks — constant work); (3) the piece
+    log-prob table broadcasts once (``ray.put``) and every batch
+    encodes row-locally with a per-batch distinct-word cache.  Golden
+    oracle (EM training is not SQL-expressible) + single-process
+    reference equality test."""
+    from textpipe_ray.functions.unigram import em_train, viterbi_pieces
+
+    types, creg = _word_types(sf_dir)
+    top = (
+        types.sort(["n", "word"], descending=[True, False])
+        .limit(UNIGRAM_TOP_WORDS)
+        .take_all()
+    )
+    logp = em_train(
+        [(r["word"], r["n"]) for r in top],
+        UNIGRAM_MAX_PIECE,
+        UNIGRAM_SEED,
+        UNIGRAM_V,
+        UNIGRAM_ITERS,
+    )
+    logp_ref = ray.put(logp)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        lp = ray.get(logp_ref)
+        cache: dict[str, tuple[int, int]] = {}
+        n_words, n_pieces, n_unk = [], [], []
+        for t in pc.utf8_lower(batch.column("text")).to_pylist():
+            ws = creg.findall(t or "")
+            tot_p = tot_u = 0
+            for w in ws:
+                v = cache.get(w)
+                if v is None:
+                    pieces = viterbi_pieces(w, lp, UNIGRAM_MAX_PIECE)
+                    v = cache[w] = (
+                        len(pieces),
+                        sum(1 for p in pieces if p not in lp),
+                    )
+                tot_p += v[0]
+                tot_u += v[1]
+            n_words.append(len(ws))
+            n_pieces.append(tot_p)
+            n_unk.append(tot_u)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), _I64),
+                "n_words": pa.array(n_words, _I64),
+                "n_pieces": pa.array(n_pieces, _I64),
+                "n_unk": pa.array(n_unk, _I64),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
 
 
 # --- DoReMi-style domain reweighting ----------------------------------------
