@@ -31,7 +31,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered by verification priority: the driver value-checks the
     # FIRST ~50 entries each round.  ROTATION POLICY (round-3 advice):
     # never-driver-checked queries outrank everything, then queries
-    # whose code changed this round, then staleness.  With 120 queries
+    # whose code changed this round, then staleness.  With 124 queries
     # and a ~50 window not every signal can be ≤1 round old; the front
     # holds (a) all 40 queries NEW in round 4 (never driver-checked:
     # q_robots_filter, q_nfc_normalize, q_dup_clusters …

@@ -118,6 +118,10 @@ BENCH_QUERIES = [
     "q_markup_density",
     "q_token_fertility",
     "q_citation_density",
+    "q_kmeans",
+    "q_pseudonymize",
+    "q_domain_reweight",
+    "q_unigram_lm",
 ]
 
 
