@@ -33,7 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # never-driver-checked queries outrank everything, then queries
     # whose code changed this round, then staleness.  With 124 queries
     # and a ~50 window not every signal can be ≤1 round old; the front
-    # holds (a) all 40 queries NEW in round 4 (never driver-checked:
+    # holds (a) all 44 queries NEW in round 4 (never driver-checked:
     # q_robots_filter, q_nfc_normalize, q_dup_clusters …
     # q_compress_ratio, the
     # layout/lifecycle family, OLAP/CDC/entropy additions) and (b) the

@@ -9156,7 +9156,10 @@ def q_domain_reweight(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         micro = _quality_micro(batch, weights) + DOREMI_OFFSET
-        assert micro.size == 0 or int(micro.min()) > 0, "DOREMI_OFFSET too small"
+        if micro.size and int(micro.min()) <= 0:
+            # survives python -O: a non-positive operand would silently
+            # break the floor-vs-truncate division parity with DuckDB
+            raise ValueError("DOREMI_OFFSET too small for this score range")
         src = np.asarray(
             pc.fill_null(pc.cast(batch.column("source"), pa.string()), "").to_pylist(),
             dtype=object,
@@ -9187,6 +9190,15 @@ def q_domain_reweight(sf_dir: str):
         .reset_index(drop=True)
     )
     srcs = agg["source"].tolist()
+    if not srcs:  # empty corpus: match the oracle's empty result
+        return pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n_docs": pa.array([], _I64),
+                "mean_score_micro": pa.array([], _I64),
+                "weight_micro": pa.array([], _I64),
+            }
+        )
     n_docs = [int(v) for v in agg["n_docs"]]
     means_off = [int(s) // int(n) for s, n in zip(agg["sum_micro"], agg["n_docs"])]
     w = [DOREMI_SCALE] * len(srcs)  # python ints: exact, unbounded
@@ -9217,7 +9229,13 @@ def q_domain_reweight(sf_dir: str):
 # --- PII pseudonymization ---------------------------------------------------
 
 PSEUDO_MOD = 4  # doc_id % 4 == 0 rows get the email plant
-PSEUDO_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# the email pattern comes from the COMMITTED scrub ruleset so
+# q_pseudonymize stays "q_scrub with stable tokens" — the two can't
+# silently diverge on what counts as an email (both the engine kernel
+# and the generated SQL oracle read this one constant)
+PSEUDO_EMAIL_RE = next(
+    r["pattern"] for r in load_rules()["rules"] if r["name"] == "email"
+)
 
 
 def q_pseudonymize(sf_dir: str):
@@ -9295,7 +9313,6 @@ def q_pseudonymize(sf_dir: str):
 KMEANS_K = 8
 KMEANS_ITERS = 5
 KMEANS_Q = 1_000_000  # micro fixed-point for centroid sums and distances
-_KM_DIM = 64
 
 
 def q_kmeans(sf_dir: str):
@@ -9380,7 +9397,7 @@ def q_kmeans(sf_dir: str):
         c = ray.get(cents_ref)
         x = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
         if x.size == 0:
-            x = np.zeros((0, _KM_DIM))
+            x = np.zeros((0, c.shape[1]))
         d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
         sq = np.floor(d[np.arange(len(x)), assign] * KMEANS_Q).astype(np.int64)
