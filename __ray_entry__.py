@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pseudonymize": Q.q_pseudonymize,
         "q_domain_reweight": Q.q_domain_reweight,
         "q_unigram_lm": Q.q_unigram_lm,
+        "q_k_anonymity": Q.q_k_anonymity,
+        "q_crawl_frontier": Q.q_crawl_frontier,
         "q_lang_quantile_norm": Q.q_lang_quantile_norm,
         "q_code_detect": Q.q_code_detect,
         "q_langid_eval": Q.q_langid_eval,

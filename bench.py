@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "q_pseudonymize",
     "q_domain_reweight",
     "q_unigram_lm",
+    "q_k_anonymity",
+    "q_crawl_frontier",
 ]
 
 

@@ -72,6 +72,7 @@ GOLDEN_QUERIES = [
     "q_heavy_hitters",
     "q_ann_ivf_append",
     "q_link_graph",
+    "q_crawl_frontier",
     "q_pagerank",
     "q_compress_ratio",
     "q_lsh_recall",

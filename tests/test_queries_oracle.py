@@ -37,7 +37,7 @@ def oracle_names():
     "q_bm25_layout", "q_bm25_append", "q_time_layout", "q_cdc_diff",
     "q_skew_join", "q_wet_export", "q_drift", "q_rule_ablation", "q_nfc_normalize",
     "q_lang_quantile_norm", "q_code_detect", "q_citation_density", "q_pseudonymize",
-    "q_domain_reweight",
+    "q_domain_reweight", "q_k_anonymity",
     # golden-parquet oracles (scripts/make_goldens.py)
     "q_langid", "q_kmeans", "q_langid_eval", "q_markup_density", "q_token_fertility", "q_perplexity", "q_minhash", "q_simhash", "q_simhash_neardup",
     "q_ann_ivf", "q_embedding_neardup", "q_pages_flagship", "q_pages_neardup",
@@ -48,7 +48,7 @@ def oracle_names():
     "q_para_ppl", "q_incremental_dedup", "q_distinct_sketch", "q_doc_vectors", "q_bloom_dedup", "q_bpe_train", "q_unigram_lm", "q_semdedup",
     "q_classifier_train", "q_substring_dedup", "q_snapshot_loop",
     "q_ann_ivf_layout", "q_heavy_hitters", "q_ann_ivf_append", "q_link_graph",
-    "q_pagerank", "q_compress_ratio", "q_lsh_recall", "q_vocab_coverage",
+    "q_pagerank", "q_crawl_frontier", "q_compress_ratio", "q_lsh_recall", "q_vocab_coverage",
     "q_ann_pq", "q_robots_filter",
 ])
 def test_query_matches_oracle(ray_session, name):

@@ -622,6 +622,15 @@ SELECT doc_id, n_cites, n_chars,
        n_cites >= {CITE_MIN_HITS} AS is_reference
 FROM c"""
 
+    # k-anonymity release audit: plain grouped count + threshold flag
+    from textpipe_ray.pipelines.queries import K_ANON
+
+    out["q_k_anonymity"] = f"""
+SELECT coalesce(lang, '') AS lang, coalesce(source, '') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       count(*) < {K_ANON} AS suppressed
+FROM documents GROUP BY 1, 2"""
+
     # DoReMi-style domain reweighting: the multiplicative-weights
     # rounds unroll into generated chained CTEs; every division operand
     # is positive (the engine's DOREMI_OFFSET), so DuckDB's truncating

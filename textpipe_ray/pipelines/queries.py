@@ -9040,6 +9040,250 @@ def q_citation_density(sf_dir: str):
     return ds.map_batches(cite, batch_format="pyarrow")
 
 
+# --- k-anonymity release audit ----------------------------------------------
+
+K_ANON = 10  # cells with fewer docs than this are suppressed at release
+
+
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity release audit — the privacy gate a corpus release
+    runs over its quasi-identifier cells (here ``(lang, source)``):
+    any cell with fewer than ``K_ANON`` documents is flagged
+    ``suppressed`` so the release can null or merge it, preventing
+    small-cell re-identification of contributors.  Completes the
+    privacy family next to ``q_pseudonymize`` (rewrite) and
+    ``q_pii_stats`` (incidence).
+
+    Scale shape: per-batch (lang, source, n) combiner → one
+    cells-sized groupby (exchange ≤ cells × blocks int rows) →
+    row-local flag; nothing corpus-sized moves.  TRUE SQL oracle."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "lang": pc.fill_null(
+                        pc.cast(batch.column("lang"), pa.string()), ""
+                    ).to_pylist(),
+                    "source": pc.fill_null(
+                        pc.cast(batch.column("source"), pa.string()), ""
+                    ).to_pylist(),
+                }
+            )
+            .groupby(["lang", "source"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "source": pa.array(g["source"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(dtype=np.int64), _I64),
+            }
+        )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n_docs"), dtype=np.int64)
+        return batch.append_column("suppressed", pa.array(n < K_ANON))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .map_batches(flag, batch_format="pyarrow")
+    )
+
+
+# --- crawl frontier discovery -------------------------------------------------
+
+_HOST_RE = r"^[a-z]+://([^/]+)"
+
+
+def q_crawl_frontier(sf_dir: str):
+    """Crawl-frontier discovery — the scheduling table a recurring
+    crawl derives from its own corpus: every hyperlink TARGET that is
+    NOT yet in the corpus, ranked by in-degree (how many corpus links
+    point at it) with its distinct-anchor count and whether its host is
+    already crawled (``host_pages`` — frontier urls on known hosts are
+    cheap politeness-wise; new hosts need discovery budget).
+
+    Scale shape — TWO bounded exchanges, text/HTML never move:
+      1. link extraction row-local over the pruned (url, html) read
+         with a per-batch (target, anchor, cnt) combiner (the
+         q_link_graph plan); the pair partials AND the corpus url set
+         co-partition by url hash in ONE tagged exchange, and each
+         partition locally aggregates per-target in_degree +
+         distinct-anchor count, then drops already-crawled targets
+         with a vectorized ``isin`` (the q_validate referential idiom
+         — no join operator, output is frontier-sized);
+      2. host enrichment: corpus host sizes from a per-batch combiner
+         + hosts-sized groupby, LEFT-merged onto the frontier by host
+         hash co-partition (unknown hosts keep 0).
+    Golden oracle + single-process reference parity test."""
+    import glob as _glob
+    import re as _re
+
+    import pandas as pd
+
+    pages = pages_dir_for(sf_dir)
+    files = sorted(_glob.glob(f"{pages}/pages-*.parquet"))
+    # block counts pinned: the parse read wants CPU-width parallelism,
+    # the tiny url/partial streams want FEW blocks — near-empty blocks
+    # into a Sort cost ~0.1 s each in pure scheduling (the q_pagerank
+    # measurement), which dominated this query's first draft (6.9 s)
+    ds = ray.data.read_parquet(files, columns=["url", "html"], override_num_blocks=_cpus())
+    host_re = _re.compile(_HOST_RE)
+    nparts = 16
+
+    def _parts(strs: list) -> np.ndarray:
+        return strhash_part_ids(
+            pa.array([s or "" for s in strs], pa.string()), nparts
+        ).astype(np.int32)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        targets, anchors = [], []
+        for _src, tgt, anchor in iter_page_links(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            targets.append(tgt)
+            anchors.append(anchor)
+        g = (
+            pd.DataFrame({"target": targets, "anchor": anchors})
+            .groupby(["target", "anchor"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        t = g["target"].tolist()
+        return pa.table(
+            {
+                "target": pa.array(t, pa.string()),
+                "anchor": pa.array(g["anchor"].tolist(), pa.string()),
+                "cnt": pa.array(g["cnt"].to_numpy(dtype=np.int64), _I64),
+                "__kind": pa.array(np.ones(len(g), dtype=np.int8), pa.int8()),
+                "__jp": pa.array(_parts(t), pa.int32()),
+            }
+        )
+
+    def tag_urls(batch: pa.Table) -> pa.Table:
+        u = batch.column("url").to_pylist()
+        return pa.table(
+            {
+                "target": pa.array(u, pa.string()),
+                "anchor": pa.nulls(len(u), pa.string()),
+                "cnt": pa.nulls(len(u), _I64),
+                "__kind": pa.array(np.zeros(len(u), dtype=np.int8), pa.int8()),
+                "__jp": pa.array(_parts(u), pa.int32()),
+            }
+        )
+
+    def agg_and_anti(t: pd.DataFrame) -> pd.DataFrame:
+        known = t.loc[t["__kind"] == 0, "target"].to_numpy(dtype=object)
+        cand = t[t["__kind"] == 1]
+        if len(cand) == 0:
+            return pd.DataFrame(
+                {
+                    "target": pd.Series(dtype="object"),
+                    "in_degree": pd.Series(dtype="int64"),
+                    "n_anchors": pd.Series(dtype="int64"),
+                }
+            )
+        g = cand.groupby("target", sort=False).agg(
+            in_degree=("cnt", "sum"), n_anchors=("anchor", "nunique")
+        )
+        out = g[~g.index.isin(known)].reset_index()
+        return out.astype({"in_degree": "int64", "n_anchors": "int64"})
+
+    frontier = (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .union(
+            ray.data.read_parquet(
+                files, columns=["url"], override_num_blocks=8
+            ).map_batches(tag_urls, batch_format="pyarrow")
+        )
+        .groupby("__jp")
+        .map_groups(agg_and_anti, batch_format="pandas")
+    )
+
+    # --- 3. host enrichment (LEFT merge by host hash co-partition)
+    def host_counts(batch: pa.Table) -> pa.Table:
+        hosts = [
+            (host_re.match(u or "") or [None, ""])[1]
+            for u in batch.column("url").to_pylist()
+        ]
+        uh, cnt = np.unique(np.asarray(hosts, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "host": pa.array([str(h) for h in uh], pa.string()),
+                "n": pa.array(cnt.astype(np.int64), _I64),
+            }
+        )
+
+    host_sizes = (
+        ray.data.read_parquet(files, columns=["url"], override_num_blocks=8)
+        .map_batches(host_counts, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n", alias_name="host_pages"))
+    )
+
+    def tag_frontier(batch: pa.Table) -> pa.Table:
+        t = batch.column("target").to_pylist()
+        hosts = [(host_re.match(u or "") or [None, ""])[1] for u in t]
+        return pa.table(
+            {
+                "target": pa.array(t, pa.string()),
+                "in_degree": pc.cast(batch.column("in_degree"), _I64),
+                "n_anchors": pc.cast(batch.column("n_anchors"), _I64),
+                "host": pa.array(hosts, pa.string()),
+                "host_pages": pa.nulls(len(t), _I64),
+                "__kind": pa.array(np.ones(len(t), dtype=np.int8), pa.int8()),
+                "__jp": pa.array(_parts(hosts), pa.int32()),
+            }
+        )
+
+    def tag_hosts(batch: pa.Table) -> pa.Table:
+        h = batch.column("host").to_pylist()
+        return pa.table(
+            {
+                "target": pa.nulls(len(h), pa.string()),
+                "in_degree": pa.nulls(len(h), _I64),
+                "n_anchors": pa.nulls(len(h), _I64),
+                "host": pa.array(h, pa.string()),
+                "host_pages": pc.cast(batch.column("host_pages"), _I64),
+                "__kind": pa.array(np.zeros(len(h), dtype=np.int8), pa.int8()),
+                "__jp": pa.array(_parts(h), pa.int32()),
+            }
+        )
+
+    _OUT_DTYPES = {
+        "target": "object",
+        "in_degree": "int64",
+        "n_anchors": "int64",
+        "host": "object",
+        "host_pages": "int64",
+        "host_known": "bool",
+    }
+
+    def left_merge(t: pd.DataFrame) -> pd.DataFrame:
+        lk = t[t["__kind"] == 0][["host", "host_pages"]]
+        rw = t[t["__kind"] == 1][["target", "in_degree", "n_anchors", "host"]]
+        if len(rw) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=d) for c, d in _OUT_DTYPES.items()})
+        m = rw.merge(lk, on="host", how="left", sort=False)
+        m["host_pages"] = m["host_pages"].fillna(0)
+        m["host_known"] = m["host_pages"] > 0
+        return m.astype(_OUT_DTYPES)
+
+    return (
+        frontier.map_batches(tag_frontier, batch_format="pyarrow")
+        .union(host_sizes.map_batches(tag_hosts, batch_format="pyarrow"))
+        .groupby("__jp")
+        .map_groups(left_merge, batch_format="pandas")
+    )
+
+
 # --- unigram-LM tokenizer training ------------------------------------------
 
 UNIGRAM_TOP_WORDS = 2000  # EM training vocabulary cap (bounded driver work)
