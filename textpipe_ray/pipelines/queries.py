@@ -9136,7 +9136,19 @@ def q_crawl_frontier(sf_dir: str):
     # measurement), which dominated this query's first draft (6.9 s)
     ds = ray.data.read_parquet(files, columns=["url", "html"], override_num_blocks=_cpus())
     host_re = _re.compile(_HOST_RE)
-    nparts = 16
+    # exchange partitions sized from row-count metadata, not a constant:
+    # the frontier table grows with the corpus (each page links at
+    # out-of-corpus targets), so the co-partition exchange must widen
+    # with it — floor 16 keeps small inputs off the near-empty-block
+    # Sort cost (the q_pagerank measurement), ~20k link rows/partition
+    # keeps groups fat (partition-count changes never change values:
+    # per-partition aggregation is keyed by the same hash)
+    import pyarrow.parquet as _pq
+
+    n_pages = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+    from textpipe_ray.stages.dedup import _join_partitions
+
+    nparts = int(max(16, min(_join_partitions(), n_pages // 4_000 + 1)))
 
     def _parts(strs: list) -> np.ndarray:
         return strhash_part_ids(
