@@ -6565,7 +6565,13 @@ def q_bitext_mine(sf_dir: str):
         q = np.asarray(batch.column("cos_q"), dtype=np.int64)
         return batch.filter(pa.array(q >= BITEXT_MIN_COS_Q)).drop_columns(["cos_q"])
 
-    nparts = 4
+    # the two best tables are one row per doc on each side — corpus-
+    # sized, so the mutual-agreement join must widen with the input
+    # (CPU-capped via _join_partitions; a constant would bottleneck
+    # at scale, and >CPU-slot counts deadlock small clusters)
+    from textpipe_ray.stages.dedup import _join_partitions
+
+    nparts = _join_partitions(16)
     joined = (
         ab.map_batches(thresh, batch_format="pyarrow")
         .repartition(nparts)
