@@ -88,6 +88,39 @@ def test_emoji_op():
     assert all(-1 <= e["sentiment"] <= 1 for e in out["Emojis"])
 
 
+def test_emoji_op_vectorized_matches_per_char_loop():
+    """The batched UTF-32/np.isin kernel must equal the naive per-char
+    scan on every doc — including empty docs, repeats and astral-plane
+    codepoints — and its single-codepoint-key precondition must hold."""
+    import pyarrow as pa
+
+    from textpipe_ray.data.emoji import EMOJI_TO_SENTIMENT, EMOJI_TO_UNICODE_NAME
+    from textpipe_ray.stages.ops import op_emojis
+
+    assert all(len(k) == 1 for k in EMOJI_TO_UNICODE_NAME)
+    texts = [
+        "Favorite emoji: 😁 😂!",
+        "",
+        "no emoji here",
+        "😁😁 double, then 🤐",
+        "unicode ☃ snowman",
+        "🌍" * 5,
+    ]
+    batch = pa.table({"clean": pa.array(texts, pa.string())})
+    got = op_emojis(batch, "Emojis", {}, None).column("Emojis").to_pylist()
+    want = []
+    for x in texts:
+        hits = []
+        for ch in x:
+            u = EMOJI_TO_UNICODE_NAME.get(ch)
+            if u is not None:
+                hits.append(
+                    {"emoji": ch, "name": u, "sentiment": EMOJI_TO_SENTIMENT[ch]}
+                )
+        want.append(hits)
+    assert got == want
+
+
 def test_vector_ops_invariants():
     p = Pipeline(["DocumentVector"])
     v1 = p("a b")["DocumentVector"]

@@ -40,6 +40,12 @@ from textpipe_ray.functions.tokenize import (
 )
 from textpipe_ray.data.emoji import EMOJI_TO_SENTIMENT, EMOJI_TO_UNICODE_NAME
 
+# Every CLARIN emoji key is a single codepoint (asserted in
+# tests/test_ops_registry.py); the sorted array feeds np.isin below.
+import numpy as _np
+
+_EMOJI_CPS = _np.array(sorted(ord(k) for k in EMOJI_TO_UNICODE_NAME), dtype=_np.uint32)
+
 
 @functools.lru_cache()
 def _langid_model() -> LangIdModel:
@@ -235,18 +241,35 @@ def op_minhash(batch, name, settings, hint):
 
 
 def op_emojis(batch, name, settings, hint):
+    # Vectorized over the whole batch: one UTF-32 decode → one np.isin
+    # against the 969-codepoint emoji set (every CLARIN key is a single
+    # codepoint) → per-hit gather.  Python touches only the HITS (emoji
+    # are rare), never every character — the q_char_coverage idiom.
+    import numpy as np
+
     t = pa.list_(
         pa.struct([("emoji", pa.string()), ("name", pa.string()), ("sentiment", pa.float64())])
     )
-    vals = []
-    for x in _clean_col(batch):
-        hits = []
-        for ch in x:
-            uname = EMOJI_TO_UNICODE_NAME.get(ch)
-            if uname is not None:
-                hits.append({"emoji": ch, "name": uname, "sentiment": EMOJI_TO_SENTIMENT[ch]})
-        vals.append(hits)
-    return batch.append_column(name, pa.array(vals, t))
+    texts = _clean_col(batch)
+    n = len(texts)
+    lens = np.fromiter((len(x) for x in texts), dtype=np.int64, count=n)
+    cp = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+    hit_idx = np.nonzero(np.isin(cp, _EMOJI_CPS))[0]
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    # hit_idx ascending ⇒ within-doc occurrence order is preserved
+    doc_of = np.searchsorted(offsets, hit_idx, side="right") - 1
+    structs = []
+    for i in hit_idx:
+        ch = chr(int(cp[i]))
+        structs.append(
+            {"emoji": ch, "name": EMOJI_TO_UNICODE_NAME[ch], "sentiment": EMOJI_TO_SENTIMENT[ch]}
+        )
+    counts = np.bincount(doc_of, minlength=n) if len(hit_idx) else np.zeros(n, dtype=np.int64)
+    col = pa.ListArray.from_arrays(
+        pa.array(np.concatenate(([0], np.cumsum(counts))), pa.int32()),
+        pa.array(structs, t.value_type),
+    )
+    return batch.append_column(name, col)
 
 
 def op_word_vectors(batch, name, settings, hint):
