@@ -44,6 +44,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # oracle replica
     # (tests/test_queries_oracle.py::test_query_matches_oracle, which
     # runs ALL of them against the same compare).
+    #
+    # ROUND-5 ROTATION PLAN (for the next session): once
+    # CORRECTNESS_r04 lands with green rows for the 50 below, the
+    # round-5 window should front (a) any query whose code changes in
+    # round 5, then (b) the 26-query block last driver-checked in
+    # ROUND 2 (q_native_join … q_collocations below — their signal is
+    # 3 rounds old by then), then (c) the r3-checked block, oldest
+    # first.  Keep the tail ever-green invariant enforced by
+    # test_rotation_policy.
     return {
         # --- changed or new this round (exactly 50: the full window) ---
         "q_kmeans": Q.q_kmeans,
