@@ -1625,7 +1625,8 @@ def q_pages_flagship(sf_dir: str):
     import glob as _glob
 
     pages = pages_dir_for(sf_dir)
-    ds = read_pages(sorted(_glob.glob(f"{pages}/pages-*.parquet")))
+    files = sorted(_glob.glob(f"{pages}/pages-*.parquet"))
+    ds = read_pages(files)
 
     def ts_to_us(batch: pa.Table) -> pa.Table:
         i = batch.column_names.index("warc_ts")
@@ -1633,7 +1634,11 @@ def q_pages_flagship(sf_dir: str):
             i, "warc_ts_us", pc.cast(pc.cast(batch.column("warc_ts"), pa.timestamp("us")), _I64)
         )
 
-    return build_pages_pipeline(ds).map_batches(ts_to_us, batch_format="pyarrow")
+    from textpipe_ray.pipelines.flagship import parquet_rows
+
+    return build_pages_pipeline(ds, approx_rows=parquet_rows(files)).map_batches(
+        ts_to_us, batch_format="pyarrow"
+    )
 
 
 def q_pages_neardup(sf_dir: str):
@@ -1720,9 +1725,10 @@ def q_host_stats(sf_dir: str):
     import glob as _glob
 
     pages = pages_dir_for(sf_dir)
-    ds = build_pages_pipeline(
-        read_pages(sorted(_glob.glob(f"{pages}/pages-*.parquet")))
-    )
+    from textpipe_ray.pipelines.flagship import parquet_rows
+
+    _files = sorted(_glob.glob(f"{pages}/pages-*.parquet"))
+    ds = build_pages_pipeline(read_pages(_files), approx_rows=parquet_rows(_files))
 
     def partial(batch: pa.Table) -> pa.Table:
         host = pc.extract_regex(batch.column("url"), r"^[a-z]+://(?P<host>[^/]+)")
@@ -3281,11 +3287,16 @@ def q_corpus_release(sf_dir: str):
     import pandas as pd
 
     from textpipe_ray.functions.strhash import md5_hex
-    from textpipe_ray.pipelines.flagship import build_pages_pipeline, read_pages
+    from textpipe_ray.pipelines.flagship import (
+        build_pages_pipeline,
+        parquet_rows,
+        read_pages,
+    )
     from textpipe_ray.stages.dedup import dedup_exact
 
     pages = pages_dir_for(sf_dir)
-    ds = read_pages(sorted(_glob.glob(f"{pages}/pages-*.parquet")))
+    _files = sorted(_glob.glob(f"{pages}/pages-*.parquet"))
+    ds = read_pages(_files)
 
     block_ref = ray.put(load_url_blocklist())
 
@@ -3294,7 +3305,10 @@ def q_corpus_release(sf_dir: str):
         _, blocked_host, blocked_pat = url_block_parts(batch, bh, pat)
         return batch.filter(pa.array(~(blocked_host | blocked_pat)))
 
-    scored = build_pages_pipeline(ds.map_batches(url_keep, batch_format="pyarrow"))
+    scored = build_pages_pipeline(
+        ds.map_batches(url_keep, batch_format="pyarrow"),
+        approx_rows=parquet_rows(_files),
+    )
 
     def kept_keys(batch: pa.Table) -> pa.Table:
         # batched md5 over the Arrow buffers (functions/strhash.md5_hex

@@ -106,6 +106,10 @@ def run_pages_job(
         ds = read_pages(wave_files, include_paths=True).map_batches(
             tag, batch_format="pyarrow"
         )
+        if "approx_rows" not in pipeline_kwargs:
+            from textpipe_ray.pipelines.flagship import parquet_rows
+
+            pipeline_kwargs = dict(pipeline_kwargs, approx_rows=parquet_rows(wave_files))
         ds = build_pages_pipeline(
             ds, hint_language=hint_language, thresholds=thresholds, **pipeline_kwargs
         )
