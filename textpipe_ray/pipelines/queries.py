@@ -6580,12 +6580,15 @@ def q_bitext_mine(sf_dir: str):
         return batch.filter(pa.array(q >= BITEXT_MIN_COS_Q)).drop_columns(["cos_q"])
 
     # the two best tables are one row per doc on each side — corpus-
-    # sized, so the mutual-agreement join must widen with the input
-    # (CPU-capped via _join_partitions; a constant would bottleneck
-    # at scale, and >CPU-slot counts deadlock small clusters)
+    # sized, so the mutual-agreement join widens with the input
+    # (~50k rows/partition from parquet metadata), under the
+    # CPU-proportional _join_partitions cap (>CPU-slot join partition
+    # counts deadlock small clusters)
+    from textpipe_ray.pipelines.flagship import parquet_rows
     from textpipe_ray.stages.dedup import _join_partitions
 
-    nparts = _join_partitions(16)
+    n_vecs = parquet_rows([f"{sf_dir}/embeddings.parquet"])
+    nparts = max(2, min(_join_partitions(64), n_vecs // 50_000 + 1))
     joined = (
         ab.map_batches(thresh, batch_format="pyarrow")
         .repartition(nparts)
@@ -6858,9 +6861,9 @@ def q_pagerank(sf_dir: str):
     # partitions sized from row-count metadata (edges ~5x pages): small
     # graphs must not pay per-round scheduling on dozens of near-empty
     # partitions (the q_dup_clusters lesson)
-    import pyarrow.parquet as _pq
+    from textpipe_ray.pipelines.flagship import parquet_rows
 
-    n_pages = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+    n_pages = parquet_rows(files)
     # per-exchange parallelism = number of __p groups: floor at CPU
     # count (tiny graphs must still use the box), cap by edge volume
     # (~5 edges/page, ~25k edge rows per partition keeps groups fat)
@@ -9159,16 +9162,17 @@ def q_crawl_frontier(sf_dir: str):
     # exchange partitions sized from row-count metadata, not a constant:
     # the frontier table grows with the corpus (each page links at
     # out-of-corpus targets), so the co-partition exchange must widen
-    # with it — floor 16 keeps small inputs off the near-empty-block
-    # Sort cost (the q_pagerank measurement), ~20k link rows/partition
-    # keeps groups fat (partition-count changes never change values:
-    # per-partition aggregation is keyed by the same hash)
-    import pyarrow.parquet as _pq
-
-    n_pages = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+    # with it: target ~4k link rows/partition, floor 16 against
+    # near-empty-block Sort cost (the q_pagerank measurement), all
+    # under the CPU-proportional _join_partitions cap — which binds on
+    # SMALL clusters too (the cap wraps the floor, not vice versa).
+    # Partition-count changes never change values: per-partition
+    # aggregation is keyed by the same hash.
+    from textpipe_ray.pipelines.flagship import parquet_rows
     from textpipe_ray.stages.dedup import _join_partitions
 
-    nparts = int(max(16, min(_join_partitions(), n_pages // 4_000 + 1)))
+    n_pages = parquet_rows(files)
+    nparts = int(min(_join_partitions(64), max(16, n_pages // 4_000 + 1)))
 
     def _parts(strs: list) -> np.ndarray:
         return strhash_part_ids(

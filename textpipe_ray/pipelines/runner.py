@@ -106,12 +106,15 @@ def run_pages_job(
         ds = read_pages(wave_files, include_paths=True).map_batches(
             tag, batch_format="pyarrow"
         )
-        if "approx_rows" not in pipeline_kwargs:
+        # per-WAVE batch sizing (a local, not a pipeline_kwargs mutation:
+        # that would freeze wave 1's row count into every later wave)
+        wave_kwargs = pipeline_kwargs
+        if "approx_rows" not in wave_kwargs:
             from textpipe_ray.pipelines.flagship import parquet_rows
 
-            pipeline_kwargs = dict(pipeline_kwargs, approx_rows=parquet_rows(wave_files))
+            wave_kwargs = dict(wave_kwargs, approx_rows=parquet_rows(wave_files))
         ds = build_pages_pipeline(
-            ds, hint_language=hint_language, thresholds=thresholds, **pipeline_kwargs
+            ds, hint_language=hint_language, thresholds=thresholds, **wave_kwargs
         )
         if run_tmp.exists():  # stale crash debris
             shutil.rmtree(run_tmp)

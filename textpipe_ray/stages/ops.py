@@ -253,7 +253,12 @@ def op_emojis(batch, name, settings, hint):
     texts = _clean_col(batch)
     n = len(texts)
     lens = np.fromiter((len(x) for x in texts), dtype=np.int64, count=n)
-    cp = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+    # surrogatepass for parity with the langid/perplexity UTF-32
+    # kernels; unreachable via Arrow columns (Arrow strings are valid
+    # UTF-8) but _clean_col may someday feed python-path strings
+    cp = np.frombuffer(
+        "".join(texts).encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+    )
     hit_idx = np.nonzero(np.isin(cp, _EMOJI_CPS))[0]
     offsets = np.concatenate(([0], np.cumsum(lens)))
     # hit_idx ascending ⇒ within-doc occurrence order is preserved
