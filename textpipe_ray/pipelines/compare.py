@@ -48,10 +48,22 @@ def compare(ray_result, oracle_df: pd.DataFrame) -> dict:
         "cols": (list(a.columns), list(b.columns)),
         "cols_match": list(a.columns) == list(b.columns),
     }
+    # The driver's value-hash is TYPE-sensitive (int64 84 vs float 84.0
+    # hash differently) while assert_frame_equal(check_dtype=False) is
+    # not — flag int-vs-float splits so the local sweep catches what
+    # bit the driver in round 4 (q_repetition_rules: DuckDB sum() →
+    # HUGEINT → float64 vs engine int64)
+    out["dtype_flags"] = [
+        f"{c}: engine={a[c].dtype} oracle={b[c].dtype}"
+        for c in a.columns
+        if c in b.columns and {a[c].dtype.kind, b[c].dtype.kind} in ({"i", "f"}, {"u", "f"})
+    ]
     if out["rows_match"] and out["cols_match"]:
         try:
             pd.testing.assert_frame_equal(a, b, check_exact=True, check_dtype=False)
-            out["values_match"] = True
+            out["values_match"] = not out["dtype_flags"]
+            if out["dtype_flags"]:
+                out["error"] = f"int-vs-float dtype split: {out['dtype_flags']}"
         except AssertionError as e:
             out["values_match"] = False
             out["error"] = str(e)[:2000]

@@ -1069,7 +1069,7 @@ m AS (
     coalesce(t2.c, 0) * 1000 // greatest(w.wchars, 1) AS top2_milli,
     coalesce(t3.c, 0) * 1000 // greatest(w.wchars, 1) AS top3_milli,
     coalesce(t4.c, 0) * 1000 // greatest(w.wchars, 1) AS top4_milli,
-    coalesce(d2.dup, 0) * 1000 // greatest(coalesce(d2.inst, 0), 1) AS dup2_milli
+    CAST(coalesce(d2.dup, 0) * 1000 // greatest(coalesce(d2.inst, 0), 1) AS BIGINT) AS dup2_milli
   FROM w LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
          LEFT JOIN t4 USING (doc_id) LEFT JOIN d2 USING (doc_id)
 ),
