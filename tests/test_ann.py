@@ -461,3 +461,86 @@ def test_pq_rejects_oversized_codebook():
 
     with pytest.raises(ValueError, match="256"):
         train_pq(np.random.RandomState(0).standard_normal((400, 16)), 4, 512)
+
+
+def test_refine_hot_cells_bounds_planted_skew(ray_session):
+    """The SemDeDup skew hole: a planted diverse mega-cell (1500 rows
+    vs cap=256) must be recursively split BEFORE the groupby so no
+    single map_groups task is O(mega²).  Asserts the per-cell pair
+    bound, row conservation, and run-to-run determinism."""
+    import pyarrow as pa
+
+    import ray
+    import ray.data
+    from textpipe_ray.stages.ann import assign_cells, refine_hot_cells
+
+    rng = np.random.RandomState(7)
+    small = rng.randn(50, 8) + 100.0
+    mega = rng.randn(1500, 8) * 5.0 - 100.0  # diverse blob → one cell
+    vecs = np.vstack([small, mega])
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(6)
+    cents = np.array([[100.0] * 8, [-100.0] * 8])
+    cap = 256
+
+    refined = refine_hot_cells(
+        assign_cells(ds, ray.put(cents)), cap=cap, sub_sample=128, seed=3
+    )
+    counts = [int(r["count()"]) for r in refined.groupby("cell").count().take_all()]
+    assert sum(counts) == len(vecs)  # no rows lost or duplicated
+    # bounded per-cell pair count: max m² is ~cap², not 1500²
+    assert max(counts) <= cap
+    assert sum(c * c for c in counts) < 1500 * 1500 // 4
+
+    # deterministic end-to-end (hash sampling + seeded k-means)
+    again = refine_hot_cells(
+        assign_cells(ds, ray.put(cents)), cap=cap, sub_sample=128, seed=3
+    )
+    m1 = sorted(
+        (r["vec_id"], r["cell"])
+        for r in refined.select_columns(["vec_id", "cell"]).take_all()
+    )
+    m2 = sorted(
+        (r["vec_id"], r["cell"])
+        for r in again.select_columns(["vec_id", "cell"]).take_all()
+    )
+    assert m1 == m2
+
+
+def test_refine_hot_cells_identity_when_balanced(ray_session):
+    """No hot cells → cell ids pass through untouched (golden outputs
+    at test scale stay byte-identical)."""
+    import pyarrow as pa
+
+    import ray
+    import ray.data
+    from textpipe_ray.stages.ann import assign_cells, refine_hot_cells
+
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((120, 8))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(120), pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(3)
+    cents = rng.standard_normal((8, 8))
+    base = assign_cells(ds, ray.put(cents))
+    refined = refine_hot_cells(base, cap=256)
+    a = sorted(
+        (r["vec_id"], r["cell"])
+        for r in base.select_columns(["vec_id", "cell"]).take_all()
+    )
+    b = sorted(
+        (r["vec_id"], r["cell"])
+        for r in refined.select_columns(["vec_id", "cell"]).take_all()
+    )
+    assert a == b

@@ -1501,6 +1501,7 @@ def q_embedding_neardup(sf_dir: str):
 SEMDEDUP_K = 16  # clusters; scales with the corpus (SemDeDup used ~10^5)
 SEMDEDUP_COS_Q = int(0.92 * 1e9)  # quantized within-cluster cosine threshold
 SEMDEDUP_CHUNK = 2048  # cosine-block edge: memory ≤ CHUNK² doubles per task
+SEMDEDUP_CELL_CAP = 4096  # max rows per cell before recursive sub-split
 
 
 def q_semdedup(sf_dir: str):
@@ -1513,19 +1514,30 @@ def q_semdedup(sf_dir: str):
 
     Physical plan: centroids fit on the hash-uniform bounded sample
     (stages/ann._uniform_sample — survives cluster-sorted corpora) and
-    broadcast once; assignment is one row-local pass; the ONLY exchange
-    is the ``groupby(cell)``, which turns the O(n²) all-pairs
-    comparison into K independent O((n/K)²) in-task jobs.  Partitioning
-    assumption (documented SemDeDup failure mode): cluster sizes stay
-    ~n/K — K must scale with the corpus to bound the quadratic
-    within-cluster COMPUTE; a skewed mega-cluster is memory-safe
-    regardless (the greedy verify evaluates cosine in
+    broadcast once; assignment is one row-local pass; the ONLY
+    corpus-sized exchange is the ``groupby(cell)``, which turns the
+    O(n²) all-pairs comparison into per-cell O(m²) in-task jobs.  The
+    classic SemDeDup failure mode — one skewed mega-cluster making a
+    single task quadratic — is closed by
+    :func:`stages.ann.refine_hot_cells`: any cell over
+    ``SEMDEDUP_CELL_CAP`` rows is recursively re-clustered into
+    sub-cells BEFORE the shuffle, so per-task work is bounded at
+    ~cap² regardless of corpus skew (sub-split is semantic k-means, so
+    near-dup neighbourhoods stay co-located; the
+    identical-vector blob it cannot split is exactly the case where
+    the chunked greedy is linear, not quadratic).  Mega-cells are
+    additionally memory-safe (the greedy verify evaluates cosine in
     ``SEMDEDUP_CHUNK``-square blocks against the kept set, never an
     n×n matrix).  Golden-oracle value-checked (k-means is not
     SQL-expressible)."""
     import pandas as pd
 
-    from textpipe_ray.stages.ann import _kmeans, _uniform_sample, assign_cells
+    from textpipe_ray.stages.ann import (
+        _kmeans,
+        _uniform_sample,
+        assign_cells,
+        refine_hot_cells,
+    )
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     # materialized because BOTH the centroid sample and the assignment
@@ -1582,11 +1594,10 @@ def q_semdedup(sf_dir: str):
             }
         )
 
-    return (
-        assign_cells(emb, ray.put(cents))
-        .groupby("cell")
-        .map_groups(dedup_cluster, batch_format="pandas")
+    assigned = refine_hot_cells(
+        assign_cells(emb, ray.put(cents)), cap=SEMDEDUP_CELL_CAP
     )
+    return assigned.groupby("cell").map_groups(dedup_cluster, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

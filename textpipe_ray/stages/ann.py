@@ -258,6 +258,126 @@ def assign_cells(
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def refine_hot_cells(
+    assigned: "ray.data.Dataset",
+    cap: int,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    sub_sample: int = 512,
+    subk_max: int = 16,
+    max_depth: int = 4,
+    seed: int = 13,
+) -> "ray.data.Dataset":
+    """Recursive DISTRIBUTED cell split: any cell holding more than
+    ``cap`` rows is re-clustered into sub-cells so that no single
+    ``groupby("cell")`` task ever receives a mega-cluster (the
+    documented SemDeDup failure mode: one skewed cell makes one task
+    O(m²) while 100 TB streams past it).
+
+    Per depth (≤ ``max_depth``):
+
+    1. per-cell counts — ONE small exchange, ≤ #cells rows to the
+       driver;
+    2. hash-uniform sample of each hot cell's members (expected
+       ``2·sub_sample`` rows/cell via a per-cell id-hash threshold;
+       driver holds ≤ #hot_cells · 2·sub_sample rows, and #hot_cells ≤
+       n/cap by definition);
+    3. per-cell sub-k-means fit on the driver (milliseconds — the
+       sample is bounded), ``subk = min(subk_max, ceil(count/cap))``,
+       centroids shipped ONCE via ``ray.put``;
+    4. row-local injective remap: every cell id becomes
+       ``cell·(subk_max+1)``, and hot-cell rows add ``1 + subcell`` —
+       no two old cells can collide and cold cells keep their grouping.
+
+    Splitting is semantic (k-means on the cell's own geometry), so
+    near-duplicate neighbourhoods stay co-located — the recall argument
+    is the same one SemDeDup itself makes for clustering in the first
+    place.  Residual: a cell of near-IDENTICAL vectors cannot be split
+    by any geometric method — but that case is exactly where the
+    chunked greedy is CHEAP (the first kept row blocks everything, so
+    verification is O(m·chunk), not O(m²)); the expensive diverse-blob
+    case is the one k-means can split.  Deterministic end-to-end:
+    hash-threshold sampling, id-sorted fit matrices, seeded k-means
+    (seed varies per depth so a failed split retries differently)."""
+    for depth in range(max_depth):
+        counts = {
+            int(r["cell"]): int(r["count()"])
+            for r in assigned.groupby("cell").count().take_all()
+        }
+        hot = {c: n for c, n in counts.items() if n > cap}
+        if not hot:
+            break
+        hot_ids = np.array(sorted(hot), dtype=np.int64)
+        hot_thresh = np.array(
+            [
+                min(2**64 - 1, int(2**64 * min(1.0, 2.0 * sub_sample / hot[int(c)])))
+                for c in hot_ids
+            ],
+            dtype=np.uint64,
+        )
+
+        # loop-iteration state is bound through DEFAULT ARGS, not free
+        # closure variables: the remap stage is lazy, so a depth-0
+        # closure reading rebound loop variables would silently use
+        # depth-1's centroids when the chain executes later
+        def samp(
+            batch: pa.Table, hot_ids=hot_ids, hot_thresh=hot_thresh
+        ) -> pa.Table:
+            if len(batch) == 0:
+                return batch.select([id_col, embedding_col, "cell"])
+            cells = np.asarray(batch.column("cell"), dtype=np.int64)
+            pos = np.searchsorted(hot_ids, cells)
+            pos_c = np.clip(pos, 0, len(hot_ids) - 1)
+            lim = np.where(hot_ids[pos_c] == cells, hot_thresh[pos_c], np.uint64(0))
+            ids = np.asarray(batch.column(id_col), dtype=np.int64)
+            keep = _id_hash(ids) < lim
+            return batch.select([id_col, embedding_col, "cell"]).filter(pa.array(keep))
+
+        sample_rows = assigned.map_batches(samp, batch_format="pyarrow").take_all()
+        by_cell: dict[int, list] = {}
+        for r in sample_rows:
+            by_cell.setdefault(int(r["cell"]), []).append(r)
+        subcents: dict[int, np.ndarray] = {}
+        for c, n in hot.items():
+            rows = by_cell.get(c, [])
+            rows.sort(key=lambda r: r[id_col])
+            if len(rows) < 2:
+                continue  # unsplittable this depth (tiny sample)
+            mat = np.array([r[embedding_col] for r in rows], dtype=np.float64)
+            subk = min(subk_max, max(2, -(-n // cap)), len(mat))
+            subcents[c] = _kmeans(mat, subk, iters=8, seed=seed + depth)
+        if not subcents:
+            break
+        sub_ref = ray.put(subcents)
+        mult = np.int64(subk_max + 1)
+
+        def remap(batch: pa.Table, sub_ref=sub_ref, mult=mult) -> pa.Table:
+            if len(batch) == 0:
+                return batch
+            sc = ray.get(sub_ref)
+            cells = np.asarray(batch.column("cell"), dtype=np.int64) * mult
+            emb = None
+            for c, cents_ in sc.items():
+                mask = cells == c * mult
+                if not mask.any():
+                    continue
+                if emb is None:
+                    emb = np.array(
+                        batch.column(embedding_col).to_pylist(), dtype=np.float64
+                    )
+                cells[mask] += 1 + _nearest_cell(emb[mask], cents_)
+            return batch.set_column(
+                batch.schema.get_field_index("cell"), "cell", pa.array(cells, pa.int64())
+            )
+
+        # materialize per depth: the count + sample passes above would
+        # otherwise re-execute every earlier remap stage each iteration
+        # (object-store blocks, spillable; depth >0 only occurs under
+        # actual skew)
+        assigned = assigned.map_batches(remap, batch_format="pyarrow").materialize()
+    return assigned
+
+
 def write_ivf_layout(
     ds: "ray.data.Dataset",
     path: str,
