@@ -1,0 +1,95 @@
+"""Per-ranker keyterm contracts: real YAKE (Campos et al. 2020) vs the
+textrank default; stand-in warning for sgrank/scake; reference error
+shape (/root/reference/textpipe/doc.py:405-439)."""
+
+import warnings
+
+import pytest
+
+from textpipe_ray.functions.keyterms import RANKERS, extract_keyterms
+
+DOC = (
+    "Amsterdam is the awesome capital of the Netherlands. "
+    "The capital hosts the national museum. "
+    "Machine learning systems process text data. "
+    "Text data pipelines need deduplication and machine learning quality filters. "
+    "YAKE extracts keywords using statistical features. "
+    "Statistical features include casing and position."
+)
+
+
+def test_yake_scores_ascending_lower_is_better():
+    out = extract_keyterms(DOC, "en", "yake", 8)
+    assert out, "non-empty doc must yield terms"
+    scores = [s for _, s in out]
+    assert scores == sorted(scores)
+    assert all(s > 0 for s in scores)
+
+
+def test_yake_differs_from_textrank():
+    y = extract_keyterms(DOC, "en", "yake", 6)
+    t = extract_keyterms(DOC, "en", "textrank", 6)
+    assert [k for k, _ in y] != [k for k, _ in t]
+    # both find multiword terms
+    assert any(" " in k for k, _ in y)
+    assert any(" " in k for k, _ in t)
+
+
+def test_yake_casing_feature_boosts_acronyms():
+    """TCase: an all-caps acronym outranks an equally frequent
+    all-lowercase word of the same positions."""
+    doc = (
+        "The NASA mission studied rocks. The varied mission found NASA "
+        "telemetry. Engineers sent varied data through NASA relays while "
+        "varied sensors logged readings."
+    )
+    out = dict(extract_keyterms(doc, "en", "yake", 20))
+    assert out["nasa"] < out["varied"]  # lower = better
+
+
+def test_yake_no_stopword_edges():
+    out = extract_keyterms(DOC, "en", "yake", 20)
+    from textpipe_ray.data.seed_corpora import STOPWORDS
+
+    stop = set(STOPWORDS["en"])
+    for term, _ in out:
+        words = term.split(" ")
+        assert words[0] not in stop and words[-1] not in stop
+
+
+def test_yake_dedups_near_identical_surface_forms():
+    doc = "quality filters matter. " * 3 + "quality filter runs daily. " * 3
+    terms = [k for k, _ in extract_keyterms(doc, "en", "yake", 10)]
+    assert not (
+        "quality filters" in terms and "quality filter" in terms
+    ), terms
+
+
+def test_empty_and_stopword_only_docs():
+    for ranker in ("textrank", "yake"):
+        assert extract_keyterms("", "en", ranker) == []
+        assert extract_keyterms("the of and", "en", ranker) == []
+
+
+def test_standin_rankers_warn_once():
+    import textpipe_ray.functions.keyterms as kt
+
+    kt._STANDIN_WARNED.discard("scake")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        extract_keyterms(DOC, "en", "scake", 3)
+        extract_keyterms(DOC, "en", "scake", 3)
+    msgs = [x for x in w if "stand-in" in str(x.message)]
+    assert len(msgs) == 1
+
+
+def test_unknown_ranker_error_shape():
+    with pytest.raises(ValueError, match="not available"):
+        extract_keyterms(DOC, "en", "nope")
+    assert set(RANKERS) == {"textrank", "sgrank", "scake", "yake"}
+
+
+def test_yake_deterministic():
+    assert extract_keyterms(DOC, "en", "yake", 10) == extract_keyterms(
+        DOC, "en", "yake", 10
+    )

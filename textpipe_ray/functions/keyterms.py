@@ -1,21 +1,29 @@
-"""Keyterm extraction: TextRank over a word co-occurrence graph.
+"""Keyterm extraction: TextRank and YAKE rankers.
 
 The reference proxies to textacy's rankers with the contract
 ``extract_keyterms(ranker, n_terms) → [(term, score)]``, empty for
 empty docs, ``ValueError`` listing the valid rankers on an unknown name
-(/root/reference/textpipe/doc.py:405-439).  This engine implements
-TextRank (the default ranker) from the public algorithm: PageRank on a
-sliding-window co-occurrence graph of candidate words, plus adjacent
-top-word merging into multiword terms; 'singlerank' is the
-window-weighted variant.  The textacy-specific 'sgrank'/'scake'/'yake'
-names are accepted in the error contract but resolve to textrank
-scoring with their own candidate windows (documented stand-in,
-SURVEY.md §7.0).
+(/root/reference/textpipe/doc.py:405-439).  This engine implements:
+
+- ``textrank`` (the default ranker) from the public algorithm:
+  PageRank on a sliding-window co-occurrence graph of candidate words,
+  plus adjacent top-word merging into multiword terms;
+- ``yake`` from the published statistics-only algorithm (Campos et
+  al. 2020, "YAKE! Keyword extraction from single documents using
+  multiple local features", Information Sciences 509): per-word
+  casing/position/frequency/relatedness/dispersion features composed
+  into S(w), n-gram candidates scored prod(S)/(TF·(1+ΣS)) —
+  LOWER score = better — with similarity dedup;
+- ``sgrank``/``scake`` remain window-tweaked textrank STAND-INS
+  (their published forms need semantic/graph machinery beyond this
+  sandbox); selecting them emits a one-time ``UserWarning`` naming the
+  substitution (SURVEY.md §7.0).
 """
 
 from __future__ import annotations
 
 import re
+import warnings
 
 import numpy as np
 
@@ -23,6 +31,7 @@ from textpipe_ray.data.seed_corpora import STOPWORDS
 
 RANKERS = ["textrank", "sgrank", "scake", "yake"]
 _WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+_STANDIN_WARNED: set[str] = set()
 
 
 def _tokens_and_candidates(text: str, lang: str) -> tuple[list[str], list[str]]:
@@ -51,20 +60,144 @@ def _pagerank(adj: np.ndarray, damping: float = 0.85, iters: int = 40) -> np.nda
     return r
 
 
+def _yake(
+    text: str,
+    lang: str,
+    n_terms: int,
+    ngram_max: int = 3,
+    window: int = 1,
+    dedup_lim: float = 0.9,
+) -> list[tuple[str, float]]:
+    """YAKE (Campos et al. 2020) — statistics-only single-document
+    keyword extraction; LOWER score = more important, results ascending.
+
+    Per-word features over case-preserving sentence tokens:
+    ``TCase`` (acronym/proper-noun evidence), ``TPos``
+    (log-log of median sentence offset), ``TFNorm`` (frequency against
+    mean+std of non-stopword words), ``TRel`` (left/right co-occurrence
+    dispersion in a ±``window``), ``TSent`` (sentence spread), composed
+    as S(w) = TPos·TRel / (TCase + TFNorm/TRel + TSent/TRel); candidate
+    1..3-grams (no stopword/short-word edges) score
+    S(kw) = ΠS(w) / (TF(kw)·(1+ΣS(w))), then similarity dedup keeps the
+    best surface forms."""
+    from difflib import SequenceMatcher
+    from statistics import median
+
+    from textpipe_ray.functions.tokenize import sents as _sents
+
+    stop = set(STOPWORDS.get(lang, STOPWORDS["en"]))
+    sentences: list[list[str]] = []
+    for s, _ in _sents(text or ""):
+        toks = [m.group() for m in _WORD_RE.finditer(s)]
+        if toks:
+            sentences.append(toks)
+    if not sentences:
+        return []
+
+    tf: dict[str, int] = {}
+    tf_acr: dict[str, int] = {}
+    tf_upper: dict[str, int] = {}
+    sent_ids: dict[str, set[int]] = {}
+    offsets: dict[str, list[int]] = {}
+    left_tot: dict[str, int] = {}
+    left_dis: dict[str, set[str]] = {}
+    right_tot: dict[str, int] = {}
+    right_dis: dict[str, set[str]] = {}
+    for si, toks in enumerate(sentences):
+        low = [t.lower() for t in toks]
+        for i, (t, w) in enumerate(zip(toks, low)):
+            tf[w] = tf.get(w, 0) + 1
+            if t.isupper() and len(t) > 1:
+                tf_acr[w] = tf_acr.get(w, 0) + 1
+            elif t[0].isupper() and i > 0:
+                tf_upper[w] = tf_upper.get(w, 0) + 1
+            sent_ids.setdefault(w, set()).add(si)
+            offsets.setdefault(w, []).append(si)
+            for j in range(max(0, i - window), i):
+                left_tot[w] = left_tot.get(w, 0) + 1
+                left_dis.setdefault(w, set()).add(low[j])
+                right_tot[low[j]] = right_tot.get(low[j], 0) + 1
+                right_dis.setdefault(low[j], set()).add(w)
+
+    valid_tfs = np.array(
+        [n for w, n in tf.items() if w not in stop], dtype=np.float64
+    )
+    if len(valid_tfs) == 0:
+        return []
+    mean_tf, std_tf = float(valid_tfs.mean()), float(valid_tfs.std())
+    max_tf = float(max(tf.values()))
+
+    def s_word(w: str) -> float:
+        f = float(tf[w])
+        t_case = max(tf_acr.get(w, 0), tf_upper.get(w, 0)) / (1.0 + np.log(f))
+        t_pos = float(np.log(np.log(3.0 + median(offsets[w]))))
+        t_fnorm = f / (mean_tf + std_tf) if (mean_tf + std_tf) > 0 else f
+        dl = len(left_dis.get(w, ())) / left_tot[w] if left_tot.get(w) else 0.0
+        dr = len(right_dis.get(w, ())) / right_tot[w] if right_tot.get(w) else 0.0
+        t_rel = 1.0 + (dl + dr) * f / max_tf
+        t_sent = len(sent_ids[w]) / len(sentences)
+        return (t_pos * t_rel) / (t_case + t_fnorm / t_rel + t_sent / t_rel)
+
+    sw = {w: s_word(w) for w in tf}
+
+    cand_tf: dict[str, tuple[float, ...]] = {}
+    counts: dict[str, int] = {}
+    for toks in sentences:
+        low = [t.lower() for t in toks]
+        for n in range(1, ngram_max + 1):
+            for i in range(len(low) - n + 1):
+                gram = low[i : i + n]
+                if gram[0] in stop or gram[-1] in stop:
+                    continue
+                if len(gram[0]) < 3 or len(gram[-1]) < 3:
+                    continue
+                key = " ".join(gram)
+                counts[key] = counts.get(key, 0) + 1
+                cand_tf.setdefault(key, tuple(sw[w] for w in gram))
+
+    scored = []
+    for key, ws in cand_tf.items():
+        s = float(np.prod(ws)) / (counts[key] * (1.0 + float(sum(ws))))
+        scored.append((key, s))
+    scored.sort(key=lambda kv: (kv[1], kv[0]))  # ascending: lower = better
+
+    kept: list[tuple[str, float]] = []
+    for term, s in scored:
+        if any(
+            SequenceMatcher(None, term, k).ratio() >= dedup_lim for k, _ in kept
+        ):
+            continue
+        kept.append((term, s))
+        if len(kept) >= n_terms:
+            break
+    return kept
+
+
 def extract_keyterms(
     text: str, lang: str = "en", ranker: str = "textrank", n_terms: int = 10, window: int = 2
 ) -> list[tuple[str, float]]:
     """→ top-``n_terms`` (term, score); [] for wordless docs; ValueError
-    with the reference's message shape for unknown rankers."""
+    with the reference's message shape for unknown rankers.  ``yake``
+    runs the real published algorithm (scores ascending, lower=better);
+    ``sgrank``/``scake`` are documented textrank stand-ins and warn
+    once per process."""
     if ranker not in RANKERS:
         raise ValueError(f'ranker "{ranker}" not available; use one of {RANKERS}')
+    if ranker == "yake":
+        return _yake(text, lang, n_terms)
     all_words, words = _tokens_and_candidates(text, lang)
     if not words:
         return []
-    if ranker in ("sgrank", "yake"):
-        window = 4
-    elif ranker == "scake":
-        window = 3
+    if ranker in ("sgrank", "scake"):
+        if ranker not in _STANDIN_WARNED:
+            _STANDIN_WARNED.add(ranker)
+            warnings.warn(
+                f'ranker "{ranker}" is a textrank-based stand-in in this engine '
+                "(textacy's algorithm is not reimplemented; see SURVEY.md §7.0)",
+                UserWarning,
+                stacklevel=2,
+            )
+        window = 4 if ranker == "sgrank" else 3
     vocab = sorted(set(words))
     idx = {w: i for i, w in enumerate(vocab)}
     adj = np.zeros((len(vocab), len(vocab)))
