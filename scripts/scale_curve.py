@@ -33,6 +33,10 @@ QUERIES = [
     "q_bloom_dedup",
     "q_distinct_sketch",
     "q_incremental_dedup",
+    # round-4 verdict: evidence the bounded-exchange claims of the
+    # iterative/lifecycle pipelines at a 10x step too
+    "q_pagerank",
+    "q_snapshot_loop",
 ]
 SCALES = ["sf0.001", "sf0.01", "sf0.1"]
 
@@ -50,9 +54,15 @@ def probe_ms() -> float:
 
 
 def main() -> None:
-    out_path = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / "bench_out" / "scale_curve_r4.json"
+    out_path = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / "bench_out" / "scale_curve_r5.json"
     legs: dict[str, dict] = {q: {} for q in QUERIES}
     probes = {}
+    result = {
+        "metric": "wall time vs input scale (10x per step), min-of-2 per leg, fresh session per scale",
+        "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+        "host_probe_ms": probes,
+        "legs": legs,
+    }
     for sf in SCALES:
         probes[sf] = probe_ms()
         env = dict(
@@ -68,21 +78,21 @@ def main() -> None:
         timings = json.loads(raw.strip().splitlines()[-1])["queries"]
         for q, t in timings.items():
             legs[q][sf] = t
+        # persist after every leg: a later leg erroring (or a query
+        # dropped from one leg's timings) must not lose the
+        # measurements already taken
+        out_path.write_text(json.dumps(result, indent=1))
     for q in QUERIES:
         for lo, hi in zip(SCALES, SCALES[1:]):
-            legs[q][f"ratio_{lo[2:]}_to_{hi[2:]}"] = round(legs[q][hi] / legs[q][lo], 2)
-    result = {
-        "metric": "wall time vs input scale (10x per step), min-of-2 per leg, fresh session per scale",
-        "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32")),
-        "host_probe_ms": probes,
-        "legs": legs,
-    }
+            a, b = legs[q].get(lo), legs[q].get(hi)
+            if a and b:  # skip missing legs and zero-rounded times
+                legs[q][f"ratio_{lo[2:]}_to_{hi[2:]}"] = round(b / a, 2)
     out_path.write_text(json.dumps(result, indent=1))
     print(json.dumps({"out": str(out_path), "probes_ms": probes}))
-    worst = max(
-        (v for q in QUERIES for k, v in legs[q].items() if k.startswith("ratio")),
-    )
-    print("worst step ratio:", worst)
+    ratios = [
+        v for q in QUERIES for k, v in legs[q].items() if k.startswith("ratio")
+    ]
+    print("worst step ratio:", max(ratios) if ratios else "n/a")
 
 
 if __name__ == "__main__":

@@ -63,3 +63,31 @@ def test_ngram_jaccard():
     assert ngram_jaccard("", "") == 1.0
     assert 0.0 < ngram_jaccard("abcdefgh", "abcdefxx") < 1.0
     assert char_ngrams("abc", 5) == {"abc"}
+
+
+def test_batch_signatures_match_per_doc_kernel():
+    """minhash_signatures_batch must be digest-identical to the per-doc
+    kernel (incl. empty docs → MAX_HASH rows) across chunk boundaries."""
+    import numpy as np
+
+    from textpipe_ray.functions.minhash import (
+        _MAX_HASH,
+        minhash_from_hashes,
+        minhash_signatures_batch,
+    )
+
+    rng = np.random.RandomState(5)
+    docs = []
+    for i in range(40):
+        n = [0, 1, 3, 700, 2500][i % 5]
+        docs.append(
+            np.unique(rng.randint(0, 2**32, size=n).astype(np.uint64))
+        )
+    got = minhash_signatures_batch(docs, 128)
+    for i, hvs in enumerate(docs):
+        want = (
+            np.full(128, _MAX_HASH, dtype=np.uint64)
+            if len(hvs) == 0
+            else minhash_from_hashes(hvs, 128)
+        )
+        assert (got[i] == want).all(), i

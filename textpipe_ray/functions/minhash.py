@@ -74,6 +74,47 @@ def minhash_signature(tokens: list[str], num_perm: int = DEFAULT_NUM_PERM) -> np
     return minhash_from_hashes(hvs, num_perm)
 
 
+def minhash_signatures_batch(
+    docs_hvs: list[np.ndarray], num_perm: int = DEFAULT_NUM_PERM
+) -> np.ndarray:
+    """(D, num_perm) signatures for a BATCH of documents' precomputed
+    element-hash arrays in one chunked matrix pass — digest-identical
+    to calling :func:`minhash_from_hashes` per doc, but the (T, P)
+    permute runs over ~64k hashes at a time with
+    ``np.minimum.reduceat`` collapsing doc boundaries, instead of D
+    small matmul-shaped kernels.  Empty docs get the MAX_HASH row."""
+    if num_perm == DEFAULT_NUM_PERM:
+        a, b = _PERM_A, _PERM_B
+    else:
+        a, b = _permutations(num_perm)
+    out = np.full((len(docs_hvs), num_perm), _MAX_HASH, dtype=np.uint64)
+    chunk_docs: list[int] = []
+    chunk_rows = 0
+
+    def flush():
+        nonlocal chunk_docs, chunk_rows
+        if not chunk_docs:
+            return
+        cat = np.concatenate([docs_hvs[i] for i in chunk_docs])
+        phv = np.bitwise_and(
+            (cat[:, None] * a[None, :] + b[None, :]) % _MERSENNE_PRIME, _MAX_HASH
+        )
+        starts = np.cumsum([0] + [len(docs_hvs[i]) for i in chunk_docs[:-1]])
+        mins = np.minimum.reduceat(phv, starts, axis=0)
+        out[np.array(chunk_docs)] = mins
+        chunk_docs, chunk_rows = [], 0
+
+    for i, hvs in enumerate(docs_hvs):
+        if len(hvs) == 0:
+            continue
+        if chunk_rows + len(hvs) > 65536 and chunk_docs:
+            flush()
+        chunk_docs.append(i)
+        chunk_rows += len(hvs)
+    flush()
+    return out
+
+
 _POLY_B = np.uint64(1000003)
 
 

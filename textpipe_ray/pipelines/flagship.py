@@ -188,10 +188,24 @@ def build_pages_pipeline(
 
 def parquet_rows(paths) -> int:
     """Total row count from parquet FILE METADATA (no data read) — the
-    ``approx_rows`` hint for :func:`build_pages_pipeline`."""
+    ``approx_rows`` hint for :func:`build_pages_pipeline`.  Accepts
+    files or directories (a directory counts every ``*.parquet``
+    inside, the multi-file-table shape of real corpora)."""
+    import glob as _glob
+    import os
+
     import pyarrow.parquet as pq
 
-    return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    total = 0
+    for p in paths:
+        p = str(p)
+        files = (
+            sorted(_glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+            if os.path.isdir(p)
+            else [p]
+        )
+        total += sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    return total
 
 
 def read_pages(

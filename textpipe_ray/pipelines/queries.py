@@ -37,6 +37,13 @@ from textpipe_ray.stages.text import (
 _I64 = pa.int64()
 _F64 = pa.float64()
 
+
+def _url_tail_ids(batch: pa.Table, col: str = "url") -> pa.Array:
+    """Synthetic-pages url → int64 doc id (the path tail after the last
+    '/'): one RE2 kernel + cast, batch-wide — never per-row Python."""
+    tail = pc.replace_substring_regex(batch.column(col), pattern=r".*/", replacement="")
+    return pc.cast(tail, _I64)
+
 COUNT_COLS = ["n_chars"] + FEATURE_ORDER
 RATIO_COLS = [
     "alpha_ratio",
@@ -1673,10 +1680,10 @@ def q_pages_neardup(sf_dir: str):
 
     def pre(batch: pa.Table) -> pa.Table:
         batch = clean_batch(batch)
-        # stable int id from the url row for pair output
-        ids = [int(u.rsplit("/", 1)[1]) for u in batch.column("url").to_pylist()]
+        # stable int id from the url tail — one RE2 kernel + cast, no
+        # per-row Python (round-4 advice)
         return pa.table(
-            {"doc_id": pa.array(ids, _I64), "text": batch.column("clean")}
+            {"doc_id": _url_tail_ids(batch), "text": batch.column("clean")}
         )
 
     # 16 bands × 8 rows: fire probability ≈1 at J≥0.85, ≈2% at the
@@ -1706,8 +1713,9 @@ def q_pages_dedup(sf_dir: str):
 
     def pre(batch: pa.Table) -> pa.Table:
         batch = clean_batch(batch)
-        ids = [int(u.rsplit("/", 1)[1]) for u in batch.column("url").to_pylist()]
-        return pa.table({"doc_id": pa.array(ids, _I64), "text": batch.column("clean")})
+        return pa.table(
+            {"doc_id": _url_tail_ids(batch), "text": batch.column("clean")}
+        )
 
     out = drop_near_dups(
         ds.map_batches(pre, batch_format="pyarrow"),
@@ -6599,7 +6607,9 @@ def q_bitext_mine(sf_dir: str):
     from textpipe_ray.stages.dedup import _join_partitions
 
     n_vecs = parquet_rows([f"{sf_dir}/embeddings.parquet"])
-    nparts = max(2, min(_join_partitions(64), n_vecs // 50_000 + 1))
+    # each joined best-table holds ~half the rows (even/odd source
+    # split), so size from n_vecs/2 to actually hit ~50k rows/partition
+    nparts = max(2, min(_join_partitions(64), n_vecs // 2 // 50_000 + 1))
     joined = (
         ab.map_batches(thresh, batch_format="pyarrow")
         .repartition(nparts)

@@ -30,7 +30,6 @@ from textpipe_ray.functions import summary as sum_fn
 from textpipe_ray.functions import vectors as vec_fn
 from textpipe_ray.functions.clean import clean_text, resolve_lang
 from textpipe_ray.functions.langid import LangIdModel
-from textpipe_ray.functions.minhash import minhash_signature
 from textpipe_ray.functions.tokenize import (
     extract_lead,
     flesch_reading_ease,
@@ -232,12 +231,31 @@ def op_keyterms(batch, name, settings, hint):
 
 
 def op_minhash(batch, name, settings, hint):
+    # Batched kernel, digest-identical to datasketch (doc.py:465): each
+    # UNIQUE token across the batch is sha1-hashed once (tokens repeat
+    # heavily across docs), then one chunked permute+reduceat computes
+    # every signature — no per-doc (T, P) matrices.
+    import numpy as np
+
+    from textpipe_ray.functions.minhash import (
+        minhash_signatures_batch,
+        sha1_hash32,
+    )
+
     num_perm = settings.get("num_perm", 128)
-    vals = [
-        minhash_signature([w for w, _ in words(x)], num_perm).tolist()
-        for x in _clean_col(batch)
+    doc_tokens = [{w for w, _ in words(x)} for x in _clean_col(batch)]
+    tok_hash = {
+        t: sha1_hash32(t.encode("utf8"))
+        for t in set().union(*doc_tokens)
+    } if doc_tokens else {}
+    docs_hvs = [
+        np.unique(np.fromiter((tok_hash[t] for t in toks), dtype=np.uint64, count=len(toks)))
+        for toks in doc_tokens
     ]
-    return batch.append_column(name, pa.array(vals, pa.list_(pa.uint64())))
+    sigs = minhash_signatures_batch(docs_hvs, num_perm)
+    return batch.append_column(
+        name, pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64()))
+    )
 
 
 def op_emojis(batch, name, settings, hint):
