@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_host_stats": Q.q_host_stats,
         "q_quality_score": Q.q_quality_score,
         "q_complexity": Q.q_complexity,
+        "q_trained_models": Q.q_trained_models,
     }
 
 

@@ -78,6 +78,7 @@ GOLDEN_QUERIES = [
     "q_lsh_recall",
     "q_vocab_coverage",
     "q_ann_pq",
+    "q_trained_models",
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

@@ -49,7 +49,7 @@ def oracle_names():
     "q_classifier_train", "q_substring_dedup", "q_snapshot_loop",
     "q_ann_ivf_layout", "q_heavy_hitters", "q_ann_ivf_append", "q_link_graph",
     "q_pagerank", "q_crawl_frontier", "q_compress_ratio", "q_lsh_recall", "q_vocab_coverage",
-    "q_ann_pq", "q_robots_filter",
+    "q_ann_pq", "q_robots_filter", "q_trained_models",
 ])
 def test_query_matches_oracle(ray_session, name):
     from textpipe_ray.pipelines.compare import compare, run_oracle

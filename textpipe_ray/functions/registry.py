@@ -106,6 +106,16 @@ def load_model_file(path: str | Path):
         return kind, dict(obj["entities"])
     if kind == "textcat":
         return kind, TextcatModel(obj["labels"])
+    if kind == "textcat_nb":
+        # trained NB categorizer, same predict() contract → same kind,
+        # so Categories pipelines take either file interchangeably
+        from textpipe_ray.functions.textcat_nb import NBTextcatModel
+
+        return "textcat", NBTextcatModel(obj)
+    if kind == "ner_tagger":
+        from textpipe_ray.functions.ner_tagger import NerTaggerModel
+
+        return "ner", NerTaggerModel(obj)
     if kind == "keyed_vectors":
         return kind, FileVectorModel(obj)
     raise ValueError(f"unknown model file type {kind!r} in {path}")
@@ -138,6 +148,9 @@ class ModelRegistry:
                 f"Custom model {name} is a {kind!r} model, not {expect_kind!r}."
             )
         return model
+
+    def kind(self, name: str) -> str:
+        return self._load(name)[0]
 
     def for_lang(self, kind: str, lang: str):
         """First registered model of ``kind`` whose lang matches (or is

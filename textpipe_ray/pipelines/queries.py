@@ -6030,6 +6030,260 @@ def q_classifier_train(sf_dir: str):
     return feats.map_batches(score, batch_format="pyarrow")
 
 
+TRAINED_MODELS_DIR = "/tmp/textpipe_ray_trained_models"
+
+
+def q_trained_models(sf_dir: str):
+    """Trained statistical stand-ins for the reference's two
+    model-backed operations (Entities / Categories — reference
+    operation.py:203-224,430-448), end-to-end under one driver row:
+
+    1. **Textcat (NB)**: multinomial Naive Bayes fit DISTRIBUTED over
+       ``documents`` — per-batch token-count partials, one
+       ``groupby(label, tok).sum`` whose exchange is ∝ distinct
+       (label, token) pairs (the BPE word-TYPE-table pattern), a
+       deterministic top-V vocabulary cut, and a driver-side
+       closed-form fit on the ≤|labels|·V-row bounded count table
+       (functions/textcat_nb.nb_fit — the fit is pure arithmetic on
+       the reduced counts, so one process or a 256-node groupby give
+       the same model).
+    2. **NER**: one-vs-rest logistic span heads trained by the SAME
+       distributed IRLS trainer as ``q_classifier_train``
+       (integer-quantized partials — bit-identical under any block
+       order) over the deterministic seed span corpus
+       (functions/ner_tagger.make_span_corpus), features =
+       hashed char n-grams + context + shape (NO name-list
+       membership, so the model must generalise).
+    3. Both models are WRITTEN AS MODEL FILES and applied through the
+       Pipeline registry seam (``models=[(name, lang, path)]`` —
+       the reference's custom-model mechanism, pipeline.py:54-60) via
+       ``Categories`` over the documents and ``Entities`` over
+       held-out eval sentences whose names training never saw.
+
+    Output per doc: NB predicted label + posterior micro, the planted
+    held-out entity's true label, the tagger's label for it ("MISS" if
+    untagged), and the tagged-entity count.  Golden-oracle
+    value-checked (model fits are not SQL-expressible)."""
+    import json as _json
+    import os as _os
+    from collections import Counter
+
+    from textpipe_ray.functions.ner_tagger import (
+        NER_DIM,
+        NER_LABELS,
+        eval_sentence_for,
+        make_span_corpus,
+        span_features,
+    )
+    from textpipe_ray.functions.textcat_nb import (
+        NB_VOCAB_TOPK,
+        TOKEN_RE,
+        nb_fit,
+    )
+    from textpipe_ray.pipelines.spec import Pipeline
+    from textpipe_ray.stages.dedup import _join_partitions
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"]).materialize()
+
+    # ---- NB sufficient statistics (distributed) -------------------------
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        labels_: list[str] = []
+        toks_: list[str] = []
+        ns: list[int] = []
+        for lab, txt in zip(
+            batch.column("lang").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for t, n in Counter(TOKEN_RE.findall((txt or "").lower())).items():
+                labels_.append(lab)
+                toks_.append(t)
+                ns.append(n)
+        return pa.table(
+            {
+                "label": pa.array(labels_, pa.string()),
+                "tok": pa.array(toks_, pa.string()),
+                "n": pa.array(ns, _I64),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(tok_counts, batch_format="pyarrow")
+        .groupby(["label", "tok"])
+        .sum("n")
+        .materialize()  # TYPE table: one row per distinct (label, token)
+    )
+    # top-V vocabulary by global count, (count desc, tok asc) total
+    # order so the V-boundary cut is deterministic
+    vocab = [
+        r["tok"]
+        for r in pairs.groupby("tok")
+        .sum("sum(n)")
+        .sort(["sum(sum(n))", "tok"], descending=[True, False])
+        .limit(NB_VOCAB_TOPK)
+        .take_all()
+    ]
+    vocab_arr = pa.array(sorted(vocab), pa.string())
+
+    def keep_vocab(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("tok"), value_set=vocab_arr))
+
+    # bounded collect: ≤ |labels|·V rows after the vocab filter
+    pair_counts = {
+        (r["label"], r["tok"]): int(r["sum(n)"])
+        for r in pairs.map_batches(keep_vocab, batch_format="pyarrow").take_all()
+    }
+    label_docs = {
+        r["lang"]: int(r["count()"]) for r in ds.groupby("lang").count().take_all()
+    }
+    nb_model = nb_fit(pair_counts, label_docs, vocab)
+
+    # ---- NER heads via the distributed IRLS trainer ---------------------
+    feat_names = [f"x{j}" for j in range(NER_DIM)]
+    span_rows = [
+        {"span": sp, "prev": pv, "next": nx, "label": lab}
+        for sp, pv, nx, lab in make_span_corpus(held_out=False)
+    ]
+    span_ds = ray.data.from_items(span_rows).repartition(4)
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        mats = np.stack(
+            [
+                span_features(s, p, n)
+                for s, p, n in zip(
+                    batch.column("span").to_pylist(),
+                    batch.column("prev").to_pylist(),
+                    batch.column("next").to_pylist(),
+                )
+            ]
+        )
+        cols: dict = {
+            f + "_micro": pa.array(
+                np.floor(mats[:, j] * CLF_QF).astype(np.int64), _I64
+            )
+            for j, f in enumerate(feat_names)
+        }
+        cols["label"] = batch.column("label")
+        return pa.table(cols)
+
+    feats0 = span_ds.map_batches(featurize, batch_format="pyarrow").materialize()
+    weights: dict[str, list[float]] = {}
+    mu = sd = None
+    for lb in NER_LABELS:
+
+        def relabel(batch: pa.Table, lb=lb) -> pa.Table:
+            y = pc.cast(pc.equal(batch.column("label"), lb), pa.int8())
+            return batch.append_column("y", y).append_column(
+                "is_train", pa.array([True] * len(batch))
+            )
+
+        beta, mu, sd, _losses, _n = _train_quality_classifier(
+            feats0.map_batches(relabel, batch_format="pyarrow"), feat_names
+        )
+        weights[lb] = [float(b) for b in beta]
+    ner_model = {
+        "type": "ner_tagger",
+        "dim": NER_DIM,
+        "labels": NER_LABELS,
+        "weights": weights,
+        "mu": [float(v) for v in mu],
+        "sd": [float(v) for v in sd],
+    }
+
+    # ---- write both through the model-file seam (atomic rename) ---------
+    _os.makedirs(TRAINED_MODELS_DIR, exist_ok=True)
+    disc = hashlib.md5(sf_dir.encode("utf8")).hexdigest()[:10]
+    paths = {}
+    for tag, obj in (("textcat_nb", nb_model), ("ner_tagger", ner_model)):
+        path = f"{TRAINED_MODELS_DIR}/{tag}_{disc}.json"
+        tmp = f"{path}.tmp.{_os.getpid()}"
+        with open(tmp, "w", encoding="utf8") as f:
+            _json.dump(obj, f, ensure_ascii=False, sort_keys=True)
+        _os.replace(tmp, path)
+        paths[tag] = path
+
+    # ---- apply via Pipeline steps (the registry seam) -------------------
+    pcat = Pipeline(
+        [("CleanText", {}), ("Categories", {"model_name": "nbcat"})],
+        models=[("nbcat", "*", paths["textcat_nb"])],
+    )
+    pner = Pipeline(
+        [
+            ("CleanText", {}),
+            ("Entities", {"model_name": "nertag", "ent_attributes": ("text", "label_")}),
+        ],
+        models=[("nertag", "*", paths["ner_tagger"])],
+    )
+
+    def cat_out(batch: pa.Table) -> pa.Table:
+        ids = []
+        lab_out = []
+        micro = []
+        for did, cats in zip(
+            batch.column("doc_id").to_pylist(), batch.column("Categories").to_pylist()
+        ):
+            best = max(cats, key=lambda kv: (kv[1], kv[0]))
+            ids.append(did)
+            lab_out.append(best[0])
+            micro.append(int(np.floor(best[1] * 1e6)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, _I64),
+                "nb_label": pa.array(lab_out, pa.string()),
+                "nb_micro": pa.array(micro, _I64),
+            }
+        )
+
+    cats = pcat.transform(ds.select_columns(["doc_id", "text"])).map_batches(
+        cat_out, batch_format="pyarrow"
+    )
+
+    def build_eval(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        sents, spans, labels_ = [], [], []
+        for i in ids:
+            s, sp, lb = eval_sentence_for(int(i))
+            sents.append(s)
+            spans.append(sp)
+            labels_.append(lb)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, _I64),
+                "text": pa.array(sents, pa.string()),
+                "planted": pa.array(spans, pa.string()),
+                "true_label": pa.array(labels_, pa.string()),
+            }
+        )
+
+    def ner_out(batch: pa.Table) -> pa.Table:
+        tagged = []
+        n_tagged = []
+        for ents, span in zip(
+            batch.column("Entities").to_pylist(), batch.column("planted").to_pylist()
+        ):
+            hit = next((lb for txt, lb in ents if txt == span), "MISS")
+            tagged.append(hit)
+            n_tagged.append(len(ents))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "true_label": batch.column("true_label"),
+                "tagged_label": pa.array(tagged, pa.string()),
+                "n_tagged": pa.array(n_tagged, _I64),
+            }
+        )
+
+    ners = pner.transform(
+        ds.select_columns(["doc_id"]).map_batches(build_eval, batch_format="pyarrow")
+    ).map_batches(ner_out, batch_format="pyarrow")
+
+    nparts = _join_partitions(8)
+    return cats.repartition(nparts).join(
+        ners.repartition(nparts),
+        join_type="inner",
+        num_partitions=nparts,
+        on=("doc_id",),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cross-run snapshot ingest loop: the production lifecycle of the
 # persisted dedup state (MinHash index generations + Bloom filter)

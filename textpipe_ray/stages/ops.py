@@ -191,17 +191,29 @@ def op_nsentences(batch, name, settings, hint):
 def op_entities(batch, name, settings, hint):
     attrs = tuple(settings.get("ent_attributes", ("text", "label_")))
     model_name = settings.get("model_name")
-    gaz = None
+    gaz = tagger = None
     if model_name is not None:
         reg = _registry(settings)
         if reg is None:
             raise ents_fn.MissingModelException(f"Custom model {model_name} is missing.")
-        gaz = reg.get(model_name, "gazetteer")
+        # a registered model may be a gazetteer dict OR a trained
+        # ner_tagger (functions/ner_tagger.py) — same op, same output
+        # shape, chosen by the model file's type
+        if reg.kind(model_name) == "ner":
+            tagger = reg.get(model_name, "ner")
+        else:
+            gaz = reg.get(model_name, "gazetteer")
     t = pa.list_(pa.list_(pa.string()))
-    vals = [
-        [[str(a) for a in tup] for tup in ents_fn.find_ents(x, None, attrs, gazetteer=gaz)]
-        for x in _clean_col(batch)
-    ]
+    if tagger is not None:
+        vals = [
+            [[str(a) for a in tup] for tup in tagger.find_ents(x, attrs)]
+            for x in _clean_col(batch)
+        ]
+    else:
+        vals = [
+            [[str(a) for a in tup] for tup in ents_fn.find_ents(x, None, attrs, gazetteer=gaz)]
+            for x in _clean_col(batch)
+        ]
     return batch.append_column(name, pa.array(vals, t))
 
 
