@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "q_unigram_lm",
     "q_k_anonymity",
     "q_crawl_frontier",
+    "q_trained_models",
 ]
 
 
