@@ -93,3 +93,37 @@ def test_yake_deterministic():
     assert extract_keyterms(DOC, "en", "yake", 10) == extract_keyterms(
         DOC, "en", "yake", 10
     )
+
+
+def test_sgrank_real_algorithm_properties():
+    """SGRank (Danesh et al. 2015): stopword-free candidates, scores
+    descending, multiword phrases surface, deterministic."""
+    out = extract_keyterms(DOC, "en", "sgrank", 8)
+    assert out
+    scores = [s for _, s in out]
+    assert scores == sorted(scores, reverse=True)
+    from textpipe_ray.data.seed_corpora import STOPWORDS
+
+    stop = set(STOPWORDS["en"])
+    for term, _ in out:
+        assert all(w not in stop and len(w) >= 3 for w in term.split())
+    assert any(" " in t for t, _ in out)
+    assert out == extract_keyterms(DOC, "en", "sgrank", 8)
+    # differs from both other real rankers
+    assert [t for t, _ in out] != [t for t, _ in extract_keyterms(DOC, "en", "textrank", 8)]
+    assert [t for t, _ in out] != [t for t, _ in extract_keyterms(DOC, "en", "yake", 8)]
+
+
+def test_sgrank_reference_doctest_shape():
+    """On the reference's own doctest sentence (operation.py:259-262)
+    the multiword term 'awesome capital' must lead, as textacy's
+    sgrank does there."""
+    out = extract_keyterms(
+        "Amsterdam is the awesome capital of the Netherlands.", "en", "sgrank", 3
+    )
+    assert out[0][0] == "awesome capital"
+
+
+def test_sgrank_empty_docs():
+    assert extract_keyterms("", "en", "sgrank") == []
+    assert extract_keyterms("the of and", "en", "sgrank") == []

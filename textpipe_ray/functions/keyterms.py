@@ -14,10 +14,13 @@ empty docs, ``ValueError`` listing the valid rankers on an unknown name
   casing/position/frequency/relatedness/dispersion features composed
   into S(w), n-gram candidates scored prod(S)/(TF·(1+ΣS)) —
   LOWER score = better — with similarity dedup;
-- ``sgrank``/``scake`` remain window-tweaked textrank STAND-INS
-  (their published forms need semantic/graph machinery beyond this
-  sandbox); selecting them emits a one-time ``UserWarning`` naming the
-  substitution (SURVEY.md §7.0).
+- ``sgrank`` from the published hybrid algorithm (Danesh, Sumner &
+  Fischer, *SEM 2015): subsumption-adjusted statistical stage-1
+  ranking, then weighted PageRank over a distance-weighted
+  co-occurrence graph of the top candidates (single-document idf≡1);
+- ``scake`` remains a window-tweaked textrank STAND-IN (its published
+  form relies on external semantic connectivity); selecting it emits a
+  one-time ``UserWarning`` naming the substitution (SURVEY.md §7.0).
 """
 
 from __future__ import annotations
@@ -185,10 +188,12 @@ def extract_keyterms(
         raise ValueError(f'ranker "{ranker}" not available; use one of {RANKERS}')
     if ranker == "yake":
         return _yake(text, lang, n_terms)
+    if ranker == "sgrank":
+        return _sgrank(text, lang, n_terms)
     all_words, words = _tokens_and_candidates(text, lang)
     if not words:
         return []
-    if ranker in ("sgrank", "scake"):
+    if ranker == "scake":
         if ranker not in _STANDIN_WARNED:
             _STANDIN_WARNED.add(ranker)
             warnings.warn(
@@ -197,7 +202,7 @@ def extract_keyterms(
                 UserWarning,
                 stacklevel=2,
             )
-        window = 4 if ranker == "sgrank" else 3
+        window = 3
     vocab = sorted(set(words))
     idx = {w: i for i, w in enumerate(vocab)}
     adj = np.zeros((len(vocab), len(vocab)))
@@ -226,3 +231,121 @@ def extract_keyterms(
             i += 1
     ranked = sorted(terms.items(), key=lambda kv: (-kv[1], kv[0]))
     return [(t, s) for t, s in ranked[:n_terms]]
+
+
+def _sgrank(
+    text: str,
+    lang: str,
+    n_terms: int,
+    ngram_max: int = 6,
+    top_t: int = 100,
+    window: int = 100,
+) -> list[tuple[str, float]]:
+    """SGRank (Danesh, Sumner & Fischer, *SEM 2015) — the statistical +
+    graph hybrid, single-document setting (idf ≡ 1):
+
+    1. candidates: 1..6-gram alpha spans with no stopword/short-word
+       edges, counted with FIRST-occurrence token position;
+    2. subsumption-adjusted counts: tf'(c) = tf(c) − Σ tf(d) over
+       longer candidates d that contain c (a unigram inside a kept
+       bigram is not double-counted);
+    3. stage-1 statistical score: S1 = tf'(c) · TL(c) ·
+       PFO(c) where TL = term word length and PFO =
+       log(cutoff / first_pos) position-of-first-occurrence factor
+       (cutoff = max(500, doc tokens), floor 1);
+    4. top-``top_t`` candidates form a graph whose edge weights sum
+       (1/distance) over co-occurrences within a ``window``-token
+       window, scaled by both endpoints' S1 (the paper's stat-weighted
+       edges); weighted PageRank re-ranks them.
+
+    Scores descending (higher = better), matching textrank's contract.
+    """
+    from textpipe_ray.functions.tokenize import sents as _sents
+
+    stop = set(STOPWORDS.get(lang, STOPWORDS["en"]))
+    sent_toks: list[list[str]] = []
+    n_tok = 0
+    for s, _ in _sents(text or ""):
+        ws = [m.group().lower() for m in _WORD_RE.finditer(s)]
+        if ws:
+            sent_toks.append(ws)
+            n_tok += len(ws)
+    if n_tok == 0:
+        return []
+
+    # candidates never cross sentence boundaries and are stopword-free
+    # THROUGHOUT (textacy's filter_stops over the whole n-gram — this,
+    # not an edge check, is what keeps one-off glue-word spans out);
+    # positions are global token indices.  Multiword candidates need
+    # tf ≥ 2 on non-trivial docs (the paper's frequency pruning).
+    min_multi_tf = 2 if n_tok >= 60 else 1
+    tf: dict[tuple[str, ...], int] = {}
+    first: dict[tuple[str, ...], int] = {}
+    positions: dict[tuple[str, ...], list[int]] = {}
+    base = 0
+    for ws in sent_toks:
+        ok = [w not in stop and len(w) >= 3 for w in ws]
+        for n in range(1, ngram_max + 1):
+            for i in range(len(ws) - n + 1):
+                if not all(ok[i : i + n]):
+                    continue
+                gram = tuple(ws[i : i + n])
+                tf[gram] = tf.get(gram, 0) + 1
+                positions.setdefault(gram, []).append(base + i)
+                if gram not in first:
+                    first[gram] = base + i
+        base += len(ws)
+
+    if min_multi_tf > 1:
+        for g in list(tf):
+            if len(g) > 1 and tf[g] < min_multi_tf:
+                del tf[g], positions[g], first[g]
+    if not tf:
+        return []
+    # subsumption adjustment: subtract each longer candidate's count
+    # from every shorter candidate it contains
+    tf_adj = dict(tf)
+    for gram, cnt in tf.items():
+        if len(gram) == 1:
+            continue
+        for n in range(1, len(gram)):
+            for i in range(len(gram) - n + 1):
+                sub = gram[i : i + n]
+                if sub in tf_adj:
+                    tf_adj[sub] -= cnt
+    cutoff = max(500.0, float(n_tok))
+    s1 = {
+        g: max(tf_adj[g], 0.25)
+        * len(g)
+        * max(1.0, np.log(cutoff / (first[g] + 1.0)))
+        for g in tf
+    }
+    cands = sorted(s1, key=lambda g: (-s1[g], g))[:top_t]
+    cidx = {g: k for k, g in enumerate(cands)}
+
+    # distance-weighted co-occurrence graph over the top candidates,
+    # edges scaled by both endpoints' stage-1 weights
+    m = len(cands)
+    adj = np.zeros((m, m))
+    occ = sorted(
+        (p, g) for g in cands for p in positions[g]
+    )
+    for a in range(len(occ)):
+        pa, ga = occ[a]
+        for b in range(a + 1, len(occ)):
+            pb, gb = occ[b]
+            d = pb - pa
+            if d > window:
+                break
+            if ga == gb:
+                continue
+            w = (1.0 / max(d, 1)) * np.sqrt(s1[ga] * s1[gb])
+            ia, ib = cidx[ga], cidx[gb]
+            adj[ia, ib] += w
+            adj[ib, ia] += w
+    pr = _pagerank(adj)
+    out = sorted(
+        ((" ".join(g), float(pr[cidx[g]])) for g in cands),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    return out[:n_terms]
