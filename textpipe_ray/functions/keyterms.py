@@ -182,8 +182,9 @@ def extract_keyterms(
     """→ top-``n_terms`` (term, score); [] for wordless docs; ValueError
     with the reference's message shape for unknown rankers.  ``yake``
     runs the real published algorithm (scores ascending, lower=better);
-    ``sgrank``/``scake`` are documented textrank stand-ins and warn
-    once per process."""
+    ``sgrank`` runs the real published algorithm (scores descending);
+    only ``scake`` is a documented textrank stand-in and warns once
+    per process."""
     if ranker not in RANKERS:
         raise ValueError(f'ranker "{ranker}" not available; use one of {RANKERS}')
     if ranker == "yake":

@@ -74,6 +74,28 @@ def minhash_signature(tokens: list[str], num_perm: int = DEFAULT_NUM_PERM) -> np
     return minhash_from_hashes(hvs, num_perm)
 
 
+def minhash_signatures_from_token_sets(
+    doc_tokens: list[set[str]], num_perm: int = DEFAULT_NUM_PERM
+) -> np.ndarray:
+    """(D, num_perm) signatures for a batch of documents' TOKEN SETS:
+    each unique token across the batch is sha1-hashed ONCE (tokens
+    repeat heavily across docs), then one chunked permute computes all
+    signatures.  The shared front half of ``op_minhash`` and
+    ``minhash_batch`` — digest-identical to the per-doc kernel."""
+    tok_hash = (
+        {t: sha1_hash32(t.encode("utf8")) for t in set().union(*doc_tokens)}
+        if doc_tokens
+        else {}
+    )
+    docs_hvs = [
+        np.unique(
+            np.fromiter((tok_hash[t] for t in toks), dtype=np.uint64, count=len(toks))
+        )
+        for toks in doc_tokens
+    ]
+    return minhash_signatures_batch(docs_hvs, num_perm)
+
+
 def minhash_signatures_batch(
     docs_hvs: list[np.ndarray], num_perm: int = DEFAULT_NUM_PERM
 ) -> np.ndarray:

@@ -199,11 +199,16 @@ def parquet_rows(paths) -> int:
     total = 0
     for p in paths:
         p = str(p)
-        files = (
-            sorted(_glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
-            if os.path.isdir(p)
-            else [p]
-        )
+        if os.path.isdir(p):
+            files = sorted(
+                _glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+            )
+            if not files:
+                # a mistyped / not-yet-written directory must surface,
+                # not silently size the pipeline from 0 rows
+                raise FileNotFoundError(f"no *.parquet files under directory {p!r}")
+        else:
+            files = [p]
         total += sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     return total
 

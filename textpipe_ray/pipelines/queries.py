@@ -6087,21 +6087,21 @@ def q_trained_models(sf_dir: str):
 
     # ---- NB sufficient statistics (distributed) -------------------------
     def tok_counts(batch: pa.Table) -> pa.Table:
-        labels_: list[str] = []
-        toks_: list[str] = []
-        ns: list[int] = []
+        # per-BATCH combiner keyed (label, token): the exchange into the
+        # groupby is the batch's distinct pairs, not one row per
+        # (doc, token) — common tokens collapse before they move
+        agg: Counter = Counter()
         for lab, txt in zip(
             batch.column("lang").to_pylist(), batch.column("text").to_pylist()
         ):
             for t, n in Counter(TOKEN_RE.findall((txt or "").lower())).items():
-                labels_.append(lab)
-                toks_.append(t)
-                ns.append(n)
+                agg[(lab, t)] += n
+        keys = sorted(agg)
         return pa.table(
             {
-                "label": pa.array(labels_, pa.string()),
-                "tok": pa.array(toks_, pa.string()),
-                "n": pa.array(ns, _I64),
+                "label": pa.array([k[0] for k in keys], pa.string()),
+                "tok": pa.array([k[1] for k in keys], pa.string()),
+                "n": pa.array([agg[k] for k in keys], _I64),
             }
         )
 

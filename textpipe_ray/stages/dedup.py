@@ -64,24 +64,10 @@ def minhash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id
     batched kernel: each UNIQUE token across the batch is sha1-hashed
     once, signatures come from one chunked permute+reduceat
     (digest-identical to the per-doc path; parity-tested)."""
-    from textpipe_ray.functions.minhash import (
-        minhash_signatures_batch,
-        sha1_hash32,
-    )
+    from textpipe_ray.functions.minhash import minhash_signatures_from_token_sets
 
     doc_tokens = [set(_tokenize(t)) for t in batch.column(text_col).to_pylist()]
-    tok_hash = (
-        {t: sha1_hash32(t.encode("utf8")) for t in set().union(*doc_tokens)}
-        if doc_tokens
-        else {}
-    )
-    docs_hvs = [
-        np.unique(
-            np.fromiter((tok_hash[t] for t in toks), dtype=np.uint64, count=len(toks))
-        )
-        for toks in doc_tokens
-    ]
-    sigs = minhash_signatures_batch(docs_hvs)
+    sigs = minhash_signatures_from_token_sets(doc_tokens)
     arr = pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64()))
     return batch.append_column("minhash", arr)
 

@@ -243,28 +243,14 @@ def op_keyterms(batch, name, settings, hint):
 
 
 def op_minhash(batch, name, settings, hint):
-    # Batched kernel, digest-identical to datasketch (doc.py:465): each
-    # UNIQUE token across the batch is sha1-hashed once (tokens repeat
-    # heavily across docs), then one chunked permute+reduceat computes
-    # every signature — no per-doc (T, P) matrices.
-    import numpy as np
-
-    from textpipe_ray.functions.minhash import (
-        minhash_signatures_batch,
-        sha1_hash32,
-    )
+    # Batched kernel, digest-identical to datasketch (doc.py:465):
+    # shared with stages/dedup.minhash_batch — unique tokens sha1-hashed
+    # once per batch, one chunked permute for every signature.
+    from textpipe_ray.functions.minhash import minhash_signatures_from_token_sets
 
     num_perm = settings.get("num_perm", 128)
     doc_tokens = [{w for w, _ in words(x)} for x in _clean_col(batch)]
-    tok_hash = {
-        t: sha1_hash32(t.encode("utf8"))
-        for t in set().union(*doc_tokens)
-    } if doc_tokens else {}
-    docs_hvs = [
-        np.unique(np.fromiter((tok_hash[t] for t in toks), dtype=np.uint64, count=len(toks)))
-        for toks in doc_tokens
-    ]
-    sigs = minhash_signatures_batch(docs_hvs, num_perm)
+    sigs = minhash_signatures_from_token_sets(doc_tokens, num_perm)
     return batch.append_column(
         name, pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64()))
     )
