@@ -6165,19 +6165,29 @@ def q_trained_models(sf_dir: str):
         return pa.table(cols)
 
     feats0 = span_ds.map_batches(featurize, batch_format="pyarrow").materialize()
-    weights: dict[str, list[float]] = {}
-    mu = sd = None
-    for lb in NER_LABELS:
 
+    def train_head(lb: str):
         def relabel(batch: pa.Table, lb=lb) -> pa.Table:
             y = pc.cast(pc.equal(batch.column("label"), lb), pa.int8())
             return batch.append_column("y", y).append_column(
                 "is_train", pa.array([True] * len(batch))
             )
 
-        beta, mu, sd, _losses, _n = _train_quality_classifier(
+        return _train_quality_classifier(
             feats0.map_batches(relabel, batch_format="pyarrow"), feat_names
         )
+
+    # the three one-vs-rest heads are independent; driver threads
+    # interleave their 7 small Ray rounds each (~75 ms scheduling floor
+    # per round on the tiny span table), cutting wall to ~one head's —
+    # per-head arithmetic is unchanged, so the model is bit-identical
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(NER_LABELS)) as ex:
+        head_results = list(ex.map(train_head, NER_LABELS))
+    weights: dict[str, list[float]] = {}
+    mu = sd = None
+    for lb, (beta, mu, sd, _losses, _n) in zip(NER_LABELS, head_results):
         weights[lb] = [float(b) for b in beta]
     ner_model = {
         "type": "ner_tagger",
