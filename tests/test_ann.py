@@ -544,3 +544,32 @@ def test_refine_hot_cells_identity_when_balanced(ray_session):
         for r in refined.select_columns(["vec_id", "cell"]).take_all()
     )
     assert a == b
+
+
+def test_refine_hot_cells_identical_vector_blob_terminates(ray_session):
+    """The one geometry no split can separate: a hot cell of IDENTICAL
+    vectors.  refine_hot_cells must terminate at max_depth without
+    losing rows — and this is exactly the case where the downstream
+    chunked greedy is LINEAR (first kept row blocks everything), so
+    leaving it unsplit is safe by construction."""
+    import pyarrow as pa
+
+    import ray
+    import ray.data
+    from textpipe_ray.stages.ann import assign_cells, refine_hot_cells
+
+    vecs = np.tile(np.array([[-100.0] * 8]), (800, 1))  # 800 identical
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(800), pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(4)
+    cents = np.array([[100.0] * 8, [-100.0] * 8])
+    refined = refine_hot_cells(
+        assign_cells(ds, ray.put(cents)), cap=256, sub_sample=64, max_depth=3, seed=5
+    )
+    counts = [int(r["count()"]) for r in refined.groupby("cell").count().take_all()]
+    assert sum(counts) == 800  # nothing lost, no infinite loop
