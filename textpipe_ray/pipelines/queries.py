@@ -6030,7 +6030,13 @@ def q_classifier_train(sf_dir: str):
     return feats.map_batches(score, batch_format="pyarrow")
 
 
-TRAINED_MODELS_DIR = "/tmp/textpipe_ray_trained_models"
+import os as _os_env
+
+# must be SHARED storage on a multi-node cluster (driver writes, worker
+# processes read) — same contract as the minhash-index / IVF paths
+TRAINED_MODELS_DIR = _os_env.environ.get(
+    "TEXTPIPE_TRAINED_MODELS_DIR", "/tmp/textpipe_ray_trained_models"
+)
 
 
 def q_trained_models(sf_dir: str):
@@ -6063,7 +6069,13 @@ def q_trained_models(sf_dir: str):
     Output per doc: NB predicted label + posterior micro, the planted
     held-out entity's true label, the tagger's label for it ("MISS" if
     untagged), and the tagged-entity count.  Golden-oracle
-    value-checked (model fits are not SQL-expressible)."""
+    value-checked (model fits are not SQL-expressible).
+
+    Multi-node contract: ``TRAINED_MODELS_DIR`` must be SHARED storage
+    on a real cluster (the model files are written by the driver and
+    opened inside worker processes by the registry) — the same
+    documented contract as the minhash index / IVF layout paths; the
+    single-node default is /tmp."""
     import json as _json
     import os as _os
     from collections import Counter
