@@ -299,11 +299,20 @@ def refine_hot_cells(
     case is the one k-means can split.  Deterministic end-to-end:
     hash-threshold sampling, id-sorted fit matrices, seeded k-means
     (seed varies per depth so a failed split retries differently)."""
+    def cell_counts(batch: pa.Table) -> pa.Table:
+        cells = np.asarray(batch.column("cell"), dtype=np.int64)
+        u, c = np.unique(cells, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())}
+        )
+
     for depth in range(max_depth):
-        counts = {
-            int(r["cell"]): int(r["count()"])
-            for r in assigned.groupby("cell").count().take_all()
-        }
+        # per-block partial counts + driver merge: ≤ #cells·#blocks tiny
+        # rows to the driver, NO all-to-all (a groupby-count here would
+        # add an exchange per depth just to learn ~#cells integers)
+        counts: dict[int, int] = {}
+        for r in assigned.map_batches(cell_counts, batch_format="pyarrow").take_all():
+            counts[int(r["cell"])] = counts.get(int(r["cell"]), 0) + int(r["n"])
         hot = {c: n for c, n in counts.items() if n > cap}
         if not hot:
             break
