@@ -138,3 +138,30 @@ def test_block_size_invariance(ray_session, pages_dir):
     import pandas.testing as pdt
 
     pdt.assert_frame_equal(tiny, default)
+
+
+def test_parquet_rows_files_dirs_and_empty_dir(tmp_path):
+    """parquet_rows accepts files AND directories (recursive), and an
+    existing-but-empty directory RAISES instead of silently sizing the
+    pipeline from 0 rows (round-5 review finding)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from textpipe_ray.pipelines.flagship import parquet_rows
+
+    f1 = tmp_path / "a.parquet"
+    pq.write_table(pa.table({"x": list(range(7))}), f1)
+    sub = tmp_path / "nested" / "deep"
+    sub.mkdir(parents=True)
+    f2 = sub / "b.parquet"
+    pq.write_table(pa.table({"x": list(range(5))}), f2)
+
+    assert parquet_rows([str(f1)]) == 7
+    assert parquet_rows([str(tmp_path)]) == 12  # recursive over both
+    assert parquet_rows([str(f1), str(tmp_path / "nested")]) == 12
+
+    empty = tmp_path / "not_yet_written"
+    empty.mkdir()
+    with _pytest.raises(FileNotFoundError, match="no \\*.parquet"):
+        parquet_rows([str(empty)])
