@@ -127,3 +127,43 @@ def test_sgrank_reference_doctest_shape():
 def test_sgrank_empty_docs():
     assert extract_keyterms("", "en", "sgrank") == []
     assert extract_keyterms("the of and", "en", "sgrank") == []
+
+
+# ---- property tests: rankers must never crash and must honor their
+# ordering contracts on arbitrary unicode input ----
+
+from hypothesis import given, settings as hsettings
+from hypothesis import strategies as st
+
+
+@hsettings(max_examples=60, deadline=None)
+@given(st.text(max_size=400), st.sampled_from(["textrank", "sgrank", "yake"]))
+def test_rankers_total_on_arbitrary_text(text, ranker):
+    out = extract_keyterms(text, "en", ranker, 5)
+    assert isinstance(out, list) and len(out) <= 5
+    for term, score in out:
+        assert isinstance(term, str) and term
+        assert isinstance(score, float)
+    scores = [s for _, s in out]
+    if ranker == "yake":
+        assert scores == sorted(scores)  # ascending, lower = better
+    else:
+        assert scores == sorted(scores, reverse=True)
+
+
+@hsettings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            "data pipeline quality filter machine learning the of and".split()
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_rankers_deterministic_on_generated_docs(words_):
+    doc = " ".join(words_) + "."
+    for ranker in ("textrank", "sgrank", "yake"):
+        assert extract_keyterms(doc, "en", ranker, 5) == extract_keyterms(
+            doc, "en", ranker, 5
+        )
