@@ -6030,13 +6030,17 @@ def q_classifier_train(sf_dir: str):
     return feats.map_batches(score, batch_format="pyarrow")
 
 
-import os as _os_env
+def trained_models_dir() -> str:
+    """Where q_trained_models writes its model files — must be SHARED
+    storage on a multi-node cluster (driver writes, worker processes
+    read; same contract as the minhash-index / IVF paths).  Read from
+    the environment at CALL time so overrides set after import still
+    take effect."""
+    import os as _os
 
-# must be SHARED storage on a multi-node cluster (driver writes, worker
-# processes read) — same contract as the minhash-index / IVF paths
-TRAINED_MODELS_DIR = _os_env.environ.get(
-    "TEXTPIPE_TRAINED_MODELS_DIR", "/tmp/textpipe_ray_trained_models"
-)
+    return _os.environ.get(
+        "TEXTPIPE_TRAINED_MODELS_DIR", "/tmp/textpipe_ray_trained_models"
+    )
 
 
 def q_trained_models(sf_dir: str):
@@ -6071,7 +6075,7 @@ def q_trained_models(sf_dir: str):
     untagged), and the tagged-entity count.  Golden-oracle
     value-checked (model fits are not SQL-expressible).
 
-    Multi-node contract: ``TRAINED_MODELS_DIR`` must be SHARED storage
+    Multi-node contract: :func:`trained_models_dir` must point at SHARED storage
     on a real cluster (the model files are written by the driver and
     opened inside worker processes by the registry) — the same
     documented contract as the minhash index / IVF layout paths; the
@@ -6211,11 +6215,12 @@ def q_trained_models(sf_dir: str):
     }
 
     # ---- write both through the model-file seam (atomic rename) ---------
-    _os.makedirs(TRAINED_MODELS_DIR, exist_ok=True)
+    models_dir = trained_models_dir()
+    _os.makedirs(models_dir, exist_ok=True)
     disc = hashlib.md5(sf_dir.encode("utf8")).hexdigest()[:10]
     paths = {}
     for tag, obj in (("textcat_nb", nb_model), ("ner_tagger", ner_model)):
-        path = f"{TRAINED_MODELS_DIR}/{tag}_{disc}.json"
+        path = f"{models_dir}/{tag}_{disc}.json"
         tmp = f"{path}.tmp.{_os.getpid()}"
         with open(tmp, "w", encoding="utf8") as f:
             _json.dump(obj, f, ensure_ascii=False, sort_keys=True)

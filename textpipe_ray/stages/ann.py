@@ -276,8 +276,8 @@ def refine_hot_cells(
 
     Per depth (≤ ``max_depth``):
 
-    1. per-cell counts — ONE small exchange, ≤ #cells rows to the
-       driver;
+    1. per-cell counts — per-BLOCK partials merged on the driver
+       (≤ #cells·#blocks tiny rows collected, NO all-to-all);
     2. hash-uniform sample of each hot cell's members (expected
        ``2·sub_sample`` rows/cell via a per-cell id-hash threshold;
        driver holds ≤ #hot_cells · 2·sub_sample rows, and #hot_cells ≤
